@@ -1,0 +1,237 @@
+"""Canonicalization: salted/partial mention counting + union-find merge +
+entity-id application.
+
+Reference analog (SURVEY.md A4/D3): the ``concepts`` unique-name upsert with
+``mention_count = mention_count + 1`` (``agents/src/database.ts:102-110``,
+``db_init.py:56``) — a grouped count implemented row-at-a-time in the
+reference, re-expressed as a two-level aggregation:
+
+1. the TripleExtractor already emits one row per (page, norm_surface) with
+   ``n_in_page`` (page-level combiner);
+2. ``partial_mention_counts`` collapses each BLOCK to one row per surface
+   (block-level combiner — this is what defeats Zipf-head skew: a head
+   entity contributes at most one row per block to the shuffle, the same
+   effect as salting the groupby key, without a second merge pass);
+3. a final small ``groupby("norm_surface")`` merges block partials.
+
+Entity merging (alias long-form <-> acronym) runs union-find on the DRIVER
+over the distinct-surface table (bounded by vocabulary size, not corpus
+size; fallback for larger-than-driver vocabularies: iterated min-label
+propagation — see state/unionfind.py docstring). The reference lists this
+disambiguation as future work (``README.md:1442-1444``); the north star
+requires it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.textnorm import norm_surface
+from ..state.unionfind import UnionFind
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("norm_surface", pa.string()),
+        ("mentions_p", pa.int64()),
+        ("links_p", pa.int64()),
+        ("perfect_p", pa.int64()),
+        ("max_score_p", pa.float64()),
+        ("min_score_p", pa.float64()),
+    ]
+)
+
+
+def partial_mention_counts(batch: pa.Table) -> pa.Table:
+    """Block-level combiner over mention records (see module docstring)."""
+    perfect = pc.cast(pc.equal(batch.column("score"), pa.scalar(1.0)), pa.int64())
+    t = batch.select(["norm_surface", "n_in_page", "score"]).append_column(
+        "perfect", perfect
+    )
+    g = t.group_by("norm_surface").aggregate(
+        [
+            ("n_in_page", "sum"),
+            ("norm_surface", "count"),
+            ("perfect", "sum"),
+            ("score", "max"),
+            ("score", "min"),
+        ]
+    )
+    return pa.Table.from_arrays(
+        [
+            g.column("norm_surface"),
+            pc.cast(g.column("n_in_page_sum"), pa.int64()),
+            pc.cast(g.column("norm_surface_count"), pa.int64()),
+            pc.cast(g.column("perfect_sum"), pa.int64()),
+            g.column("score_max"),
+            g.column("score_min"),
+        ],
+        schema=PARTIAL_SCHEMA,
+    )
+
+
+def build_entity_table(
+    counts: pd.DataFrame, alias: dict[str, tuple[str, str]]
+) -> tuple[pa.Table, dict[str, tuple[int, str]]]:
+    """Driver-side union-find merge -> (nodes table, norm -> (entity_id,
+    canonical_name) map).
+
+    ``counts`` columns: norm_surface, mention_count, link_count,
+    perfect_links, max_score, min_score (already merged across blocks).
+    Deterministic: entity ids are the dense rank of sorted canonical names.
+    """
+    uf = UnionFind()
+    for norm in counts["norm_surface"]:
+        uf.add(norm)
+        hit = alias.get(norm)
+        if hit is not None:
+            # union with the canonical form's own normalized surface; alias
+            # chains (acronym <-> long form <-> hyphenated) meet transitively.
+            uf.union(norm, norm_surface(hit[0]))
+
+    by_norm = counts.set_index("norm_surface")
+    comps = uf.components()
+
+    rows = []
+    for _, members in sorted(comps.items()):
+        canon_names = sorted(
+            {alias[m][0] for m in members if m in alias}
+        )
+        if canon_names:
+            canonical = canon_names[0]
+            ent_type = alias[norm_surface(canonical)][1]
+        else:
+            canonical = members[0]
+            ent_type = "concept"
+        seen = [m for m in members if m in by_norm.index]
+        if not seen:
+            continue  # canonical surface never observed and no members seen
+        sub = by_norm.loc[seen]
+        rows.append(
+            {
+                "canonical_name": canonical,
+                "ent_type": ent_type,
+                "mention_count": int(sub["mention_count"].sum()),
+                "link_count": int(sub["link_count"].sum()),
+                "perfect_links": int(sub["perfect_links"].sum()),
+                "max_score": float(sub["max_score"].max()),
+                "min_score": float(sub["min_score"].min()),
+                "aliases": sorted(seen),
+                "_members": members,
+            }
+        )
+
+    rows.sort(key=lambda r: r["canonical_name"])
+    id_map: dict[str, tuple[int, str]] = {}
+    out = {
+        "entity_id": [],
+        "canonical_name": [],
+        "ent_type": [],
+        "mention_count": [],
+        "link_count": [],
+        "perfect_links": [],
+        "max_score": [],
+        "min_score": [],
+        "aliases": [],
+    }
+    for eid, r in enumerate(rows):
+        for m in r.pop("_members"):
+            id_map[m] = (eid, r["canonical_name"])
+        out["entity_id"].append(eid)
+        for k in r:
+            out[k].append(r[k])
+
+    nodes = pa.Table.from_pydict(
+        out,
+        schema=pa.schema(
+            [
+                ("entity_id", pa.int64()),
+                ("canonical_name", pa.string()),
+                ("ent_type", pa.string()),
+                ("mention_count", pa.int64()),
+                ("link_count", pa.int64()),
+                ("perfect_links", pa.int64()),
+                ("max_score", pa.float64()),
+                ("min_score", pa.float64()),
+                ("aliases", pa.list_(pa.string())),
+            ]
+        ),
+    )
+    return nodes, id_map
+
+
+class ApplyEntityIds:
+    """Actor-pool stage: rewrite triple records to id-resolved edges using the
+    broadcast ``id_map`` (``ray.put`` once, ``ray.get`` once per actor —
+    SURVEY.md T3 broadcast pattern; never re-shipped per batch)."""
+
+    def __init__(self, id_map_ref=None, id_map=None) -> None:
+        if id_map is None:
+            import ray
+
+            id_map = ray.get(id_map_ref) if id_map_ref is not None else {}
+        self.id_map = id_map
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sn = batch.column("subj_norm").to_pylist()
+        on = batch.column("obj_norm").to_pylist()
+        subj_ids, obj_ids, subjs, objs = [], [], [], []
+        for s, o in zip(sn, on):
+            sid, sname = self.id_map.get(s, (-1, s))
+            oid, oname = self.id_map.get(o, (-1, o))
+            subj_ids.append(sid)
+            obj_ids.append(oid)
+            subjs.append(sname)
+            objs.append(oname)
+        return pa.Table.from_arrays(
+            [
+                pa.array(subj_ids, pa.int64()),
+                batch.column("pred"),
+                pa.array(obj_ids, pa.int64()),
+                pa.array(subjs, pa.string()),
+                pa.array(objs, pa.string()),
+                batch.column("url"),
+                batch.column("warc_ts"),
+                batch.column("confidence"),
+                batch.column("context"),
+            ],
+            names=[
+                "subj_id", "pred", "obj_id", "subj", "obj",
+                "url", "warc_ts", "confidence", "context",
+            ],
+        )
+
+
+def dedup_edges_batch(batch: pa.Table) -> pa.Table:
+    """Block-level exact-dedup combiner on (subj_id, pred, obj_id, url):
+    column-wise min of the carried columns (deterministic; within a page the
+    carried values are the canonical names, so groups are near-identical).
+    Reference analog: UNIQUE(source, target, type) upsert-DO-NOTHING
+    (``db_init.py:128``, ``database.ts:264-289``)."""
+    g = batch.group_by(["subj_id", "pred", "obj_id", "url"]).aggregate(
+        [
+            ("subj", "min"),
+            ("obj", "min"),
+            ("warc_ts", "min"),
+            ("confidence", "min"),
+            ("context", "min"),
+        ]
+    )
+    return pa.Table.from_arrays(
+        [
+            g.column("subj_id"),
+            g.column("pred"),
+            g.column("obj_id"),
+            g.column("subj_min"),
+            g.column("obj_min"),
+            g.column("url"),
+            g.column("warc_ts_min"),
+            g.column("confidence_min"),
+            g.column("context_min"),
+        ],
+        names=[
+            "subj_id", "pred", "obj_id", "subj", "obj",
+            "url", "warc_ts", "confidence", "context",
+        ],
+    )

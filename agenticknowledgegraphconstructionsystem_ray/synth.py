@@ -1,0 +1,251 @@
+"""Seeded synthetic Common-Crawl-style ``pages`` corpus (FIXTURES.md §1).
+
+Deterministic generator for the KG pipeline's input table
+(``url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string``
+per BASELINE.json input_hint). Self-contained, no external data.
+
+Properties planted on purpose:
+- **Zipfian entity distribution** with head entities, so the salted
+  canonicalization shuffle is actually exercised (SURVEY.md §7.4).
+- **Alias pairs with known ground truth** (long form <-> acronym <->
+  hyphenated variant), so union-find merging has a golden answer
+  (reference analog: exact-name dedup ``db_init.py:56`` + the docx's
+  future-work entity disambiguation).
+- **HTML edge cases**: empty body, script-only pages, unclosed tags, HTML
+  entities, non-ASCII UTF-8, nested tags.
+- **lang minority** ("de"/"fr"/"") to exercise the lang filter.
+
+Generation is deterministic per (seed, shard): shard i always produces the
+same rows regardless of how many workers generate shards, so resume tests and
+the sequential oracle see identical input.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schema import PAGES
+from .functions.textnorm import norm_surface
+from .functions.triples import CONCEPT_TYPES
+
+_ADJ = [
+    "Neural", "Gaussian", "Sparse", "Dynamic", "Hierarchical", "Adaptive",
+    "Robust", "Efficient", "Latent", "Spectral", "Convolutional", "Recurrent",
+    "Variational", "Bayesian", "Graph", "Temporal", "Spatial", "Hybrid",
+    "Federated", "Quantized",
+]
+_NOUN = [
+    "Radiance", "Splatting", "Diffusion", "Attention", "Embedding",
+    "Rendering", "Transport", "Sampling", "Fusion", "Distillation", "Pruning",
+    "Hashing", "Indexing", "Clustering", "Alignment", "Retrieval",
+    "Synthesis", "Encoding", "Decoding", "Matching",
+]
+_TECH = [
+    "Fields", "Networks", "Transformer", "Model", "Pipeline", "Framework",
+    "Encoder", "Decoder", "Kernel", "Index", "Cache", "Engine", "Optimizer",
+    "Sampler", "Renderer", "Tracker", "Mapper", "Planner", "Scheduler",
+    "Compiler",
+]
+
+# Predicate surface phrases the extractor recognizes (functions/triples.py).
+_PRED_SURFACES = [
+    "improves on", "extends", "evaluates", "builds on", "addresses",
+    "cites", "uses", "introduces", "outperforms",
+]
+
+_FILLERS = [
+    "The system runs quickly and scales to very large corpora.",
+    "We observed consistent results across runs of the experiment.",
+    "This page was archived for later analysis by the crawler.",
+    "The café served a naïve blend of rôle-play and résumé writing.",
+    "It performs well under heavy load &amp; strict latency budgets.",
+    "There is no obvious bottleneck in the current configuration.",
+    "On average the throughput stayed flat over time.",
+]
+
+N_ENTITIES = 500
+_ZIPF_EXP = 1.1
+
+
+def entity_universe(n: int = N_ENTITIES) -> list[dict]:
+    """Deterministic entity table: canonical name, acronym alias, optional
+    hyphenated alias, closed-enum type."""
+    ents = []
+    for i in range(n):
+        a, rem = divmod(i, len(_NOUN) * len(_TECH))
+        b, c = divmod(rem, len(_TECH))
+        canonical = f"{_ADJ[a % len(_ADJ)]} {_NOUN[b]} {_TECH[c]}"
+        acronym = "".join(w[0] for w in canonical.split()) + str(i)
+        aliases = [canonical, acronym]
+        if i % 5 == 0:
+            aliases.append(canonical.replace(" ", "-"))
+        ents.append(
+            {
+                "canonical_name": canonical,
+                "aliases": aliases,
+                "ent_type": CONCEPT_TYPES[i % len(CONCEPT_TYPES)],
+            }
+        )
+    return ents
+
+
+def alias_dict(n: int = N_ENTITIES) -> dict[str, tuple[str, str]]:
+    """norm_alias -> (canonical_name, ent_type). The broadcast small side for
+    entity linking (reference analog: cached seminal paper,
+    run-relationship-discovery.ts:32-47)."""
+    out: dict[str, tuple[str, str]] = {}
+    for e in entity_universe(n):
+        for al in e["aliases"]:
+            out[norm_surface(al)] = (e["canonical_name"], e["ent_type"])
+    return out
+
+
+def _zipf_weights(n: int) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, n + 1, dtype=np.float64), _ZIPF_EXP)
+    return w / w.sum()
+
+
+def _page_html(i: int, rng: np.random.Generator, ents: list[dict], weights: np.ndarray) -> bytes:
+    # deterministic edge cases
+    if i % 97 == 0:
+        return b"<html><head><title>empty</title></head><body></body></html>"
+    if i % 89 == 0:
+        return (
+            b"<html><body><script>var x = document.title;\nconsole.log(x);"
+            b"</script></body></html>"
+        )
+
+    n_sent = int(2 + rng.integers(0, 7))
+    sents: list[str] = []
+    for _ in range(n_sent):
+        if rng.random() < 0.6:
+            si, oi = rng.choice(len(ents), size=2, p=weights)
+            pred = _PRED_SURFACES[int(rng.integers(0, len(_PRED_SURFACES)))]
+            subj = _mention_surface(ents[int(si)], rng)
+            obj = _mention_surface(ents[int(oi)], rng)
+            sents.append(f"{subj} {pred} {obj}.")
+        else:
+            sents.append(_FILLERS[int(rng.integers(0, len(_FILLERS)))])
+
+    half = max(1, len(sents) // 2)
+    para1 = " ".join(sents[:half])
+    para2 = " ".join(sents[half:])
+    items = "".join(f"<li>{s}</li>" for s in sents[:2])
+    unclosed = "<p>archive note with <b>unclosed markup" if i % 83 == 0 else ""
+    html = (
+        f"<html><head><title>Crawl record {i}</title>"
+        f"<style>body {{ margin: 0; }}</style></head>"
+        f"<body><h1>crawl record {i}</h1>"
+        f"<script>window.track({i});</script>"
+        f"<p>{para1}</p><div><p>{para2}</p></div>"
+        f"<ul>{items}</ul>{unclosed}"
+        f"<!-- comment {i} --></body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def _mention_surface(ent: dict, rng: np.random.Generator) -> str:
+    aliases = ent["aliases"]
+    return aliases[int(rng.integers(0, len(aliases)))]
+
+
+def generate_shard(
+    shard: int, lo: int, hi: int, seed: int = 42
+) -> pa.Table:
+    """Rows [lo, hi) of the corpus — pure function of (seed, shard, lo, hi)."""
+    rng = np.random.default_rng(seed * 1_000_003 + shard)
+    ents = entity_universe()
+    weights = _zipf_weights(len(ents))
+
+    urls, tss, htmls, langs = [], [], [], []
+    for i in range(lo, hi):
+        urls.append(f"https://site-{i % 1000}.example/page/{i}")
+        tss.append(1_600_000_000_000_000 + i * 1_000_000)  # us epoch
+        htmls.append(_page_html(i, rng, ents, weights))
+        r = rng.random()
+        langs.append("en" if r < 0.85 else "de" if r < 0.90 else "fr" if r < 0.95 else "")
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(htmls, pa.binary()),
+            pa.array([None] * len(urls), pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        schema=PAGES,
+    )
+
+
+def shard_bounds(n_rows: int, n_files: int) -> list[tuple[int, int, int]]:
+    """[(shard, lo, hi)] — deterministic partitioning of the corpus."""
+    per = (n_rows + n_files - 1) // n_files
+    return [
+        (s, s * per, min(n_rows, (s + 1) * per))
+        for s in range(n_files)
+        if s * per < n_rows
+    ]
+
+
+def write_pages(
+    out_dir: str, n_rows: int, n_files: int = 8, seed: int = 42, use_ray: bool = True
+) -> list[str]:
+    """Write the corpus as ``pages-{shard:05d}.parquet`` files (deterministic
+    names -> partition-level resume, FIXTURES.md §7). Returns file paths.
+
+    Idempotent: if the directory already holds a matching ``_SYNTH_OK``
+    marker, generation is skipped.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_SYNTH_OK")
+    tag = f"v1:{n_rows}:{n_files}:{seed}"
+    bounds = shard_bounds(n_rows, n_files)
+    paths = [os.path.join(out_dir, f"pages-{s:05d}.parquet") for s, _, _ in bounds]
+    if os.path.exists(marker) and open(marker).read() == tag:
+        return paths
+
+    def _write(shard: int, lo: int, hi: int, path: str) -> None:
+        pq.write_table(generate_shard(shard, lo, hi, seed), path)
+
+    wrote_with_ray = False
+    if use_ray:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                task = ray.remote(num_cpus=1)(_write)
+                ray.get(
+                    [task.remote(s, lo, hi, p) for (s, lo, hi), p in zip(bounds, paths)]
+                )
+                wrote_with_ray = True
+        except Exception:
+            wrote_with_ray = False
+    if not wrote_with_ray:
+        for (s, lo, hi), p in zip(bounds, paths):
+            _write(s, lo, hi, p)
+
+    with open(marker, "w") as f:
+        f.write(tag)
+    return paths
+
+
+def default_pages_dir(sf: float, root: str = "/tmp/agkg_pages") -> str:
+    return os.path.join(root, f"sf{sf:g}")
+
+
+def n_rows_for_sf(sf: float) -> int:
+    """sf0.001 -> 500 pages, sf0.01 -> 5_000, sf0.1 -> 50_000."""
+    return max(100, int(round(500_000 * sf)))
+
+
+def ensure_pages(sf: float, seed: int = 42) -> str:
+    """Generate (once, cached under /tmp) the pages corpus for a scale factor;
+    returns the directory."""
+    n = n_rows_for_sf(sf)
+    n_files = max(8, n // 2000)
+    d = default_pages_dir(sf)
+    write_pages(d, n, n_files=n_files, seed=seed)
+    return d
