@@ -81,14 +81,22 @@ class RawTriple:
 def _mention_runs(
     tokens: list[tuple[str, int, int]],
 ) -> list[tuple[int, int]]:
-    """Maximal runs [i, j) of entity tokens forming candidate mentions."""
+    """Maximal runs [i, j) of entity tokens forming candidate mentions.
+    Capitalized stopwords ("The", "In", ...) BREAK runs — they are never part
+    of a mention (reference analog: generic-terms + validity predicate,
+    entity-extraction-agent.ts:193-203)."""
     runs: list[tuple[int, int]] = []
     i = 0
     n = len(tokens)
     while i < n:
-        if is_entity_token(tokens[i][0]):
+        tok = tokens[i][0]
+        if is_entity_token(tok) and tok not in CAP_STOPWORDS:
             j = i + 1
-            while j < n and is_entity_token(tokens[j][0]):
+            while (
+                j < n
+                and is_entity_token(tokens[j][0])
+                and tokens[j][0] not in CAP_STOPWORDS
+            ):
                 j += 1
             runs.append((i, j))
             i = j
@@ -97,17 +105,13 @@ def _mention_runs(
     return runs
 
 
-def _valid_mention(tokens: list[tuple[str, int, int]], lo: int, hi: int) -> bool:
-    """Reject single-token runs that are capitalized stopwords or bare
-    numbers (reference analog: generic-terms + validity predicate,
-    entity-extraction-agent.ts:193-203)."""
-    if hi - lo == 1:
-        tok = tokens[lo][0]
-        if tok in CAP_STOPWORDS:
-            return False
-        if tok.isdigit():
-            return False
-    return True
+def _trim_run(
+    tokens: list[tuple[str, int, int]], lo: int, hi: int
+) -> tuple[int, int] | None:
+    """Reject bare-number runs ("2024")."""
+    if hi - lo == 1 and tokens[lo][0].isdigit():
+        return None
+    return lo, hi
 
 
 def extract_mentions_and_triples(
@@ -135,9 +139,9 @@ def extract_mentions_and_triples(
 
         tokens = tokenize_with_spans(sent)
         runs = [
-            (lo, hi)
+            trimmed
             for lo, hi in _mention_runs(tokens)
-            if _valid_mention(tokens, lo, hi)
+            if (trimmed := _trim_run(tokens, lo, hi)) is not None
         ]
 
         sent_mentions: list[Mention] = []

@@ -1,0 +1,123 @@
+"""End-to-end pipeline conformance vs the sequential oracle (SURVEY.md §5):
+byte-identical text per url, exact triple P/R, node-count parity, and the
+graph invariants the reference enforces as DB constraints
+(db_init.py:86,92,121,128,131)."""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from agenticknowledgegraphconstructionsystem_ray import metrics, oracle, synth
+
+
+def _read(out, pattern, columns=None):
+    files = sorted(glob.glob(os.path.join(out, pattern), recursive=True))
+    assert files, f"no files for {pattern}"
+    return pq.read_table(files, columns=columns)
+
+
+def test_text_byte_identical(kg_out, pages_dir):
+    out, _ = kg_out
+    golden = oracle.oracle_text(pages_dir)
+    t = _read(out, "text/chunk=*/*.parquet", columns=["url", "text"])
+    assert t.num_rows == len(golden)
+    for url, text in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
+        assert text == golden[url], f"text mismatch for {url}"
+
+
+def test_triples_precision_recall(kg_out, pages_dir):
+    out, _ = kg_out
+    _, golden = oracle.oracle_graph(pages_dir, synth.alias_dict())
+    e = _read(out, "edges/**/*.parquet", columns=["subj", "pred", "obj"])
+    emitted = set(
+        zip(
+            e.column("subj").to_pylist(),
+            e.column("pred").to_pylist(),
+            e.column("obj").to_pylist(),
+        )
+    )
+    p, r, _ = metrics.precision_recall(emitted, golden)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    # both sides deterministic -> expect exact match
+    assert emitted == golden
+
+
+def test_nodes_match_oracle(kg_out, pages_dir):
+    out, _ = kg_out
+    nodes_g, _ = oracle.oracle_graph(pages_dir, synth.alias_dict())
+    n = _read(out, "nodes/*.parquet")
+    mine = {
+        c: (mc, lc, t)
+        for c, mc, lc, t in zip(
+            n.column("canonical_name").to_pylist(),
+            n.column("mention_count").to_pylist(),
+            n.column("link_count").to_pylist(),
+            n.column("ent_type").to_pylist(),
+        )
+    }
+    assert set(mine) == set(nodes_g)
+    for c, g in nodes_g.items():
+        assert mine[c] == (g["mention_count"], g["link_count"], g["ent_type"]), c
+
+
+def test_graph_invariants(kg_out):
+    out, _ = kg_out
+    e = _read(out, "edges/**/*.parquet")
+    d = e.to_pydict()
+    # unique (subj_id, pred, obj_id, url) after dedup — db_init.py:128 analog
+    keys = list(zip(d["subj_id"], d["pred"], d["obj_id"], d["url"]))
+    assert len(keys) == len(set(keys))
+    # confidence in [0,1] — db_init.py:121 CHECK
+    assert all(0.0 <= c <= 1.0 for c in d["confidence"])
+    # validated rows have no self-reference — db_init.py:131 CHECK
+    for s, o, v in zip(d["subj_id"], d["obj_id"], d["validated"]):
+        if v:
+            assert s != o
+    # entity ids resolve (no unmapped -1)
+    assert all(s >= 0 for s in d["subj_id"]) and all(o >= 0 for o in d["obj_id"])
+    # edges sorted by (subj_id, pred, obj_id, url)
+    assert keys == sorted(keys)
+
+    n = _read(out, "nodes/*.parquet").to_pydict()
+    assert n["entity_id"] == sorted(n["entity_id"])
+    assert all(mc >= lc for mc, lc in zip(n["mention_count"], n["link_count"]))
+    assert all(0.0 <= s <= 1.0 for s in n["max_score"])
+
+
+def test_validation_report(kg_out):
+    out, _ = kg_out
+    with open(os.path.join(out, "validation-results.json")) as f:
+        rep = json.load(f)
+    s = rep["summary"]
+    assert s["total_entities"] > 0 and s["total_relationships"] > 0
+    assert s["total_issues"] == len(rep["issues"])
+    assert set(s["issues_by_severity"]) == {"error", "warning", "info"}
+
+
+def test_lang_filter(pages_dir, tmp_path):
+    """The lang-allow filter drops non-en pages from extraction (but text
+    extraction still covers every url)."""
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+
+    out = str(tmp_path / "out_en")
+    cfg = kg.KGConfig(
+        pages_dir=pages_dir, out_dir=out, chunk_files=3,
+        lang_allow=frozenset({"en"}),
+    )
+    kg.run_pipeline(cfg)
+    _, golden_en = oracle.oracle_graph(
+        pages_dir, synth.alias_dict(), lang_allow=frozenset({"en"})
+    )
+    e = _read(out, "edges/**/*.parquet", columns=["subj", "pred", "obj"])
+    emitted = set(
+        zip(
+            e.column("subj").to_pylist(),
+            e.column("pred").to_pylist(),
+            e.column("obj").to_pylist(),
+        )
+    )
+    assert emitted == golden_en
+    _, golden_all = oracle.oracle_graph(pages_dir, synth.alias_dict())
+    assert len(golden_en) < len(golden_all)

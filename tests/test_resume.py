@@ -1,0 +1,56 @@
+"""Resume semantics (FIXTURES.md §7): kill after K chunks, re-run, final
+tables byte-identical to an uninterrupted run (reference pattern:
+skip-if-done + extraction_logs anti-join, extract_and_populate.py:171-175,
+database.ts:66-81)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+from agenticknowledgegraphconstructionsystem_ray.state import manifest as mf
+
+
+def _edges(out):
+    return pq.read_table(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True))
+    )
+
+
+def test_interrupt_then_resume_identical(pages_dir, kg_out, tmp_path):
+    baseline_out, _ = kg_out
+    out = str(tmp_path / "resumed")
+
+    # simulate a kill after 1 chunk
+    cfg = kg.KGConfig(pages_dir=pages_dir, out_dir=out, chunk_files=2, max_chunks=1)
+    m1 = kg.run_phase_a(cfg)
+    assert m1["chunks_processed"] == 1
+    assert mf.completed_chunks(out) == {0}
+
+    # resume: only remaining chunks run
+    cfg.max_chunks = None
+    m2 = kg.run_phase_a(cfg)
+    assert m2["chunks_processed"] == m1["chunks_total"] - 1
+    kg.run_phase_b(cfg)
+
+    assert _edges(out).equals(_edges(baseline_out))
+
+
+def test_rerun_is_noop(pages_dir, kg_out):
+    out, _ = kg_out
+    cfg = kg.KGConfig(pages_dir=pages_dir, out_dir=out, chunk_files=2)
+    m = kg.run_phase_a(cfg)
+    assert m["chunks_processed"] == 0
+
+
+def test_manifest_commit_is_atomic(tmp_path):
+    out = str(tmp_path)
+    mf.write_manifest(out, 3, {"status": "success"})
+    assert mf.completed_chunks(out) == {3}
+    # failed / malformed manifests don't count as done
+    mf.write_manifest(out, 4, {"status": "failed"})
+    with open(mf.manifest_path(out, 5), "w") as f:
+        f.write("{not json")
+    assert mf.completed_chunks(out) == {3}
+    assert mf.pending_chunks(out, [2, 3, 4, 5]) == [2, 4, 5]
