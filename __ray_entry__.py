@@ -28,9 +28,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
         kgqueries,
+        training,
     )
 
     q: dict[str, Callable[[str], Any]] = dict(analytics.QUERIES)
+    q.update(training.QUERIES)
     q.update(
         {
             "kg_edges": kgqueries.kg_edges,
@@ -48,6 +50,9 @@ def oracle_sql() -> dict[str, str]:
     queries (deterministic NER + union-find over synthesized pages) are
     non-SQL-expressible -> rows-only checks; their strong oracle lives in
     tests/ (sequential single-process oracle, byte-identical + exact P/R)."""
-    from agenticknowledgegraphconstructionsystem_ray.pipelines import analytics
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import (
+        analytics,
+        training,
+    )
 
-    return dict(analytics.ORACLE_SQL)
+    return {**analytics.ORACLE_SQL, **training.ORACLE_SQL}

@@ -1,0 +1,327 @@
+"""Training-data pipeline operators as driver queries: dedup family,
+similarity search, text analysis, multimodal plumbing, large-large join.
+
+SQL-expressible ones carry DuckDB oracles (list_intersect / list_cosine /
+regexp kernels mirror the Python kernels exactly, with integer/ppm outputs);
+MinHash-LSH, SimHash, fingerprinting and IVF are approximate/hash-based ->
+rows-only driver checks + strong pytest oracles on planted corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..sources.tables import read_table
+from ..stages import dedup, multimodal, similarity, textstats
+from ..stages.textstats import LANG_ORDER, LANG_STOPWORDS
+
+
+# ---------------------------------------------------------------------------
+# large x large hash join (J2 at scale — both sides shuffled, Dataset.join)
+# ---------------------------------------------------------------------------
+
+def q22_orders_lineitem_join(sf_dir: str):
+    """orders ⋈ lineitem (both large) via Ray's hash-partitioned join ->
+    revenue per order priority, integer cents."""
+    import pyarrow.compute as pc
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(disc, pa.scalar(100.0)), ndigits=0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": cents})
+
+    li_c = li.map_batches(prep, batch_format="pyarrow")
+    joined = orders.join(
+        li_c, join_type="inner", num_partitions=16,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+    return (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("rev_c", alias_name="revenue_c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word-set) Jaccard near-dup with length blocking — SQL-checkable
+# ---------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD_PPM = 800_000
+
+
+def q23_ngram_jaccard_pairs(sf_dir: str):
+    """Blocked pairwise word-set Jaccard (D-near-dup): block on n_chars,
+    emit pairs with jaccard >= 0.8 as ppm ints."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def wordsets(t: pa.Table) -> pa.Table:
+        ws = ["\x00".join(sorted(set(dedup.tokens_of(x)))) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "bucket": t["n_chars"],
+                "doc_id": t["doc_id"],
+                "ws": pa.array(ws, pa.string()),
+            }
+        )
+
+    def bucket_pairs(g):
+        ids = g["doc_id"].tolist()
+        sets_ = [set(w.split("\x00")) if w else set() for w in g["ws"].tolist()]
+        order = np.argsort(ids, kind="stable")
+        rows_a, rows_b, ppm = [], [], []
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                a, b = order[ii], order[jj]
+                inter = len(sets_[a] & sets_[b])
+                union = len(sets_[a] | sets_[b])
+                if union == 0:
+                    continue
+                val = 1_000_000.0 * inter / union
+                if val >= _JACCARD_THRESHOLD_PPM:
+                    rows_a.append(int(ids[a]))
+                    rows_b.append(int(ids[b]))
+                    ppm.append(int(val + 0.5))
+        return {
+            "doc_a": np.array(rows_a, dtype=np.int64),
+            "doc_b": np.array(rows_b, dtype=np.int64),
+            "jaccard_ppm": np.array(ppm, dtype=np.int64),
+        }
+
+    return (
+        docs.map_batches(wordsets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup with label blocking — SQL-checkable
+# ---------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.3
+
+
+def q24_embedding_near_dup(sf_dir: str):
+    """Blocked pairwise cosine near-dup over the embedding column: pairs
+    within the same label with cos >= threshold."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def pairs(g):
+        ids = np.asarray(g["vec_id"].tolist(), dtype=np.int64)
+        m = np.asarray(g["embedding"].tolist(), dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                na, nb = np.linalg.norm(m[i]), np.linalg.norm(m[j])
+                sim = float(np.dot(m[i], m[j]) / (na * nb))
+                if sim >= _COS_THRESHOLD:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+        return {
+            "vec_a": np.array(a_out, dtype=np.int64),
+            "vec_b": np.array(b_out, dtype=np.int64),
+        }
+
+    return emb.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# text analysis (SQL-checkable trio)
+# ---------------------------------------------------------------------------
+
+def q25_langid(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        textstats.langid_batch, batch_format="pyarrow"
+    )
+
+
+def q26_quality(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        textstats.quality_batch, batch_format="pyarrow"
+    )
+
+
+def q27_token_classes(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        textstats.token_classes_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decode meta is SQL-checkable via derived fields)
+# ---------------------------------------------------------------------------
+
+def mm_decode_meta(sf_dir: str):
+    return multimodal.decode_meta(sf_dir)
+
+
+def mm_sampled_frames(sf_dir: str):
+    return multimodal.sampled_frames(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# rows-only (hash/approximate) operators
+# ---------------------------------------------------------------------------
+
+def dd_minhash_pairs(sf_dir: str):
+    return dedup.minhash_near_dups(sf_dir, threshold=0.8)
+
+
+def dd_simhash_pairs(sf_dir: str):
+    return dedup.simhash_near_dups(sf_dir, max_hamming=3)
+
+
+def tx_fingerprints(sf_dir: str):
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        textstats.fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def ann_brute_topk(sf_dir: str):
+    return similarity.brute_force_topk(sf_dir, query_ids=[0, 1, 2], k=10)
+
+
+def ann_ivf_topk(sf_dir: str):
+    return similarity.ivf_topk(sf_dir, query_ids=[0, 1, 2], k=10)
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_WS_DISTINCT = (
+    "list_distinct(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> ''))"
+)
+_WS_ALL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')"
+)
+
+_LANGID_HITS = ",\n               ".join(
+    f"length(list_intersect(ws, {_sql_list(LANG_STOPWORDS[lang])})) AS hits_{lang}"
+    for lang in LANG_ORDER
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "q22_orders_lineitem_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS revenue_c
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "q23_ngram_jaccard_pairs": f"""
+        WITH t AS (SELECT doc_id, n_chars AS bucket, {_WS_DISTINCT} AS ws
+                   FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(round(1000000.0 * length(list_intersect(a.ws, b.ws))
+                          / length(list_distinct(a.ws || b.ws)), 0) AS BIGINT)
+                   AS jaccard_ppm
+        FROM t a JOIN t b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE 1000000.0 * length(list_intersect(a.ws, b.ws))
+              / length(list_distinct(a.ws || b.ws)) >= 800000
+    """,
+    "q24_embedding_near_dup": """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    """,
+    "q25_langid": f"""
+        WITH t AS (SELECT doc_id, {_WS_DISTINCT} AS ws FROM documents)
+        SELECT doc_id,
+               {_LANGID_HITS},
+               CASE
+                 WHEN hits_en >= hits_de AND hits_en >= hits_fr
+                      AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+                 WHEN hits_de >= hits_fr AND hits_de >= hits_es
+                      AND hits_de > 0 THEN 'de'
+                 WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+                 WHEN hits_es > 0 THEN 'es'
+                 ELSE 'unknown'
+               END AS lang_detected
+        FROM t
+    """,
+    "q26_quality": f"""
+        WITH t AS (SELECT doc_id,
+                          length({_WS_ALL}) AS n_tokens,
+                          length(list_intersect({_WS_DISTINCT},
+                                 {_sql_list(LANG_STOPWORDS["en"])})) AS stop_hits_en,
+                          length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+                   FROM documents)
+        SELECT doc_id, n_tokens, stop_hits_en, n_punct,
+               CASE
+                 WHEN n_tokens >= 50 AND stop_hits_en >= 3
+                      AND n_punct * 4 <= n_tokens THEN 'high'
+                 WHEN n_tokens < 10 OR stop_hits_en = 0 THEN 'low'
+                 ELSE 'medium'
+               END AS quality
+        FROM t
+    """,
+    "q27_token_classes": """
+        SELECT doc_id,
+               length(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens,
+               length(regexp_extract_all(lower(text), '[0-9]+')) AS n_num_tokens,
+               length(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS n_symbols
+        FROM documents
+    """,
+    "ann_brute_topk": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT query_id, vec_id, rank FROM (
+            SELECT q.vec_id AS query_id, x.vec_id,
+                   CAST(row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(q.v, x.v) DESC,
+                                 x.vec_id) AS BIGINT) AS rank
+            FROM e q JOIN e x ON x.vec_id <> q.vec_id
+            WHERE q.vec_id IN (0, 1, 2))
+        WHERE rank <= 10
+    """,
+    "mm_decode_meta": """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CASE doc_id % 3 WHEN 0 THEN 'IMG1' WHEN 1 THEN 'AUD1'
+                    ELSE 'VID1' END AS format,
+               (n_chars % 640) + 16 AS width,
+               (n_chars % 480) + 16 AS height,
+               octet_length(encode(text)) AS body_bytes
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "q22_orders_lineitem_join": q22_orders_lineitem_join,
+    "q23_ngram_jaccard_pairs": q23_ngram_jaccard_pairs,
+    "q24_embedding_near_dup": q24_embedding_near_dup,
+    "q25_langid": q25_langid,
+    "q26_quality": q26_quality,
+    "q27_token_classes": q27_token_classes,
+    "mm_decode_meta": mm_decode_meta,
+    "mm_sampled_frames": mm_sampled_frames,
+    "dd_minhash_pairs": dd_minhash_pairs,
+    "dd_simhash_pairs": dd_simhash_pairs,
+    "tx_fingerprints": tx_fingerprints,
+    "ann_brute_topk": ann_brute_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+}

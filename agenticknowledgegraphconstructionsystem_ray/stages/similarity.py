@@ -1,0 +1,202 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: numpy matmul per batch against a broadcast query
+  matrix — the exact baseline (q16 uses the single-query variant).
+- IVF (inverted-file) top-k: deterministic driver-side k-means-lite over a
+  sample builds centroids; vectors are bucketed by nearest centroid via
+  ``map_batches``; a query probes only the ``nprobe`` nearest buckets — the
+  scale path (search cost ~ nprobe/nlist of brute force). Approximate;
+  recall vs brute force is asserted in tests, not by a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..sources.tables import read_table
+
+
+def _matrix(t: pa.Table) -> np.ndarray:
+    return np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+
+
+def brute_force_topk(
+    sf_dir: str, query_ids: list[int], k: int = 10, table: str = "embeddings"
+) -> pa.Table:
+    """Exact top-k by cosine for each query id (excluding the query itself).
+    Output: (query_id, vec_id, rank)."""
+    emb = read_table(sf_dir, table, columns=["vec_id", "embedding"])
+    want = set(query_ids)
+    qrows = emb.map_batches(
+        lambda t: t.filter(
+            pa.array([v in want for v in t["vec_id"].to_pylist()])
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    qid_order = [r["vec_id"] for r in qrows]
+    Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((qid_order, Q))
+
+    class PartialTopK:
+        """Per-block top-k against every query (combiner: only k rows per
+        query leave each block)."""
+
+        def __init__(self, ref, k) -> None:
+            self.qids, self.Q = ray.get(ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _matrix(t)
+            ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ self.Q.T  # (rows, n_queries)
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(self.qids):
+                col = sims[:, j]
+                mask = ids != qid
+                cids, csims = ids[mask], col[mask]
+                top = np.argsort(-csims, kind="stable")[: self.k]
+                out_q.extend([qid] * len(top))
+                out_v.extend(cids[top].tolist())
+                out_s.extend(csims[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = emb.map_batches(
+        PartialTopK, fn_constructor_kwargs={"ref": q_ref, "k": k},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).take_all()  # n_blocks * n_queries * k rows — small
+
+    rows = []
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(r["query_id"], []).append((r["sim"], r["vec_id"]))
+    for qid in sorted(by_q):
+        cand = sorted(by_q[qid], key=lambda x: (-x[0], x[1]))[:k]
+        for rank, (_, vid) in enumerate(cand, 1):
+            rows.append((qid, vid, rank))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _kmeans_lite(
+    sample: np.ndarray, nlist: int, iters: int = 8, seed: int = 11
+) -> np.ndarray:
+    """Deterministic k-means on normalized vectors (fixed seed + iteration
+    count; empty clusters re-seeded deterministically)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    table: str = "embeddings",
+) -> pa.Table:
+    """IVF approximate top-k: bucket by nearest centroid, probe nprobe
+    buckets per query. Output (query_id, vec_id, rank)."""
+    emb = read_table(sf_dir, table, columns=["vec_id", "embedding"])
+
+    # train centroids on a deterministic sample (driver-side, small)
+    sample_rows = emb.limit(2048).take_all()
+    S = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    cent = _kmeans_lite(S, nlist)
+    cent_ref = ray.put(cent)
+
+    want = set(query_ids)
+    qrows = emb.map_batches(
+        lambda t: t.filter(pa.array([v in want for v in t["vec_id"].to_pylist()])),
+        batch_format="pyarrow",
+    ).take_all()
+    q_by_id = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in qrows
+    }
+
+    class AssignBucket:
+        def __init__(self, ref) -> None:
+            self.cent = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _matrix(t)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            buckets = np.argmax(m @ self.cent.T, axis=1)
+            return t.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    bucketed = emb.map_batches(
+        AssignBucket, fn_constructor_kwargs={"ref": cent_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+    # probe set per query
+    probe: dict[int, set[int]] = {}
+    for qid, q in q_by_id.items():
+        qn = q / np.linalg.norm(q)
+        order = np.argsort(-(cent @ qn), kind="stable")[:nprobe]
+        probe[qid] = set(int(x) for x in order)
+    all_probed = set().union(*probe.values()) if probe else set()
+    probed_ref = ray.put(all_probed)
+
+    class KeepProbed:
+        def __init__(self, ref) -> None:
+            self.keep = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([b in self.keep for b in t["bucket"].to_pylist()])
+            return t.filter(mask)
+
+    kept = bucketed.map_batches(
+        KeepProbed, fn_constructor_kwargs={"ref": probed_ref},
+        batch_format="pyarrow", concurrency=(1, 2),
+    ).take_all()  # only probed buckets' vectors
+
+    rows = []
+    ids = np.asarray([r["vec_id"] for r in kept], dtype=np.int64)
+    M = np.asarray([r["embedding"] for r in kept], dtype=np.float64)
+    B = np.asarray([r["bucket"] for r in kept], dtype=np.int64)
+    if len(M):
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in sorted(q_by_id):
+        q = q_by_id[qid]
+        qn = q / np.linalg.norm(q)
+        mask = np.isin(B, list(probe[qid])) & (ids != qid)
+        cids, cm = ids[mask], M[mask]
+        sims = cm @ qn
+        order = np.lexsort((cids, -sims))[:k]
+        for rank, j in enumerate(order, 1):
+            rows.append((qid, int(cids[j]), rank))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

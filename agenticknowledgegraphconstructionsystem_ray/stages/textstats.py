@@ -1,0 +1,147 @@
+"""Text analysis for training-data pipelines: language-ID (stopword n-gram
+heuristic), quality scoring, token-class counting (BPE-ish regex), and
+rolling-hash document fingerprinting.
+
+All scores are integers or integer-derived so SQL oracles can match
+bit-exactly; the fingerprint (polynomial rolling hash + winnowing) has no SQL
+analog and is covered by unit tests instead.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# Deterministic stopword evidence lists (tiny, embedded — no models in the
+# container). Order defines the tie-break priority.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es": ("el", "los", "las", "es", "no", "por", "una", "para", "como", "pero"),
+}
+LANG_ORDER = tuple(LANG_STOPWORDS)
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_WORD_RE = re.compile(r"[a-z]+")
+_NUM_RE = re.compile(r"[0-9]+")
+_OTHER_RE = re.compile(r"[^a-z0-9\s]")
+_PUNCT_RE = re.compile(r"[.,;:!?]")
+
+
+def lang_hits(text: str) -> dict[str, int]:
+    """Per-language count of DISTINCT stopword hits in the token set."""
+    toks = set(_TOKEN_RE.findall(text.lower()))
+    return {lang: len(toks & set(sw)) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def detect_lang(text: str) -> str:
+    """argmax over stopword hits, ties broken by LANG_ORDER; 'unknown' when
+    no evidence."""
+    hits = lang_hits(text)
+    best = max(LANG_ORDER, key=lambda lang: (hits[lang], -LANG_ORDER.index(lang)))
+    return best if hits[best] > 0 else "unknown"
+
+
+def langid_batch(t: pa.Table) -> pa.Table:
+    texts = t["text"].to_pylist()
+    hits = [lang_hits(x) for x in texts]
+    cols = {"doc_id": t["doc_id"]}
+    for lang in LANG_ORDER:
+        cols[f"hits_{lang}"] = pa.array([h[lang] for h in hits], pa.int64())
+    cols["lang_detected"] = pa.array([detect_lang(x) for x in texts], pa.string())
+    return pa.table(cols)
+
+
+def quality_batch(t: pa.Table) -> pa.Table:
+    """Quality components + bucket. Buckets use integer-exact ratios so the
+    SQL mirror compares identically:
+    high  : n_tokens >= 50 AND stop_hits >= 3 AND punct*4 <= n_tokens
+    low   : n_tokens < 10 OR stop_hits = 0
+    medium: otherwise."""
+    texts = t["text"].to_pylist()
+    lower = [x.lower() for x in texts]
+    n_tokens = [len(_TOKEN_RE.findall(x)) for x in lower]
+    stop_en = [len(set(_TOKEN_RE.findall(x)) & set(LANG_STOPWORDS["en"])) for x in lower]
+    n_punct = [len(_PUNCT_RE.findall(x)) for x in texts]
+    buckets = []
+    for nt, se, np_ in zip(n_tokens, stop_en, n_punct):
+        if nt >= 50 and se >= 3 and np_ * 4 <= nt:
+            buckets.append("high")
+        elif nt < 10 or se == 0:
+            buckets.append("low")
+        else:
+            buckets.append("medium")
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "stop_hits_en": pa.array(stop_en, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "quality": pa.array(buckets, pa.string()),
+        }
+    )
+
+
+def token_classes_batch(t: pa.Table) -> pa.Table:
+    """BPE-ish token-class counting over lowercased text: word runs, digit
+    runs, non-space symbols (M3/token-counting analog)."""
+    lower = [x.lower() for x in t["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_word_tokens": pa.array([len(_WORD_RE.findall(x)) for x in lower], pa.int64()),
+            "n_num_tokens": pa.array([len(_NUM_RE.findall(x)) for x in lower], pa.int64()),
+            "n_symbols": pa.array([len(_OTHER_RE.findall(x)) for x in lower], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint (winnowing) — no SQL analog; unit-tested.
+# ---------------------------------------------------------------------------
+
+_FP_BASE = np.uint64(1_000_003)
+_FP_WINDOW = 8  # k-gram window for winnowing
+
+
+def fingerprint(text: str, window: int = _FP_WINDOW) -> tuple[int, int]:
+    """(min_fingerprint, n_distinct_fingerprints) via polynomial rolling hash
+    over token k-grams + winnowing minima. Deterministic; shifting the text
+    by whole tokens preserves interior fingerprints (tested)."""
+    import hashlib
+
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < window:
+        toks = toks + ["\x00"] * (window - len(toks)) if toks else ["\x00"] * window
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    n = len(hs) - window + 1
+    with np.errstate(over="ignore"):
+        grams = np.zeros(n, dtype=np.uint64)
+        for j in range(window):
+            grams = grams * _FP_BASE + hs[j : j + n]
+    # winnowing: minimum per sliding window of size `window` over gram hashes
+    mins = set()
+    for i in range(max(1, n - window + 1)):
+        mins.add(int(np.min(grams[i : i + window])))
+    return min(mins), len(mins)
+
+
+def fingerprint_batch(t: pa.Table) -> pa.Table:
+    res = [fingerprint(x) for x in t["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "fp_min": pa.array([np.uint64(r[0]) for r in res], pa.uint64()),
+            "n_fps": pa.array([r[1] for r in res], pa.int64()),
+        }
+    )

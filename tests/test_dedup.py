@@ -1,0 +1,72 @@
+"""Dedup family on a planted corpus: MinHash-LSH and SimHash must find the
+planted near-duplicates and reject unrelated documents."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from agenticknowledgegraphconstructionsystem_ray.stages import dedup
+
+
+@pytest.fixture(scope="module")
+def planted_docs():
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = {}
+    # ten unrelated base docs
+    for i in range(10):
+        texts[i] = " ".join(rng.choice(vocab, size=120))
+    # 100/101: near-dup of doc 0 (one word changed / appended)
+    words = texts[0].split()
+    words[5] = "changed"
+    texts[100] = " ".join(words)
+    texts[101] = texts[1] + " extra tail token"
+    # 102: exact dup of doc 2
+    texts[102] = texts[2]
+    rows = [{"doc_id": k, "text": v} for k, v in sorted(texts.items())]
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_minhash_finds_planted_pairs(planted_docs):
+    out = dedup.minhash_near_dups(planted_docs, threshold=0.7).to_pydict()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 100) in pairs
+    assert (1, 101) in pairs
+    assert (2, 102) in pairs
+    # unrelated docs never pair with each other
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+    # exact dup has jaccard 1.0
+    j = dict(zip(zip(out["doc_a"], out["doc_b"]), out["jaccard_ppm"]))
+    assert j[(2, 102)] == 1_000_000
+
+
+def test_simhash_finds_planted_pairs(planted_docs):
+    out = dedup.simhash_near_dups(planted_docs, max_hamming=6).to_pydict()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (2, 102) in pairs  # exact dup -> hamming 0
+    assert (0, 100) in pairs
+    h = dict(zip(zip(out["doc_a"], out["doc_b"]), out["hamming"]))
+    assert h[(2, 102)] == 0
+
+
+def test_minhash_signature_properties():
+    s1 = dedup.minhash_signature("the quick brown fox jumps over the lazy dog")
+    s2 = dedup.minhash_signature("the quick brown fox jumps over the lazy dog")
+    assert np.array_equal(s1, s2)  # deterministic across calls
+    s3 = dedup.minhash_signature("completely different content about engines")
+    assert not np.array_equal(s1, s3)
+    assert s1.dtype == np.uint64 and len(s1) == 64
+
+
+def test_jaccard_and_hamming():
+    assert dedup.jaccard({"a", "b"}, {"a", "b"}) == 1.0
+    assert dedup.jaccard({"a"}, {"b"}) == 0.0
+    assert dedup.jaccard(set(), set()) == 1.0
+    assert dedup.hamming64(0b1010, 0b0110) == 2
+
+
+def test_shingles():
+    assert dedup.shingles_of("a b c d") == {"a b c", "b c d"}
+    assert dedup.shingles_of("a b") == {"a b"}
+    assert dedup.shingles_of("") == set()
