@@ -2,43 +2,47 @@
 
 Two phases:
 
-**Phase A — per-chunk, resumable** (the expensive per-document work;
+**Phase A — resumable extraction** (the expensive per-document work;
 reference analog: ingestion + entity extraction, SURVEY.md §3.1-3.2):
-input Parquet files are grouped into chunks; for each PENDING chunk (resume
-anti-join against lineage manifests, ``state/manifest.py``):
+input Parquet files are grouped into lineage chunks; pending chunks (resume
+anti-join against manifests, ``state/manifest.py``) run as ONE fused
+streaming execution per commit group:
 
-    read_parquet(chunk files)
-      -> map_batches(extract_text_batch)             [stateless task; drops html]
-      -> write text parquet (the byte-identical artifact)
-      -> read text parquet
-      -> map_batches(TripleExtractor, concurrency=N) [actor pool]
-      -> map_batches(EntityLinker,   concurrency=N)  [actor pool, broadcast alias dict]
-      -> write records parquet, partition_cols=["kind"]  (mention | triple)
+    read_parquet(pending files, include_paths=True)
+      -> map_batches(extract_text_batch)      [drops html; path -> chunk tag]
+      -> map_batches(extract_records_batch)   [NER+SVO+linking+confidence;
+                                               broadcast alias dict cached
+                                               per worker; per-page edge
+                                               dedup + mcount partials]
+      -> write_parquet(partition_cols=["chunk", "kind"])
+           kind in {page(text artifact) | mention | triple | mcount}
 
-Chunk outputs are staged to a temp dir and atomically renamed BEFORE the
-manifest commits, so a manifest implies complete output and re-runs are
-idempotent (reference: skip-if-done + extraction_logs anti-join,
-``extract_and_populate.py:171-175``, ``database.ts:66-81``).
+Everything between read and write is ONE fused task operator (per-chunk
+dataset unions or actor-pool stages fragment fusion and halve throughput —
+measured); per-chunk lineage comes from the file-path column. Chunk dirs are
+promoted atomically BEFORE their manifest commits, so a manifest implies
+complete output and re-runs are idempotent (reference: skip-if-done +
+extraction_logs anti-join, ``extract_and_populate.py:171-175``,
+``database.ts:66-81``). ``cfg.use_actor_pool`` switches the extraction stage
+to a ``TripleExtractor`` actor pool — the right shape when per-worker state
+is an expensive model load rather than a broadcast dict.
 
-**Phase B — global shuffles, idempotent overwrite** (canonicalization +
-materialization; reference analog: concept upserts + validation, §3.2-3.4):
+**Phase B — global canonicalization + materialization, idempotent
+overwrite** (reference analog: concept upserts + validation, §3.2-3.4):
 
-    mentions -> map_batches(partial_mention_counts)  [block combiner]
-             -> groupby(norm_surface).sum/min/max    [SHUFFLE 1 — small]
-             -> driver union-find -> nodes + id map  (broadcast)
-    triples  -> map_batches(ApplyEntityIds)          [broadcast id map]
-             -> map_batches(dedup_edges_batch)       [block combiner]
-             -> groupby(subj_id,pred,obj_id,url).min [SHUFFLE 2 — exact dedup]
-             -> map_batches(ValidateEdges)           [stateless rules]
-             -> sort(subj_id,pred,obj_id,url)        [SHUFFLE 3]
-             -> write_parquet(edges/)
-    nodes + validation report written alongside.
+    mcount partials (vocabulary-sized) -> pandas merge on driver
+      -> union-find over alias edges -> nodes + id map (broadcast)
+    triples -> map_batches(apply_ids_batch)   [broadcast id map, cached]
+            -> map_batches(validate_edges_batch)  [vectorized rules]
+            -> sort(packed single key)        [the ONE corpus-sized shuffle]
+            -> write_parquet(edges/)
+    nodes + partitioned issues table + validation summary written alongside.
 
-Scale notes: the only all-to-all exchanges are (1) over block-level partial
-counts (rows bounded by blocks x vocabulary, not corpus size), (2) over
-already block-deduplicated edges, (3) the final sort. The html column never
-leaves phase A's first stage. The alias dictionary and the id map are
-broadcast once via ``ray.put`` and read once per actor.
+Scale notes: edge dedup happens at source (per page, canonical key known
+from the alias dict), mention counting is pre-aggregated at extraction time,
+so the only corpus-sized all-to-all is the final materialization sort. The
+html column never leaves phase A's first stage. The alias dictionary and the
+id map are broadcast via ``ray.put`` once and fetched once per worker.
 """
 
 from __future__ import annotations
@@ -54,21 +58,21 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Min
 
 from ..stages.canonicalize import (
-    ApplyEntityIds,
+    apply_ids_batch,
     build_entity_table,
     dedup_edges_batch,
     partial_mention_counts,
 )
 from ..stages.extract import extract_text_batch
-from ..stages.linking import EntityLinker
-from ..stages.triples import TripleExtractor
+from ..stages.triples import TripleExtractor, extract_records_batch
 from ..stages.validate import (
-    validate_edges_batch,
     edge_issues_batch,
+    issue_count_batch,
     summarize_issues,
+    validate_edges_batch,
     validate_nodes_table,
 )
 from ..state import manifest as mf
@@ -87,6 +91,21 @@ class KGConfig:
     resume: bool = True
     max_chunks: int | None = None  # process at most this many pending chunks
                                    # (used by the kill/resume test)
+    commit_group: int | None = None  # chunks per streaming execution; None =
+                                     # all pending in one execution (lowest
+                                     # overhead; per-chunk manifests still
+                                     # written). Small values = finer crash
+                                     # recovery at more per-execution cost.
+    global_edge_dedup: bool = False  # add an exact global dedup shuffle for
+                                     # corpora where the same url can recur
+                                     # (re-crawls); per-page dedup at source
+                                     # already covers unique-url corpora
+    use_actor_pool: bool = False     # True = TripleExtractor actor pool (the
+                                     # right shape for expensive per-worker
+                                     # model state); False = stateless tasks
+                                     # with the broadcast dict cached per
+                                     # worker process (faster when state is
+                                     # just the object-store alias dict)
 
     def alias_dict(self) -> dict[str, tuple[str, str]]:
         return self.alias if self.alias is not None else synth.alias_dict()
@@ -99,16 +118,56 @@ def plan_chunks(pages_dir: str, chunk_files: int) -> list[list[str]]:
     return [files[i : i + chunk_files] for i in range(0, len(files), chunk_files)]
 
 
-def _text_dir(out: str, cid: int) -> str:
-    return os.path.join(out, "text", f"chunk={cid:05d}")
-
-
 def _records_dir(out: str, cid: int) -> str:
     return os.path.join(out, "extracted", f"chunk={cid:05d}")
 
 
+def _add_sort_key(t: pa.Table) -> pa.Table:
+    """Packed single-column sort key equivalent to the
+    (subj_id, pred, obj_id, url) tuple order (see run_phase_b)."""
+    import pyarrow.compute as pc
+
+    s = pa.string()
+    k = pc.binary_join_element_wise(
+        pc.utf8_lpad(pc.cast(t["subj_id"], s), 8, padding="0"),
+        pc.cast(t["pred"], s),
+        pc.utf8_lpad(pc.cast(t["obj_id"], s), 8, padding="0"),
+        pc.cast(t["url"], s),
+        pa.scalar("\x00", s),
+    )
+    return t.append_column("skey", k)
+
+
+def _cluster_cpus() -> int:
+    try:
+        return max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:  # noqa: BLE001
+        return 8
+
+
+LAYOUT_VERSION = "5"  # bump when the on-disk output layout changes
+
+
+def _check_layout(out_dir: str) -> None:
+    """Wipe output dirs written under an older layout so resume never mixes
+    incompatible artifacts."""
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_LAYOUT")
+    current = open(marker).read() if os.path.exists(marker) else None
+    if current != LAYOUT_VERSION:
+        for name in os.listdir(out_dir):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+            if os.path.isfile(os.path.join(out_dir, name)):
+                os.remove(os.path.join(out_dir, name))
+        with open(marker, "w") as f:
+            f.write(LAYOUT_VERSION)
+
+
 def run_phase_a(cfg: KGConfig) -> dict:
     """Per-chunk extract + link; returns metrics."""
+    _check_layout(cfg.out_dir)
     chunks = plan_chunks(cfg.pages_dir, cfg.chunk_files)
     planned = list(range(len(chunks)))
     pending = mf.pending_chunks(cfg.out_dir, planned) if cfg.resume else planned
@@ -116,57 +175,93 @@ def run_phase_a(cfg: KGConfig) -> dict:
         pending = pending[: cfg.max_chunks]
 
     alias_ref = ray.put(cfg.alias_dict())
+    cpus = _cluster_cpus()
+    # actor pool: start warm (min > 1) so short chunks don't pay the
+    # autoscale ramp, but ALWAYS leave CPUs for the read/write stages — a
+    # pool that reserves every CPU starves the rest of the pipeline (guide:
+    # "the pipeline serializes"). Entity linking is fused into the extractor
+    # (see TripleExtractor docstring), so the full record stream passes
+    # through ONE pool only.
+    # fixed-size pool: autoscaling from a small min never ramps up within a
+    # short run (measured: effective parallelism ~11 of 30 at sf0.1), so the
+    # pool is sized to the node up front, leaving 2 CPUs for read/write.
+    pool_max = max(1, cpus - 2)
+    extract_pool = cfg.extract_concurrency or pool_max
     t0 = time.perf_counter()
     n_pages = 0
-    for cid in pending:
-        files = chunks[cid]
+
+    # Pending chunks are processed in commit groups. Each group is ONE
+    # streaming Dataset execution (one actor-pool spin-up, one write) whose
+    # output is hive-partitioned by chunk id, then promoted chunk-by-chunk
+    # with a manifest each — so resume granularity stays per-chunk across
+    # runs while execution overhead is per-group. cfg.commit_group trades
+    # crash-recovery granularity against per-execution fixed cost.
+    group_size = cfg.commit_group or len(pending) or 1
+    for g in range(0, len(pending), group_size):
+        group = pending[g : g + group_size]
         tstart = time.perf_counter()
-        text_tmp = _text_dir(cfg.out_dir, cid) + ".tmp"
-        rec_tmp = _records_dir(cfg.out_dir, cid) + ".tmp"
-        for d in (text_tmp, rec_tmp):
-            mf.clear_stale_tmp(d)
-            os.makedirs(d, exist_ok=True)
+        group_tmp = os.path.join(cfg.out_dir, f".group-{group[0]:05d}.tmp")
+        mf.clear_stale_tmp(group_tmp)
+        os.makedirs(group_tmp, exist_ok=True)
 
-        pages = rd.read_parquet(files)
+        # one read over every file in the group; per-row lineage comes from
+        # the file path (tiny path->chunk dict shipped by value), so the
+        # whole chain stays ONE fused task operator (per-chunk dataset
+        # unions fragment fusion and halve throughput — measured).
+        path_to_chunk = {
+            os.path.abspath(f): f"{cid:05d}" for cid in group for f in chunks[cid]
+        }
+        group_files = [f for cid in group for f in chunks[cid]]
+        pages = rd.read_parquet(group_files, include_paths=True)
         text_ds = pages.map_batches(
-            extract_text_batch, batch_format="pyarrow", batch_size=cfg.batch_size
-        )
-        text_ds.write_parquet(text_tmp)
-
-        text = rd.read_parquet(text_tmp)
-        extractor_kwargs: dict = {}
-        if cfg.extract_concurrency:
-            extractor_kwargs["concurrency"] = cfg.extract_concurrency
-        records = text.map_batches(
-            TripleExtractor,
-            fn_constructor_kwargs={"lang_allow": cfg.lang_allow},
+            extract_text_batch,
+            fn_kwargs={"path_to_chunk": path_to_chunk},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            **(extractor_kwargs or {"concurrency": (1, 8)}),
-        ).map_batches(
-            EntityLinker,
-            fn_constructor_kwargs={"alias_ref": alias_ref},
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            **(extractor_kwargs or {"concurrency": (1, 4)}),
         )
-        records.write_parquet(rec_tmp, partition_cols=["kind"])
+        if cfg.use_actor_pool:
+            records = text_ds.map_batches(
+                TripleExtractor,
+                fn_constructor_kwargs={
+                    "lang_allow": cfg.lang_allow,
+                    "alias_ref": alias_ref,
+                },
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=extract_pool,
+            )
+        else:
+            records = text_ds.map_batches(
+                extract_records_batch,
+                fn_kwargs={
+                    "alias_ref": alias_ref,
+                    "lang_allow": cfg.lang_allow,
+                },
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
+        records.write_parquet(group_tmp, partition_cols=["chunk", "kind"])
 
-        mf.atomic_replace_dir(text_tmp, _text_dir(cfg.out_dir, cid))
-        mf.atomic_replace_dir(rec_tmp, _records_dir(cfg.out_dir, cid))
-        rows = sum(pq.read_metadata(f).num_rows for f in files)
-        n_pages += rows
-        mf.write_manifest(
-            cfg.out_dir,
-            cid,
-            {
-                "status": "success",
-                "chunk_id": cid,
-                "input_files": files,
-                "row_count": rows,
-                "wall_s": round(time.perf_counter() - tstart, 3),
-            },
-        )
+        group_wall = round(time.perf_counter() - tstart, 3)
+        for cid in group:
+            src = os.path.join(group_tmp, f"chunk={cid:05d}")
+            if not os.path.isdir(src):
+                os.makedirs(src, exist_ok=True)  # chunk produced no rows
+            mf.atomic_replace_dir(src, _records_dir(cfg.out_dir, cid))
+            rows = sum(pq.read_metadata(f).num_rows for f in chunks[cid])
+            n_pages += rows
+            mf.write_manifest(
+                cfg.out_dir,
+                cid,
+                {
+                    "status": "success",
+                    "chunk_id": cid,
+                    "input_files": chunks[cid],
+                    "row_count": rows,
+                    "wall_s": group_wall,
+                },
+            )
+        mf.clear_stale_tmp(group_tmp)
     return {
         "chunks_total": len(chunks),
         "chunks_processed": len(pending),
@@ -178,6 +273,16 @@ def run_phase_a(cfg: KGConfig) -> dict:
 def _kind_files(out_dir: str, kind: str) -> list[str]:
     return sorted(
         glob.glob(os.path.join(out_dir, "extracted", "chunk=*", f"kind={kind}", "*.parquet"))
+    )
+
+
+def text_dataset(out_dir: str, columns: list[str] | None = None):
+    """The byte-identical extracted-text artifact (kind=page records)."""
+    files = _kind_files(out_dir, "page")
+    if not files:
+        return None
+    return rd.read_parquet(
+        files, columns=columns or ["url", "warc_ts", "text", "lang"]
     )
 
 
@@ -198,27 +303,74 @@ def triples_dataset(out_dir: str, columns: list[str] | None = None):
 def run_phase_b(cfg: KGConfig) -> dict:
     """Global canonicalization + dedup + validate + materialize."""
     t0 = time.perf_counter()
+    timings: dict[str, float] = {}
+
+    def _mark(name: str, since: list[float]) -> None:
+        now = time.perf_counter()
+        timings[name] = round(now - since[0], 3)
+        since[0] = now
+
+    _since = [t0]
     out = cfg.out_dir
     alias = cfg.alias_dict()
 
-    # ---- SHUFFLE 1: mention counts (block combiner first) ----
-    mentions = mentions_dataset(
-        out, columns=["norm_surface", "n_in_page", "score"]
-    )
-    if mentions is None:
+    # ---- mention counts: batch-level partials were already emitted by the
+    # extractor (kind=mcount rows — the combiner half of the canonicalization
+    # shuffle), so the merge input here is bounded by batches x vocabulary,
+    # NOT by corpus size — the same driver-side bound the union-find step
+    # assumes. The pandas merge replaces a full Ray shuffle whose output
+    # would be vocabulary-sized anyway. Fallback: recompute partials from
+    # the mention rows when mcount files are absent.
+    mcount_files = _kind_files(out, "mcount")
+    if mcount_files:
+        import pandas as pd
+
+        frames = []
+        for f in mcount_files:
+            t = pq.read_table(
+                f,
+                columns=["norm_surface", "n_in_page", "span_start",
+                         "span_end", "score", "confidence"],
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "norm_surface": t.column("norm_surface").to_pylist(),
+                        "mentions_p": t.column("n_in_page").to_pylist(),
+                        "links_p": t.column("span_start").to_pylist(),
+                        "perfect_p": t.column("span_end").to_pylist(),
+                        "max_score_p": t.column("score").to_pylist(),
+                        "min_score_p": t.column("confidence").to_pylist(),
+                    }
+                )
+            )
+        partials = pd.concat(frames, ignore_index=True) if frames else None
+    else:
+        mentions = mentions_dataset(
+            out, columns=["norm_surface", "n_in_page", "score"]
+        )
+        partials = (
+            mentions.map_batches(
+                partial_mention_counts, batch_format="pyarrow"
+            ).to_pandas()
+            if mentions is not None
+            else None
+        )
+
+    if partials is None or partials.empty:
         counts_df = None
     else:
-        partials = mentions.map_batches(
-            partial_mention_counts, batch_format="pyarrow"
+        counts_df = (
+            partials.groupby("norm_surface", sort=True)
+            .agg(
+                mention_count=("mentions_p", "sum"),
+                link_count=("links_p", "sum"),
+                perfect_links=("perfect_p", "sum"),
+                max_score=("max_score_p", "max"),
+                min_score=("min_score_p", "min"),
+            )
+            .reset_index()
         )
-        merged = partials.groupby("norm_surface").aggregate(
-            Sum("mentions_p", alias_name="mention_count"),
-            Sum("links_p", alias_name="link_count"),
-            Sum("perfect_p", alias_name="perfect_links"),
-            Max("max_score_p", alias_name="max_score"),
-            Min("min_score_p", alias_name="min_score"),
-        )
-        counts_df = merged.to_pandas()  # bounded by vocabulary size
 
     if counts_df is None or counts_df.empty:
         nodes = pa.table(
@@ -237,6 +389,7 @@ def run_phase_b(cfg: KGConfig) -> dict:
         id_map: dict[str, tuple[int, str]] = {}
     else:
         nodes, id_map = build_entity_table(counts_df, alias)
+    _mark("counts_unionfind_s", _since)
 
     nodes_dir = os.path.join(out, "nodes")
     _write_atomic_table(nodes, nodes_dir)
@@ -254,27 +407,39 @@ def run_phase_b(cfg: KGConfig) -> dict:
     if triples is not None:
         id_ref = ray.put(id_map)
         edges = triples.map_batches(
-            ApplyEntityIds,
-            fn_constructor_kwargs={"id_map_ref": id_ref},
+            apply_ids_batch,
+            fn_kwargs={"id_map_ref": id_ref},
             batch_format="pyarrow",
-            concurrency=(1, 8),
-        ).map_batches(dedup_edges_batch, batch_format="pyarrow")
-        edges = (
-            edges.groupby(["subj_id", "pred", "obj_id", "url"])
-            .aggregate(
+        )
+        # Edge dedup already happened AT SOURCE (TripleExtractor dedups per
+        # page on the canonical key, which the alias dict fully determines;
+        # url is in the key and each url is extracted exactly once), so no
+        # global dedup shuffle is needed. For corpora where the same url can
+        # recur (re-crawls), cfg.global_edge_dedup adds an exact groupby
+        # dedup pass (D4, db_init.py:128).
+        if cfg.global_edge_dedup:
+            edges = edges.map_batches(dedup_edges_batch, batch_format="pyarrow")
+            edges = edges.groupby(["subj_id", "pred", "obj_id", "url"]).aggregate(
                 Min("subj", alias_name="subj"),
                 Min("obj", alias_name="obj"),
                 Min("warc_ts", alias_name="warc_ts"),
                 Min("confidence", alias_name="confidence"),
                 Min("context", alias_name="context"),
             )
-        )
         edges = edges.map_batches(validate_edges_batch, batch_format="pyarrow")
-        edges = edges.sort(["subj_id", "pred", "obj_id", "url"])
+        # Global sort on ONE packed string key instead of a 4-column key —
+        # multi-column Ray sort was ~3x slower (measured). The packed key
+        # "subj_id(0pad8)\x00pred\x00obj_id(0pad8)\x00url" preserves exactly
+        # the (subj_id, pred, obj_id, url) tuple order (ids are 0-padded,
+        # \x00 sorts below every other byte; ids are always >= 0 here); the
+        # invariant test asserts tuple-sortedness of the final parquet.
+        edges = edges.map_batches(_add_sort_key, batch_format="pyarrow")
+        edges = edges.sort("skey").drop_columns(["skey"])
         tmp = edges_dir + ".tmp"
         mf.clear_stale_tmp(tmp)
         edges.write_parquet(tmp)
         mf.atomic_replace_dir(tmp, edges_dir)
+        _mark("edges_s", _since)
         n_edges = sum(
             pq.read_metadata(f).num_rows
             for f in glob.glob(os.path.join(edges_dir, "*.parquet"))
@@ -283,16 +448,47 @@ def run_phase_b(cfg: KGConfig) -> dict:
         os.makedirs(edges_dir, exist_ok=True)
 
     # ---- validation report (S8 analog) ----
-    issue_rows = validate_nodes_table(nodes).to_pylist()
+    # Entity issues are vocabulary-sized (driver); relationship issues are
+    # corpus-sized -> written as partitioned parquet (distributed), with only
+    # (severity, rule) partial counts and a bounded sample reduced to the
+    # driver for the JSON summary.
+    entity_issues = validate_nodes_table(nodes)
+    issues_dir = os.path.join(out, "validation", "issues")
+    tmpi = issues_dir + ".tmp"
+    mf.clear_stale_tmp(tmpi)
+    os.makedirs(tmpi, exist_ok=True)
+    pq.write_table(entity_issues, os.path.join(tmpi, "entity-issues.parquet"))
+
+    by_rule_sev: dict[tuple[str, str], int] = {}
+    for r in issue_count_batch(entity_issues).to_pylist() if entity_issues.num_rows else []:
+        key = (r["severity"], r["rule"])
+        by_rule_sev[key] = by_rule_sev.get(key, 0) + r["n"]
+    sample: list[dict] = entity_issues.slice(0, 100).to_pylist()
+
     if n_edges:
         issues_ds = rd.read_parquet(
             sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
         ).map_batches(edge_issues_batch, batch_format="pyarrow")
-        issue_rows.extend(issues_ds.take_all())  # issues are sparse/small
-    report = {
-        "summary": summarize_issues(issue_rows, nodes.num_rows, n_edges),
-        "issues": issue_rows,
-    }
+        issues_ds.write_parquet(tmpi)
+        # summary counts: driver-side scan of the (severity, rule) columns
+        # only — two tiny dictionary-ish columns, no extra Ray execution
+        edge_issue_files = [
+            f
+            for f in sorted(glob.glob(os.path.join(tmpi, "*.parquet")))
+            if not f.endswith("entity-issues.parquet")
+        ]
+        for f in edge_issue_files:
+            part = issue_count_batch(
+                pq.read_table(f, columns=["severity", "rule"])
+            )
+            for r in part.to_pylist():
+                key = (r["severity"], r["rule"])
+                by_rule_sev[key] = by_rule_sev.get(key, 0) + r["n"]
+    mf.atomic_replace_dir(tmpi, issues_dir)
+    _mark("issues_s", _since)
+
+    summary = summarize_issues(by_rule_sev, nodes.num_rows, n_edges)
+    report = {"summary": summary, "issues_sample": sample[:100]}
     report_path = os.path.join(out, "validation-results.json")
     with open(report_path + ".tmp", "w") as f:
         json.dump(report, f, sort_keys=True, default=str)
@@ -301,8 +497,9 @@ def run_phase_b(cfg: KGConfig) -> dict:
     return {
         "n_nodes": nodes.num_rows,
         "n_edges": n_edges,
-        "n_issues": len(issue_rows),
+        "n_issues": summary["total_issues"],
         "phase_b_wall_s": round(time.perf_counter() - t0, 3),
+        "phase_b_timings": timings,
     }
 
 

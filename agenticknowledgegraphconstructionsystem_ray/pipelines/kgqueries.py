@@ -60,12 +60,7 @@ def kg_nodes(sf_dir: str):
 def kg_text(sf_dir: str):
     """Byte-identical extracted text per url."""
     out = _ensure_run(sf_dir)
-    import glob
-
-    return rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "text/chunk=*/*.parquet"))),
-        columns=["url", "text", "lang"],
-    )
+    return kg.text_dataset(out, columns=["url", "text", "lang"])
 
 
 def kg_mentions(sf_dir: str):
@@ -80,17 +75,11 @@ def kg_mentions(sf_dir: str):
 
 
 def kg_validation_issues(sf_dir: str):
-    """Validation report rows (S8 analog)."""
+    """Validation report rows (S8 analog) — the partitioned issues table."""
     out = _ensure_run(sf_dir)
-    import json
+    import glob
 
-    import pyarrow as pa
-
-    with open(os.path.join(out, "validation-results.json")) as f:
-        rep = json.load(f)
-    rows = rep["issues"]
-    if not rows:
-        from ..schema import VALIDATION_ISSUES
-
-        return pa.Table.from_pylist([], schema=VALIDATION_ISSUES)
-    return pa.Table.from_pylist(rows)
+    files = sorted(
+        glob.glob(os.path.join(out, "validation", "issues", "*.parquet"))
+    )
+    return rd.read_parquet(files)

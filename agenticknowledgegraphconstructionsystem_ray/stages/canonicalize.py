@@ -173,24 +173,33 @@ class ApplyEntityIds:
             id_map = ray.get(id_map_ref) if id_map_ref is not None else {}
         self.id_map = id_map
 
+    def _lookup(self, col: pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:
+        """Dictionary-encode the norm column (Zipf-heavy: few uniques per
+        batch) and map only the DICTIONARY through the id map, then take —
+        per-row Python cost is O(uniques), not O(rows)."""
+        enc = pc.dictionary_encode(col.combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniques = enc.dictionary.to_pylist()
+        ids = pa.array(
+            [self.id_map.get(u, (-1, u))[0] for u in uniques], pa.int64()
+        )
+        names = pa.array(
+            [self.id_map.get(u, (-1, u))[1] for u in uniques], pa.string()
+        )
+        idx = enc.indices
+        return pc.take(ids, idx), pc.take(names, idx)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sn = batch.column("subj_norm").to_pylist()
-        on = batch.column("obj_norm").to_pylist()
-        subj_ids, obj_ids, subjs, objs = [], [], [], []
-        for s, o in zip(sn, on):
-            sid, sname = self.id_map.get(s, (-1, s))
-            oid, oname = self.id_map.get(o, (-1, o))
-            subj_ids.append(sid)
-            obj_ids.append(oid)
-            subjs.append(sname)
-            objs.append(oname)
+        subj_ids, subjs = self._lookup(batch.column("subj_norm"))
+        obj_ids, objs = self._lookup(batch.column("obj_norm"))
         return pa.Table.from_arrays(
             [
-                pa.array(subj_ids, pa.int64()),
+                subj_ids,
                 batch.column("pred"),
-                pa.array(obj_ids, pa.int64()),
-                pa.array(subjs, pa.string()),
-                pa.array(objs, pa.string()),
+                obj_ids,
+                subjs,
+                objs,
                 batch.column("url"),
                 batch.column("warc_ts"),
                 batch.column("confidence"),
@@ -201,6 +210,31 @@ class ApplyEntityIds:
                 "url", "warc_ts", "confidence", "context",
             ],
         )
+
+
+_WORKER_ID_APPLIERS: dict = {}
+
+
+def apply_ids_batch(batch: pa.Table, id_map_ref=None) -> pa.Table:
+    """Stateless-task form of ApplyEntityIds: the broadcast id map is
+    resolved from the local object store once per worker process and cached,
+    so the stage runs as plain fused tasks (elastic parallelism, no
+    actor-pool cap) — same rationale as stages/triples.extract_records_batch.
+    """
+    if id_map_ref is None:
+        key = None
+    elif hasattr(id_map_ref, "hex"):
+        key = id_map_ref.hex()
+    else:
+        key = id(id_map_ref)
+    applier = _WORKER_ID_APPLIERS.get(key)
+    if applier is None:
+        if id_map_ref is None or hasattr(id_map_ref, "hex"):
+            applier = ApplyEntityIds(id_map_ref=id_map_ref)
+        else:
+            applier = ApplyEntityIds(id_map=id_map_ref)
+        _WORKER_ID_APPLIERS[key] = applier
+    return applier(batch)
 
 
 def dedup_edges_batch(batch: pa.Table) -> pa.Table:

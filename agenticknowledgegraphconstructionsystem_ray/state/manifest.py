@@ -75,6 +75,7 @@ def pending_chunks(out_dir: str, planned: list[int]) -> list[int]:
 
 def atomic_replace_dir(tmp_dir: str, final_dir: str) -> None:
     """Atomically promote a staged chunk output directory."""
+    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
     if os.path.isdir(final_dir):
         shutil.rmtree(final_dir)
     os.replace(tmp_dir, final_dir)

@@ -58,17 +58,62 @@ _PRED_SURFACES = [
 ]
 
 _FILLERS = [
-    "The system runs quickly and scales to very large corpora.",
-    "We observed consistent results across runs of the experiment.",
-    "This page was archived for later analysis by the crawler.",
-    "The café served a naïve blend of rôle-play and résumé writing.",
-    "It performs well under heavy load &amp; strict latency budgets.",
-    "There is no obvious bottleneck in the current configuration.",
-    "On average the throughput stayed flat over time.",
+    "The system runs quickly and scales to very large corpora without any "
+    "manual tuning of the underlying storage or compute configuration.",
+    "We observed consistent results across repeated runs of the experiment "
+    "even when the workers were restarted midway through processing.",
+    "This page was archived for later analysis by the crawler and kept in "
+    "the archive alongside millions of similar records from the same host.",
+    "The café served a naïve blend of rôle-play and résumé writing to the "
+    "visitors who stayed for the late seminar on distributed indexing.",
+    "It performs well under heavy load &amp; strict latency budgets while "
+    "the cache hit rate stays above the target threshold for the day.",
+    "There is no obvious bottleneck in the current configuration although "
+    "the disk spills grow slowly when the queue depth increases again.",
+    "On average the throughput stayed flat over time and the variance "
+    "between the fastest and slowest shard remained acceptably small.",
 ]
+
+# Common-Crawl-style boilerplate (navigation, sidebar, footer) — constant
+# across pages; real pages carry tens of KB of markup around the content, so
+# the extractor workload per page matches the real per-document cost.
+_NAV_HTML = (
+    "<nav><ul>"
+    + "".join(
+        f'<li><a href="/section/{i}">section {i} overview and archive</a></li>'
+        for i in range(40)
+    )
+    + "</ul></nav>"
+)
+_SIDEBAR_HTML = (
+    "<aside><div class=\"widget\"><ul>"
+    + "".join(
+        f"<li>related record {i} from the same crawl segment</li>"
+        for i in range(30)
+    )
+    + "</ul></div></aside>"
+)
+_FOOTER_HTML = (
+    "<footer><div>"
+    + " | ".join(f'<a href="/about/{i}">about page {i}</a>' for i in range(20))
+    + "<p>all content archived under the usual terms. contact the operator "
+    "for takedown requests. mirrors are updated nightly.</p></div></footer>"
+)
+_STYLE_HTML = (
+    "<style>"
+    + "".join(f".c{i} {{ margin: {i}px; padding: {i}px; }}" for i in range(60))
+    + "</style>"
+)
+_SCRIPT_HTML = (
+    "<script>var cfg = {"
+    + ",".join(f'"k{i}": {i}' for i in range(80))
+    + "}; function track(x) { return x * 2; }</script>"
+)
 
 N_ENTITIES = 500
 _ZIPF_EXP = 1.1
+_MIN_SENTS = 20
+_MAX_SENTS = 60
 
 
 def entity_universe(n: int = N_ENTITIES) -> list[dict]:
@@ -119,30 +164,38 @@ def _page_html(i: int, rng: np.random.Generator, ents: list[dict], weights: np.n
             b"</script></body></html>"
         )
 
-    n_sent = int(2 + rng.integers(0, 7))
-    sents: list[str] = []
-    for _ in range(n_sent):
-        if rng.random() < 0.6:
-            si, oi = rng.choice(len(ents), size=2, p=weights)
-            pred = _PRED_SURFACES[int(rng.integers(0, len(_PRED_SURFACES)))]
-            subj = _mention_surface(ents[int(si)], rng)
-            obj = _mention_surface(ents[int(oi)], rng)
-            sents.append(f"{subj} {pred} {obj}.")
-        else:
-            sents.append(_FILLERS[int(rng.integers(0, len(_FILLERS)))])
+    n_sent = int(_MIN_SENTS + rng.integers(0, _MAX_SENTS - _MIN_SENTS + 1))
+    is_triple = rng.random(n_sent) < 0.6
+    n_triples = int(is_triple.sum())
+    ent_idx = rng.choice(len(ents), size=2 * max(1, n_triples), p=weights)
+    pred_idx = rng.integers(0, len(_PRED_SURFACES), size=max(1, n_triples))
+    filler_idx = rng.integers(0, len(_FILLERS), size=n_sent)
+    alias_pick = rng.random(2 * max(1, n_triples))
 
-    half = max(1, len(sents) // 2)
-    para1 = " ".join(sents[:half])
-    para2 = " ".join(sents[half:])
-    items = "".join(f"<li>{s}</li>" for s in sents[:2])
+    sents: list[str] = []
+    t = 0
+    for k in range(n_sent):
+        if is_triple[k]:
+            se, oe = ents[int(ent_idx[2 * t])], ents[int(ent_idx[2 * t + 1])]
+            subj = se["aliases"][int(alias_pick[2 * t] * len(se["aliases"]))]
+            obj = oe["aliases"][int(alias_pick[2 * t + 1] * len(oe["aliases"]))]
+            sents.append(f"{subj} {_PRED_SURFACES[int(pred_idx[t])]} {obj}.")
+            t += 1
+        else:
+            sents.append(_FILLERS[int(filler_idx[k])])
+
+    # content split across several paragraphs, like a real article
+    paras = []
+    per = max(3, len(sents) // 5)
+    for j in range(0, len(sents), per):
+        paras.append("<p>" + " ".join(sents[j : j + per]) + "</p>")
+    items = "".join(f"<li>{s}</li>" for s in sents[:3])
     unclosed = "<p>archive note with <b>unclosed markup" if i % 83 == 0 else ""
     html = (
-        f"<html><head><title>Crawl record {i}</title>"
-        f"<style>body {{ margin: 0; }}</style></head>"
-        f"<body><h1>crawl record {i}</h1>"
-        f"<script>window.track({i});</script>"
-        f"<p>{para1}</p><div><p>{para2}</p></div>"
-        f"<ul>{items}</ul>{unclosed}"
+        f"<html><head><title>Crawl record {i}</title>{_STYLE_HTML}</head>"
+        f"<body>{_NAV_HTML}<h1>crawl record {i}</h1>{_SCRIPT_HTML}"
+        f"<main>{''.join(paras)}</main>{_SIDEBAR_HTML}"
+        f"<ul>{items}</ul>{unclosed}{_FOOTER_HTML}"
         f"<!-- comment {i} --></body></html>"
     )
     return html.encode("utf-8")
@@ -201,7 +254,7 @@ def write_pages(
     """
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    tag = f"v1:{n_rows}:{n_files}:{seed}"
+    tag = f"v2:{n_rows}:{n_files}:{seed}"  # v2: CC-weight pages
     bounds = shard_bounds(n_rows, n_files)
     paths = [os.path.join(out_dir, f"pages-{s:05d}.parquet") for s, _, _ in bounds]
     if os.path.exists(marker) and open(marker).read() == tag:
@@ -232,8 +285,11 @@ def write_pages(
     return paths
 
 
-def default_pages_dir(sf: float, root: str = "/tmp/agkg_pages") -> str:
-    return os.path.join(root, f"sf{sf:g}")
+def default_pages_dir(
+    sf: float, mult: int = 1, root: str = "/tmp/agkg_pages"
+) -> str:
+    suffix = f"sf{sf:g}" if mult == 1 else f"sf{sf:g}x{mult}"
+    return os.path.join(root, suffix)
 
 
 def n_rows_for_sf(sf: float) -> int:
@@ -241,11 +297,12 @@ def n_rows_for_sf(sf: float) -> int:
     return max(100, int(round(500_000 * sf)))
 
 
-def ensure_pages(sf: float, seed: int = 42) -> str:
-    """Generate (once, cached under /tmp) the pages corpus for a scale factor;
-    returns the directory."""
-    n = n_rows_for_sf(sf)
+def ensure_pages(sf: float, seed: int = 42, mult: int = 1) -> str:
+    """Generate (once, cached under /tmp) the pages corpus for a scale factor
+    (optionally ``mult``x larger, e.g. for the scaling benchmark); returns
+    the directory."""
+    n = n_rows_for_sf(sf) * mult
     n_files = max(8, n // 2000)
-    d = default_pages_dir(sf)
+    d = default_pages_dir(sf, mult)
     write_pages(d, n, n_files=n_files, seed=seed)
     return d

@@ -21,7 +21,7 @@ def _read(out, pattern, columns=None):
 def test_text_byte_identical(kg_out, pages_dir):
     out, _ = kg_out
     golden = oracle.oracle_text(pages_dir)
-    t = _read(out, "text/chunk=*/*.parquet", columns=["url", "text"])
+    t = _read(out, "extracted/chunk=*/kind=page/*.parquet", columns=["url", "text"])
     assert t.num_rows == len(golden)
     for url, text in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
         assert text == golden[url], f"text mismatch for {url}"
@@ -92,8 +92,11 @@ def test_validation_report(kg_out):
         rep = json.load(f)
     s = rep["summary"]
     assert s["total_entities"] > 0 and s["total_relationships"] > 0
-    assert s["total_issues"] == len(rep["issues"])
     assert set(s["issues_by_severity"]) == {"error", "warning", "info"}
+    # the partitioned issues table row count matches the summary total
+    issues = _read(out, "validation/issues/*.parquet")
+    assert issues.num_rows == s["total_issues"]
+    assert set(issues.column_names) == {"domain", "key", "severity", "rule", "message"}
 
 
 def test_lang_filter(pages_dir, tmp_path):
