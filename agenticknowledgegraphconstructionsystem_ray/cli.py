@@ -1,0 +1,129 @@
+"""CLI + ``ray job submit`` entry point.
+
+Reference analog: the npm pipeline-step scripts (``agents/package.json:8-16``
+— extract / discover / validate as independently runnable steps over shared
+storage). Here every step is runnable standalone over the shared Parquet
+layout, plus corpus synthesis and the oracle conformance check.
+
+Usage (also works as the ray job entrypoint:
+``ray job submit -- python -m agenticknowledgegraphconstructionsystem_ray.cli run ...``):
+
+    python -m agenticknowledgegraphconstructionsystem_ray.cli synth  --sf 0.01 --out /tmp/pages
+    python -m agenticknowledgegraphconstructionsystem_ray.cli run    --pages /tmp/pages --out /tmp/kg
+    python -m agenticknowledgegraphconstructionsystem_ray.cli extract --pages /tmp/pages --out /tmp/kg
+    python -m agenticknowledgegraphconstructionsystem_ray.cli materialize --pages /tmp/pages --out /tmp/kg
+    python -m agenticknowledgegraphconstructionsystem_ray.cli check  --pages /tmp/pages --out /tmp/kg
+
+This module owns a Ray session (guarded init; the driver/test harness never
+routes through here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="agenticknowledgegraphconstructionsystem_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth", help="generate the seeded pages corpus")
+    sp.add_argument("--sf", type=float, default=0.01)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--rows", type=int, default=None)
+
+    for name, help_ in [
+        ("run", "full pipeline (phase A + B)"),
+        ("extract", "phase A only (resumable extraction)"),
+        ("materialize", "phase B only (canonicalize + materialize + validate)"),
+        ("check", "compare outputs against the sequential oracle"),
+    ]:
+        s = sub.add_parser(name, help=help_)
+        s.add_argument("--pages", required=True)
+        s.add_argument("--out", required=True)
+        s.add_argument("--chunk-files", type=int, default=8)
+        s.add_argument("--no-resume", action="store_true")
+        s.add_argument("--lang", default=None, help="comma list, e.g. en,de")
+
+    args = p.parse_args(argv)
+    _ensure_ray()
+
+    from . import metrics, oracle, synth
+    from .pipelines import kg
+
+    if args.cmd == "synth":
+        n = args.rows or synth.n_rows_for_sf(args.sf)
+        out = args.out or synth.default_pages_dir(args.sf)
+        paths = synth.write_pages(out, n, n_files=max(8, n // 2000))
+        print(json.dumps({"pages_dir": out, "n_rows": n, "n_files": len(paths)}))
+        return 0
+
+    cfg = kg.KGConfig(
+        pages_dir=args.pages,
+        out_dir=args.out,
+        chunk_files=args.chunk_files,
+        resume=not args.no_resume,
+        lang_allow=frozenset(args.lang.split(",")) if args.lang else None,
+    )
+    if args.cmd == "run":
+        print(json.dumps(kg.run_pipeline(cfg)))
+    elif args.cmd == "extract":
+        print(json.dumps(kg.run_phase_a(cfg)))
+    elif args.cmd == "materialize":
+        print(json.dumps(kg.run_phase_b(cfg)))
+    elif args.cmd == "check":
+        import glob as g
+
+        import pyarrow.parquet as pq
+
+        golden_text = oracle.oracle_text(args.pages)
+        text = pq.read_table(
+            sorted(g.glob(f"{args.out}/extracted/chunk=*/kind=page/*.parquet")),
+            columns=["url", "text"],
+        )
+        mismatches = sum(
+            golden_text[u] != t
+            for u, t in zip(text["url"].to_pylist(), text["text"].to_pylist())
+        )
+        _, golden = oracle.oracle_graph(
+            args.pages, cfg.alias_dict(), lang_allow=cfg.lang_allow
+        )
+        e = pq.read_table(
+            sorted(g.glob(f"{args.out}/edges/**/*.parquet", recursive=True)),
+            columns=["subj", "pred", "obj"],
+        )
+        emitted = set(
+            zip(e["subj"].to_pylist(), e["pred"].to_pylist(), e["obj"].to_pylist())
+        )
+        pr = metrics.precision_recall(emitted, golden)
+        result = {
+            "text_rows": text.num_rows,
+            "text_mismatches": mismatches,
+            "precision": pr[0],
+            "recall": pr[1],
+            "pass": mismatches == 0 and pr[0] >= 0.95 and pr[1] >= 0.95,
+        }
+        print(json.dumps(result))
+        return 0 if result["pass"] else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

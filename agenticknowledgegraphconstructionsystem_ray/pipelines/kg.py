@@ -51,7 +51,7 @@ import glob
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -148,26 +148,42 @@ def _cluster_cpus() -> int:
 LAYOUT_VERSION = "5"  # bump when the on-disk output layout changes
 
 
-def _check_layout(out_dir: str) -> None:
-    """Wipe output dirs written under an older layout so resume never mixes
-    incompatible artifacts."""
+def _check_layout(out_dir: str, cfg: "KGConfig") -> None:
+    """Wipe output dirs written under an older layout OR a different
+    extraction config (lang filter / alias dict), so resume never silently
+    reuses artifacts produced under other semantics."""
+    import hashlib
     import shutil
+
+    alias = cfg.alias_dict()
+    fp = hashlib.sha1(
+        repr(
+            (
+                LAYOUT_VERSION,
+                sorted(cfg.lang_allow) if cfg.lang_allow else None,
+                len(alias),
+                hashlib.sha1(
+                    "\x00".join(f"{k}\x01{v[0]}\x01{v[1]}" for k, v in sorted(alias.items())).encode()
+                ).hexdigest(),
+            )
+        ).encode()
+    ).hexdigest()
 
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_LAYOUT")
     current = open(marker).read() if os.path.exists(marker) else None
-    if current != LAYOUT_VERSION:
+    if current != fp:
         for name in os.listdir(out_dir):
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
             if os.path.isfile(os.path.join(out_dir, name)):
                 os.remove(os.path.join(out_dir, name))
         with open(marker, "w") as f:
-            f.write(LAYOUT_VERSION)
+            f.write(fp)
 
 
 def run_phase_a(cfg: KGConfig) -> dict:
     """Per-chunk extract + link; returns metrics."""
-    _check_layout(cfg.out_dir)
+    _check_layout(cfg.out_dir, cfg)
     chunks = plan_chunks(cfg.pages_dir, cfg.chunk_files)
     planned = list(range(len(chunks)))
     pending = mf.pending_chunks(cfg.out_dir, planned) if cfg.resume else planned
@@ -176,15 +192,10 @@ def run_phase_a(cfg: KGConfig) -> dict:
 
     alias_ref = ray.put(cfg.alias_dict())
     cpus = _cluster_cpus()
-    # actor pool: start warm (min > 1) so short chunks don't pay the
-    # autoscale ramp, but ALWAYS leave CPUs for the read/write stages — a
-    # pool that reserves every CPU starves the rest of the pipeline (guide:
-    # "the pipeline serializes"). Entity linking is fused into the extractor
-    # (see TripleExtractor docstring), so the full record stream passes
-    # through ONE pool only.
-    # fixed-size pool: autoscaling from a small min never ramps up within a
-    # short run (measured: effective parallelism ~11 of 30 at sf0.1), so the
-    # pool is sized to the node up front, leaving 2 CPUs for read/write.
+    # Only used when cfg.use_actor_pool: a fixed-size pool (autoscaling from
+    # a small min never ramps up within short runs) that leaves CPUs for the
+    # read/write stages — a pool reserving every CPU starves the rest of the
+    # pipeline and it serializes.
     pool_max = max(1, cpus - 2)
     extract_pool = cfg.extract_concurrency or pool_max
     t0 = time.perf_counter()

@@ -23,7 +23,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
