@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_nodes": kgqueries.kg_nodes,
             "kg_text": kgqueries.kg_text,
             "kg_mentions": kgqueries.kg_mentions,
+            "kg_shared_entities": kgqueries.kg_shared_entities,
             "kg_validation_issues": kgqueries.kg_validation_issues,
         }
     )

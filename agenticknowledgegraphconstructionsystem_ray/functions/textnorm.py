@@ -35,6 +35,27 @@ CAP_STOPWORDS = frozenset(
 )
 
 
+_URL_SCHEME_RE = re.compile(r"^[a-z][a-z0-9+.-]*://", re.IGNORECASE)
+_URL_WWW_RE = re.compile(r"^www\.", re.IGNORECASE)
+
+
+def norm_url(url: str) -> str:
+    """URL normalizer (reference analog M2: the arxiv-id normalizer that
+    strips the '/abs/' prefix and vN suffixes, ``fetch_papers.py:91``):
+    drop scheme and leading www., lowercase the host, strip trailing
+    slash and fragment."""
+    u = url.strip()
+    u = _URL_SCHEME_RE.sub("", u)
+    u = _URL_WWW_RE.sub("", u)
+    u = u.split("#", 1)[0]
+    if "/" in u:
+        host, _, rest = u.partition("/")
+        u = host.lower() + "/" + rest
+    else:
+        u = u.lower()
+    return u.rstrip("/")
+
+
 def norm_surface(surface: str) -> str:
     """Canonicalization key: trim edge punctuation, collapse whitespace,
     casefold. Pure; used identically by the pipeline and the oracle."""

@@ -404,6 +404,7 @@ def run_phase_b(cfg: KGConfig) -> dict:
 
     nodes_dir = os.path.join(out, "nodes")
     _write_atomic_table(nodes, nodes_dir)
+    _write_nodes_summary_csv(nodes, os.path.join(out, "nodes_summary.csv"))
 
     # ---- SHUFFLE 2: edges dedup + validation + sort ----
     triples = triples_dataset(
@@ -512,6 +513,29 @@ def run_phase_b(cfg: KGConfig) -> dict:
         "phase_b_wall_s": round(time.perf_counter() - t0, 3),
         "phase_b_timings": timings,
     }
+
+
+def _write_nodes_summary_csv(nodes: pa.Table, path: str) -> None:
+    """Diagnostic CSV summary of the top entities (reference S6: the
+    papers_summary.csv writer, ``fetch_citing_papers.py:65-82``, with the
+    M11 field cleaning ``title.replace(',',';').replace('\\n',' ')``)."""
+    from ..functions.cleaning import csv_clean
+
+    top = (
+        nodes.select(["entity_id", "canonical_name", "ent_type", "mention_count"])
+        .to_pandas()
+        .sort_values(["mention_count", "entity_id"], ascending=[False, True])
+        .head(1000)
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("entity_id,canonical_name,ent_type,mention_count\n")
+        for r in top.itertuples(index=False):
+            f.write(
+                f"{r.entity_id},{csv_clean(r.canonical_name)},"
+                f"{r.ent_type},{r.mention_count}\n"
+            )
+    os.replace(tmp, path)
 
 
 def _write_atomic_table(table: pa.Table, out_dir: str) -> None:

@@ -74,6 +74,54 @@ def kg_mentions(sf_dir: str):
     return ds
 
 
+def kg_shared_entities(sf_dir: str, min_relevance: float = 0.4, top: int = 50):
+    """Document-pair similarity via shared entities — the reference's
+    shared-concepts self-join (J1, ``database.ts:236-259``: paper_concepts
+    joined to itself on concept_id at relevance >= 0.4) and its documented
+    2-hop co-occurrence query (J8, ``db_init.py:240-252``).
+
+    Shape: mentions filtered to score >= min_relevance, grouped by entity,
+    pairs emitted per group, re-grouped by pair with counts, top-k. Head
+    (Zipf) entities are EXCLUDED above a degree cap — the standard guard
+    against the quadratic pair blowup a high-degree node causes (SURVEY.md
+    §4.2 skew note); a production variant would sample or salt instead.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    out = _ensure_run(sf_dir)
+    mentions = kg.mentions_dataset(out, columns=["url", "norm_surface", "score"])
+
+    def keep_relevant(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["score"], pa.scalar(min_relevance)))
+
+    MAX_DEGREE = 20
+
+    def entity_pairs(g):
+        urls = sorted(g["url"].tolist())
+        if len(urls) < 2 or len(urls) > MAX_DEGREE:
+            return {
+                "url_a": np.array([], dtype=object),
+                "url_b": np.array([], dtype=object),
+            }
+        rows = [(a, b) for i, a in enumerate(urls) for b in urls[i + 1 :]]
+        arr = np.array(rows, dtype=object)
+        return {"url_a": arr[:, 0], "url_b": arr[:, 1]}
+
+    pairs = (
+        mentions.map_batches(keep_relevant, batch_format="pyarrow")
+        .groupby("norm_surface")
+        .map_groups(entity_pairs, batch_format="pandas")
+        .groupby(["url_a", "url_b"])
+        .aggregate(Count(alias_name="n_shared"))
+        .sort(["n_shared", "url_a", "url_b"], descending=[True, False, False])
+        .limit(top)
+    )
+    return pairs
+
+
 def kg_validation_issues(sf_dir: str):
     """Validation report rows (S8 analog) — the partitioned issues table."""
     out = _ensure_run(sf_dir)

@@ -162,6 +162,77 @@ def q27_token_classes(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# JSON column parsing (M6 poison-tolerant parser over events.props)
+# ---------------------------------------------------------------------------
+
+def q28_events_props_json(sf_dir: str):
+    """Parse the JSON ``props`` column per row (fence-strip + safe parse,
+    never crash) and aggregate the extracted field per event type."""
+    from ..functions.jsonsafe import parse_many
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        parsed, _errors = parse_many(t["props"].to_pylist())
+        ks = [p.get("k") if isinstance(p, dict) else None for p in parsed]
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k": pa.array(ks, pa.int64()),
+                "valid": pa.array([k is not None for k in ks], pa.bool_()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.append_column("vi", pc.cast(t["valid"], pa.int64()))
+            .group_by("event_type")
+            .aggregate([("k", "sum"), ("vi", "sum")])
+        )
+        return pa.Table.from_arrays(
+            [
+                g.column("event_type"),
+                pc.cast(g.column("k_sum"), pa.int64()),
+                pc.cast(g.column("vi_sum"), pa.int64()),
+            ],
+            names=["event_type", "sum_k_p", "n_valid_p"],
+        )
+
+    return (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k_p", alias_name="sum_k"),
+            Sum("n_valid_p", alias_name="n_valid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k (O5 prompt-side truncation analog: map_groups head)
+# ---------------------------------------------------------------------------
+
+def q29_top_events_per_type(sf_dir: str):
+    """Top-3 events by value per event type — per-group sort + head inside
+    ``groupby().map_groups`` (O5; relationship-discovery-agent.ts:134-139)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "event_id", "value"])
+
+    def head3(g):
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
+        cents = (g["value"] * 100).round(0).astype("int64")
+        return {
+            "event_type": g["event_type"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "value_c": cents.to_numpy(),
+        }
+
+    return ds.groupby("event_type").map_groups(head3, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (decode meta is SQL-checkable via derived fields)
 # ---------------------------------------------------------------------------
 
@@ -284,6 +355,22 @@ ORACLE_SQL: dict[str, str] = {
                length(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS n_symbols
         FROM documents
     """,
+    "q28_events_props_json": """
+        SELECT event_type,
+               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(json_extract(props, '$.k')) AS n_valid
+        FROM events GROUP BY event_type
+    """,
+    "q29_top_events_per_type": """
+        SELECT event_type, event_id,
+               CAST(round(value*100, 0) AS BIGINT) AS value_c
+        FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS rn
+            FROM events)
+        WHERE rn <= 3
+    """,
     "ann_brute_topk": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings)
@@ -317,6 +404,8 @@ QUERIES = {
     "q25_langid": q25_langid,
     "q26_quality": q26_quality,
     "q27_token_classes": q27_token_classes,
+    "q28_events_props_json": q28_events_props_json,
+    "q29_top_events_per_type": q29_top_events_per_type,
     "mm_decode_meta": mm_decode_meta,
     "mm_sampled_frames": mm_sampled_frames,
     "dd_minhash_pairs": dd_minhash_pairs,

@@ -1,0 +1,85 @@
+"""Small-operator coverage: JSON safety (M6), url normalizer (M2), JSON/CSV
+sources+sinks (S3/S6/S7), list-column ops (§2.8 array family)."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from agenticknowledgegraphconstructionsystem_ray.functions.jsonsafe import (
+    parse_many,
+    safe_parse_json,
+    strip_fences,
+)
+from agenticknowledgegraphconstructionsystem_ray.functions.textnorm import norm_url
+
+
+class TestJsonSafe:
+    def test_fence_strip(self):
+        assert strip_fences('```json\n{"a": 1}\n```') == '{"a": 1}'
+
+    def test_parse_ok(self):
+        assert safe_parse_json('{"a": 1}') == {"a": 1}
+        assert safe_parse_json('```json\n{"a": 1}\n```') == {"a": 1}
+
+    def test_poison_never_raises(self):
+        assert safe_parse_json("{broken") is None
+        assert safe_parse_json(None) is None
+        assert safe_parse_json("") is None
+
+    def test_error_counter(self):
+        out, errors = parse_many(['{"k":1}', "{bad", None, '"x"'])
+        assert out == [{"k": 1}, None, None, "x"]
+        assert errors == 1  # only the parse failure counts, not None
+
+
+class TestNormUrl:
+    def test_scheme_www_slash(self):
+        assert norm_url("https://www.Example.com/a/b/") == "example.com/a/b"
+        assert norm_url("http://site.org") == "site.org"
+        assert norm_url("site.org/p#frag") == "site.org/p"
+
+    def test_case_only_host(self):
+        assert norm_url("HTTPS://HOST.NET/Path") == "host.net/Path"
+
+
+def test_json_roundtrip_sink_source(ray_session, tmp_path):
+    """S7 (write_json) + S3 (read_json) round trip."""
+    import ray.data as rd
+
+    ds = rd.from_items([{"a": i, "b": f"x{i}"} for i in range(10)])
+    out = str(tmp_path / "j")
+    ds.write_json(out)
+    back = rd.read_json(sorted(glob.glob(os.path.join(out, "*")))).to_pandas()
+    assert sorted(back["a"].tolist()) == list(range(10))
+
+
+def test_nodes_summary_csv(kg_out):
+    """S6 CSV summary with M11 field cleaning."""
+    out, _ = kg_out
+    path = os.path.join(out, "nodes_summary.csv")
+    with open(path) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0] == "entity_id,canonical_name,ent_type,mention_count"
+    assert len(lines) > 10
+    # every line has exactly 3 commas (field cleaning guarantees no embedded)
+    assert all(line.count(",") == 3 for line in lines)
+    # sorted by mention_count desc
+    counts = [int(line.rsplit(",", 1)[1]) for line in lines[1:]]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_list_column_ops(kg_out):
+    """aliases list<string> column supports list kernels (array family:
+    the reference's TEXT[] authors column + authors[:2] slicing)."""
+    import pyarrow.parquet as pq
+
+    out, _ = kg_out
+    t = pq.read_table(os.path.join(out, "nodes", "part-00000.parquet"))
+    aliases = t.column("aliases")
+    assert pa.types.is_list(aliases.type)
+    lengths = pc.list_value_length(aliases)
+    assert pc.min(lengths).as_py() >= 1
+    first_two = pc.list_slice(aliases, 0, 2)
+    assert pc.max(pc.list_value_length(first_two)).as_py() <= 2
