@@ -547,8 +547,28 @@ def _write_atomic_table(table: pa.Table, out_dir: str) -> None:
 
 
 def run_pipeline(cfg: KGConfig) -> dict:
-    """End-to-end: phase A (resumable) + phase B (idempotent overwrite)."""
+    """End-to-end: phase A (resumable) + phase B (idempotent overwrite).
+
+    A ``_COMPLETE`` marker records a finished run; callers that only need
+    the outputs (e.g. repeated driver queries over the same corpus) can use
+    :func:`ensure_complete` to skip re-execution entirely.
+    """
     os.makedirs(cfg.out_dir, exist_ok=True)
+    marker = os.path.join(cfg.out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        os.remove(marker)
     a = run_phase_a(cfg)
     b = run_phase_b(cfg)
+    with open(marker + ".tmp", "w") as f:
+        f.write(LAYOUT_VERSION)
+    os.replace(marker + ".tmp", marker)
     return {**a, **b, "out_dir": cfg.out_dir}
+
+
+def ensure_complete(cfg: KGConfig) -> dict:
+    """Run the pipeline unless a completed run (same layout version) already
+    exists at cfg.out_dir."""
+    marker = os.path.join(cfg.out_dir, "_COMPLETE")
+    if os.path.exists(marker) and open(marker).read() == LAYOUT_VERSION:
+        return {"out_dir": cfg.out_dir, "cached": True}
+    return run_pipeline(cfg)

@@ -29,7 +29,7 @@ def _ensure_run(sf_dir: str) -> str:
     pages_dir = synth.ensure_pages(sf)
     out_dir = f"/tmp/agkg_out/sf{sf:g}"
     cfg = kg.KGConfig(pages_dir=pages_dir, out_dir=out_dir)
-    kg.run_pipeline(cfg)
+    kg.ensure_complete(cfg)
     return out_dir
 
 
