@@ -233,6 +233,36 @@ def q29_top_events_per_type(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# sessionization (streaming-shaped workload per the Ray guide: events as an
+# ordered, partitioned log — partition by user, sort by ts within the group,
+# session = gap > timeout)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 3600
+
+
+def q30_user_sessions(sf_dir: str):
+    """Per-user session stats: sessions = 1 + count(gap > 1h) over the
+    user's time-ordered events. Batch expression of the reference-class
+    streaming windowing (SURVEY §2.10: the engine needs order-independent
+    stages + explicit in-group ordering, not true watermarks)."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g):
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype("int64"))
+        gaps = np.diff(ts) > _SESSION_GAP_S * 1_000_000
+        return {
+            "user_id": np.array([int(g["user_id"].iloc[0])], dtype=np.int64),
+            "n_events": np.array([len(ts)], dtype=np.int64),
+            "n_sessions": np.array([1 + int(gaps.sum())], dtype=np.int64),
+        }
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (decode meta is SQL-checkable via derived fields)
 # ---------------------------------------------------------------------------
 
@@ -371,6 +401,17 @@ ORACLE_SQL: dict[str, str] = {
             FROM events)
         WHERE rn <= 3
     """,
+    "q30_user_sessions": """
+        SELECT user_id, COUNT(*) AS n_events,
+               1 + SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+                   AS n_sessions
+        FROM (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                         ORDER BY ts)) AS gap_us
+            FROM events)
+        GROUP BY user_id
+    """,
     "ann_brute_topk": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings)
@@ -406,6 +447,7 @@ QUERIES = {
     "q27_token_classes": q27_token_classes,
     "q28_events_props_json": q28_events_props_json,
     "q29_top_events_per_type": q29_top_events_per_type,
+    "q30_user_sessions": q30_user_sessions,
     "mm_decode_meta": mm_decode_meta,
     "mm_sampled_frames": mm_sampled_frames,
     "dd_minhash_pairs": dd_minhash_pairs,

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): batch-boundary independence of the
+combiner, determinism/robustness of the pure kernels, skew correctness.
+
+FIXTURES.md/SURVEY.md §7.4 ask: "salted partial aggregation must produce
+identical final counts to the unsalted oracle; property-test with
+Zipf-distributed synthetic surfaces".
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from agenticknowledgegraphconstructionsystem_ray.functions.html_text import html_to_text
+from agenticknowledgegraphconstructionsystem_ray.functions.textnorm import norm_surface
+from agenticknowledgegraphconstructionsystem_ray.functions.triples import (
+    extract_mentions_and_triples,
+)
+from agenticknowledgegraphconstructionsystem_ray.stages.canonicalize import (
+    partial_mention_counts,
+)
+
+# -- combiner: any batch split yields the same merged counts ---------------
+
+_surfaces = st.sampled_from(
+    ["nerf", "gaussian splatting", "plenoxels", "x", "head entity"]
+)
+
+
+@st.composite
+def mention_rows(draw):
+    n = draw(st.integers(1, 120))
+    # Zipf-ish: head entity drawn with high probability
+    rows = []
+    for _ in range(n):
+        s = draw(st.sampled_from(["head entity"] * 6 + ["nerf", "plenoxels", "x"]))
+        rows.append(
+            {
+                "norm_surface": s,
+                "n_in_page": draw(st.integers(1, 5)),
+                "score": draw(st.sampled_from([0.4, 0.6, 0.8, 1.0])),
+            }
+        )
+    return rows
+
+
+@given(rows=mention_rows(), n_splits=st.integers(1, 7))
+@settings(max_examples=40, deadline=None)
+def test_partial_counts_batchsplit_invariant(rows, n_splits):
+    df = pd.DataFrame(rows)
+    naive = df.groupby("norm_surface").agg(
+        mentions=("n_in_page", "sum"),
+        links=("norm_surface", "size"),
+        perfect=("score", lambda s: int((s == 1.0).sum())),
+        mx=("score", "max"),
+        mn=("score", "min"),
+    )
+
+    # split into arbitrary batches, combine partials, merge
+    idx = np.linspace(0, len(df), n_splits + 1).astype(int)
+    partials = []
+    for i in range(n_splits):
+        chunk = df.iloc[idx[i] : idx[i + 1]]
+        if len(chunk):
+            partials.append(
+                partial_mention_counts(pa.Table.from_pandas(chunk)).to_pandas()
+            )
+    merged = (
+        pd.concat(partials)
+        .groupby("norm_surface")
+        .agg(
+            mentions=("mentions_p", "sum"),
+            links=("links_p", "sum"),
+            perfect=("perfect_p", "sum"),
+            mx=("max_score_p", "max"),
+            mn=("min_score_p", "min"),
+        )
+    )
+    pd.testing.assert_frame_equal(
+        naive.sort_index(), merged.sort_index(), check_dtype=False
+    )
+
+
+# -- pure kernels: never crash, always deterministic -----------------------
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=120, deadline=None)
+def test_html_to_text_total_and_deterministic(raw):
+    a = html_to_text(raw)
+    b = html_to_text(raw)
+    assert isinstance(a, str) and a == b
+    assert a == a.strip()
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_extraction_total_and_deterministic(text):
+    m1, t1 = extract_mentions_and_triples(text)
+    m2, t2 = extract_mentions_and_triples(text)
+    assert m1 == m2 and t1 == t2
+    for m in m1:
+        assert m.norm == norm_surface(m.surface)
+        assert 0 <= m.start <= m.end <= len(text) + 1
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=120, deadline=None)
+def test_norm_surface_idempotent(s):
+    once = norm_surface(s)
+    assert norm_surface(once) == once or once == ""
