@@ -383,20 +383,31 @@ def q19_suppliers_by_region(sf_dir: str):
 
 
 def q10_suppliers_per_part(sf_dir: str):
-    """COUNT(DISTINCT) via dedup-then-count (A6; exact, no sketch —
-    db_init.py:187-198)."""
+    """Exact COUNT(DISTINCT) (A6; no sketch — db_init.py:187-198) in ONE
+    shuffle: block-level pair dedup (combiner), then a custom set-union
+    aggregator per part key (accumulator state round-trips Arrow blocks as
+    lists, hence the set()/sorted() dance). The distinct-suppkey set per
+    part is dimension-bounded, so accumulator size is safe at scale."""
+    from ray.data.aggregate import AggregateFn
+
     ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
-        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
-        return g
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
 
+    distinct_count = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: sorted(set(a) | set(b)),
+        name="n_suppliers",
+        accumulate_block=lambda s, block: sorted(
+            set(s) | set(block["l_suppkey"].to_pylist())
+        ),
+        finalize=lambda s: len(set(s)),
+    )
     return (
-        ds.map_batches(distinct_pairs, batch_format="pyarrow")  # block-level dedup
-        .groupby(["l_partkey", "l_suppkey"])
-        .aggregate(Count(alias_name="_n"))  # global dedup
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
         .groupby("l_partkey")
-        .aggregate(Count(alias_name="n_suppliers"))
+        .aggregate(distinct_count)
     )
 
 

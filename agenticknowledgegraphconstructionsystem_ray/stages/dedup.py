@@ -58,16 +58,52 @@ def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 _A, _B = _perm_params()
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_SHINGLE_P1 = np.uint64(0x9E3779B97F4A7C15)
+_SHINGLE_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _token_hash(tok: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        h = _stable_u64(tok)
+        _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Distinct uint64 hashes of the token n-gram shingles — token hashes
+    are blake2b (cached per worker, vocabularies are small), shingle hashes
+    combine them with wraparound multiply-add (vectorized); no per-shingle
+    cryptographic hashing in the hot path."""
+    toks = tokens_of(text)
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    h = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+    if len(h) < n:
+        out = np.zeros(1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for x in h:
+                out = out * _SHINGLE_P1 + x
+        return out
+    with np.errstate(over="ignore"):
+        grams = (
+            h[: len(h) - n + 1] * _SHINGLE_P1
+            + h[1 : len(h) - n + 2] * _SHINGLE_P2
+            + h[2 : len(h) - n + 3]
+        )
+    return np.unique(grams)
+
+
 def minhash_signature(text: str) -> np.ndarray:
     """64-permutation MinHash signature (uint64[_N_PERM]).
 
     Permutation family is (h*a + b) with uint64 wraparound — a standard
     multiply-shift-style universal-ish family; deterministic and fully
     vectorized (no per-shingle Python math)."""
-    sh = shingles_of(text)
-    if not sh:
+    h = shingle_hashes(text)
+    if not len(h):
         return np.full(_N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-    h = np.fromiter((_stable_u64(s) for s in sh), dtype=np.uint64, count=len(sh))
     a = _A.astype(np.uint64)
     b = _B.astype(np.uint64)
     with np.errstate(over="ignore"):
