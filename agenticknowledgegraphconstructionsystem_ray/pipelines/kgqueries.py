@@ -122,6 +122,150 @@ def kg_shared_entities(sf_dir: str, min_relevance: float = 0.4, top: int = 50):
     return pairs
 
 
+def kg_top_concepts(sf_dir: str, k: int = 10):
+    """The reference's ``top_concepts`` view (``db_init.py:231-238``:
+    ORDER BY mention_count DESC LIMIT 10) over our nodes table."""
+    out = _ensure_run(sf_dir)
+    import glob
+
+    return (
+        rd.read_parquet(
+            sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+            columns=["entity_id", "canonical_name", "ent_type", "mention_count"],
+        )
+        .sort(["mention_count", "entity_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def kg_relationship_summary(sf_dir: str):
+    """The reference's ``relationship_summary`` view (``db_init.py:202-212``:
+    GROUP BY relationship_type with counts, avg confidence and conditional
+    validated/low-confidence tallies) over our edges table."""
+    import glob
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    out = _ensure_run(sf_dir)
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges", "**", "*.parquet"),
+                         recursive=True)),
+        columns=["pred", "confidence", "validated", "flag_for_review"],
+    )
+
+    def prep(t):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "pred": t["pred"],
+                "conf_ppm": pc.cast(
+                    pc.round(pc.multiply(t["confidence"], pa.scalar(1e6)),
+                             ndigits=0, round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+                "n_validated": pc.cast(t["validated"], pa.int64()),
+                "n_low_conf": pc.cast(
+                    pc.less(t["confidence"], pa.scalar(0.5)), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        edges.map_batches(prep, batch_format="pyarrow")
+        .groupby("pred")
+        .aggregate(
+            Count(alias_name="n_edges"),
+            Sum("conf_ppm", alias_name="sum_conf_ppm"),
+            Sum("n_validated", alias_name="n_validated"),
+            Sum("n_low_conf", alias_name="n_low_confidence"),
+        )
+    )
+
+
+def kg_concept_summary(sf_dir: str, k: int = 100):
+    """The reference's ``paper_concept_summary`` view (``db_init.py:187-198``:
+    per concept, distinct linked documents + aggregates) — nodes already
+    carry the exact aggregates (link_count = distinct urls)."""
+    out = _ensure_run(sf_dir)
+    import glob
+
+    return (
+        rd.read_parquet(
+            sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+            columns=["canonical_name", "ent_type", "mention_count",
+                     "link_count", "max_score", "min_score"],
+        )
+        .sort(["link_count", "canonical_name"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def kg_docs_triples(sf_dir: str):
+    """The KG extraction stage applied to the DOCUMENTS table (doc_id/text)
+    instead of web pages — demonstrates the pipeline is input-agnostic: any
+    table with a key + text column can feed the extractor."""
+    import pyarrow as pa
+
+    from ..sources.tables import read_table
+    from ..stages.triples import extract_records_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def adapt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "url": pa.array([f"doc://{i}" for i in t["doc_id"].to_pylist()]),
+                "warc_ts": pa.array([0] * n, pa.timestamp("us")),
+                "text": t["text"],
+                "lang": t["lang"],
+            }
+        )
+
+    records = docs.map_batches(adapt, batch_format="pyarrow").map_batches(
+        extract_records_batch, batch_format="pyarrow"
+    )
+
+    # Per-document extraction stats. The driver documents table is lowercase
+    # word-salad, so the capitalization-based NER correctly finds ~0 named
+    # entities — the stats rows still prove the full extraction ran per doc.
+    def stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = (
+            t.append_column(
+                "is_m", pc.cast(pc.equal(t["kind"], "mention"), pa.int64())
+            )
+            .append_column(
+                "is_t", pc.cast(pc.equal(t["kind"], "triple"), pa.int64())
+            )
+            .filter(pc.is_valid(t["url"]))
+            .group_by("url")
+            .aggregate([("is_m", "sum"), ("is_t", "sum")])
+        )
+        return pa.Table.from_arrays(
+            [
+                g.column("url"),
+                pc.cast(g.column("is_m_sum"), pa.int64()),
+                pc.cast(g.column("is_t_sum"), pa.int64()),
+            ],
+            names=["url", "n_mentions_p", "n_triples_p"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        records.map_batches(stats, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(
+            Sum("n_mentions_p", alias_name="n_mentions"),
+            Sum("n_triples_p", alias_name="n_triples"),
+        )
+    )
+
+
 def kg_validation_issues(sf_dir: str):
     """Validation report rows (S8 analog) — the partitioned issues table."""
     out = _ensure_run(sf_dir)
