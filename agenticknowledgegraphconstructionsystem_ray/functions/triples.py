@@ -84,24 +84,27 @@ def _mention_runs(
     """Maximal runs [i, j) of entity tokens forming candidate mentions.
     Capitalized stopwords ("The", "In", ...) BREAK runs — they are never part
     of a mention (reference analog: generic-terms + validity predicate,
-    entity-extraction-agent.ts:193-203)."""
+    entity-extraction-agent.ts:193-203).
+
+    Single pass; the entity-token test is inlined (first char uppercase or
+    digit — semantics of textnorm.is_entity_token) for the hot path.
+    """
     runs: list[tuple[int, int]] = []
-    i = 0
-    n = len(tokens)
-    while i < n:
-        tok = tokens[i][0]
-        if is_entity_token(tok) and tok not in CAP_STOPWORDS:
-            j = i + 1
-            while (
-                j < n
-                and is_entity_token(tokens[j][0])
-                and tokens[j][0] not in CAP_STOPWORDS
-            ):
-                j += 1
-            runs.append((i, j))
-            i = j
-        else:
-            i += 1
+    stop = CAP_STOPWORDS
+    in_run = False
+    start = 0
+    for i, (tok, _, _) in enumerate(tokens):
+        c = tok[0]
+        is_ent = (c.isupper() or c.isdigit()) and tok not in stop
+        if is_ent:
+            if not in_run:
+                start = i
+                in_run = True
+        elif in_run:
+            runs.append((start, i))
+            in_run = False
+    if in_run:
+        runs.append((start, len(tokens)))
     return runs
 
 

@@ -262,6 +262,31 @@ def q30_user_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def q31_sliding_window(sf_dir: str):
+    """Per-event sliding-window count: events by the same user within the
+    preceding hour (inclusive) — the sliding-window analog of q12's tumbling
+    windows, expressed as per-user sorted ``searchsorted`` inside
+    ``map_groups`` (guide: 'implement windows over the sorted group')."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def window_counts(g):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        lo = np.searchsorted(ts, ts - 3600 * 1_000_000, side="left")
+        # side="right" upper bound: SQL RANGE frames include all PEERS of
+        # the current row (equal ts), not just preceding rows
+        hi = np.searchsorted(ts, ts, side="right")
+        n_in_window = hi - lo
+        return {
+            "event_id": g["event_id"].to_numpy(),
+            "n_last_hour": n_in_window.astype(np.int64),
+        }
+
+    return ds.groupby("user_id").map_groups(window_counts, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (decode meta is SQL-checkable via derived fields)
 # ---------------------------------------------------------------------------
@@ -412,6 +437,14 @@ ORACLE_SQL: dict[str, str] = {
             FROM events)
         GROUP BY user_id
     """,
+    "q31_sliding_window": """
+        SELECT event_id,
+               CAST(count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_last_hour
+        FROM events
+    """,
     "ann_brute_topk": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings)
@@ -448,6 +481,7 @@ QUERIES = {
     "q28_events_props_json": q28_events_props_json,
     "q29_top_events_per_type": q29_top_events_per_type,
     "q30_user_sessions": q30_user_sessions,
+    "q31_sliding_window": q31_sliding_window,
     "mm_decode_meta": mm_decode_meta,
     "mm_sampled_frames": mm_sampled_frames,
     "dd_minhash_pairs": dd_minhash_pairs,
