@@ -212,6 +212,89 @@ class ApplyEntityIds:
         )
 
 
+def label_propagation_components(
+    edges, max_rounds: int = 50
+):
+    """Distributed connected components via iterated min-label propagation —
+    the documented fallback for alias-edge sets too large for driver-side
+    union-find (see state/unionfind.py).
+
+    ``edges``: ray Dataset with string columns (a, b). Returns
+    {node -> component_label} where the label is the lexicographically
+    smallest member, identical to UnionFind's representative choice.
+
+    Each round: every node takes the min label over itself and its
+    neighbors (one groupby per round, O(diameter) rounds — alias chains are
+    short, so convergence is fast). The per-round state is the (node, label)
+    assignment, corpus-vocabulary-sized.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    def explode(t: pa.Table) -> pa.Table:
+        # undirected: each edge contributes candidate labels both ways,
+        # plus self-labels so isolated endpoints keep their own label
+        a = t.column("a")
+        b = t.column("b")
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [a.combine_chunks(), b.combine_chunks(),
+                     a.combine_chunks(), b.combine_chunks()]
+                ),
+                "label": pa.concat_arrays(
+                    [b.combine_chunks(), a.combine_chunks(),
+                     a.combine_chunks(), b.combine_chunks()]
+                ),
+            }
+        )
+
+    edge_rows = edges.materialize()  # reused every round
+    labels = (
+        edge_rows.map_batches(explode, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        ldf = labels.to_pandas()
+        label_map = dict(zip(ldf["node"], ldf["label"]))
+        import ray as _ray
+
+        ref = _ray.put(label_map)
+
+        def relabel(t: pa.Table, _ref=ref) -> pa.Table:
+            import ray as _r
+
+            m = _r.get(_ref)
+            a = t.column("a").to_pylist()
+            b = t.column("b").to_pylist()
+            return pa.table(
+                {
+                    "node": a + b,
+                    "label": [m[x] for x in b] + [m[x] for x in a],
+                }
+            )
+
+        # candidate labels: own current label + neighbors' current labels
+        own = labels
+        prop = edge_rows.map_batches(relabel, batch_format="pyarrow")
+        new_labels = (
+            own.union(prop)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        if new_labels.to_pandas().equals(labels.to_pandas()):
+            labels = new_labels
+            break
+        labels = new_labels
+
+    df = labels.to_pandas()
+    return dict(zip(df["node"], df["label"]))
+
+
 _WORKER_ID_APPLIERS: dict = {}
 
 
