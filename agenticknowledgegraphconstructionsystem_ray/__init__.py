@@ -16,3 +16,13 @@ stage is reproducible and verifiable against a sequential oracle.
 """
 
 __version__ = "0.1.0"
+
+# user-facing API surface (lazy heavy imports happen inside the modules)
+from .pipelines.kg import (  # noqa: E402,F401
+    KGConfig,
+    ensure_complete,
+    run_phase_a,
+    run_phase_b,
+    run_pipeline,
+)
+from .synth import alias_dict, ensure_pages, write_pages  # noqa: E402,F401

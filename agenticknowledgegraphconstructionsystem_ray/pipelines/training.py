@@ -262,6 +262,42 @@ def q30_user_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def q32_stable_split(sf_dir: str):
+    """Deterministic hash-based sampling — the stable train/test-split
+    operator every training-data pipeline needs: membership depends only on
+    the key (md5), never on partitioning, run order or RNG state. Selects
+    ~25% of orders (md5 last hex digit in 0-3) and aggregates them."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_pylist()
+        keep = pa.array(
+            [hashlib.md5(str(k).encode()).hexdigest()[-1] in "0123" for k in keys]
+        )
+        f = t.filter(keep)
+        cents = pc.cast(
+            pc.round(pc.multiply(f["o_totalprice"], pa.scalar(100.0)),
+                     ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({"o_orderkey": f["o_orderkey"], "price_c": cents})
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow")
+    agg = sampled.aggregate(Sum("price_c"), Count())
+    n = int(agg["count()"] or 0)
+    total = int(agg["sum(price_c)"] or 0)
+    return pa.table(
+        {
+            "n_sampled": pa.array([n], pa.int64()),
+            "total_c": pa.array([total], pa.int64()),
+        }
+    )
+
+
 def q31_sliding_window(sf_dir: str):
     """Per-event sliding-window count: events by the same user within the
     preceding hour (inclusive) — the sliding-window analog of q12's tumbling
@@ -437,6 +473,13 @@ ORACLE_SQL: dict[str, str] = {
             FROM events)
         GROUP BY user_id
     """,
+    "q32_stable_split": """
+        SELECT COUNT(*) AS n_sampled,
+               SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS total_c
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) IN
+              ('0','1','2','3')
+    """,
     "q31_sliding_window": """
         SELECT event_id,
                CAST(count(*) OVER (
@@ -482,6 +525,7 @@ QUERIES = {
     "q29_top_events_per_type": q29_top_events_per_type,
     "q30_user_sessions": q30_user_sessions,
     "q31_sliding_window": q31_sliding_window,
+    "q32_stable_split": q32_stable_split,
     "mm_decode_meta": mm_decode_meta,
     "mm_sampled_frames": mm_sampled_frames,
     "dd_minhash_pairs": dd_minhash_pairs,
