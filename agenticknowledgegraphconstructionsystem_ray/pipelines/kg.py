@@ -251,7 +251,7 @@ def run_phase_a(cfg: KGConfig) -> dict:
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
             )
-        records.write_parquet(group_tmp, partition_cols=["chunk", "kind"])
+        records.write_parquet(group_tmp, partition_cols=["chunk", "kind"], compression="zstd")
 
         group_wall = round(time.perf_counter() - tstart, 3)
         for cid in group:
@@ -449,7 +449,7 @@ def run_phase_b(cfg: KGConfig) -> dict:
         edges = edges.sort("skey").drop_columns(["skey"])
         tmp = edges_dir + ".tmp"
         mf.clear_stale_tmp(tmp)
-        edges.write_parquet(tmp)
+        edges.write_parquet(tmp, compression="zstd")
         mf.atomic_replace_dir(tmp, edges_dir)
         _mark("edges_s", _since)
         n_edges = sum(
@@ -481,7 +481,7 @@ def run_phase_b(cfg: KGConfig) -> dict:
         issues_ds = rd.read_parquet(
             sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
         ).map_batches(edge_issues_batch, batch_format="pyarrow")
-        issues_ds.write_parquet(tmpi)
+        issues_ds.write_parquet(tmpi, compression="zstd")
         # summary counts: driver-side scan of the (severity, rule) columns
         # only — two tiny dictionary-ish columns, no extra Ray execution
         edge_issue_files = [
