@@ -7,9 +7,12 @@ actor-pool ``map_batches`` stage (SURVEY.md T1/T2): state (compiled patterns)
 is built once per actor in ``__init__``; ``__call__`` processes an Arrow batch
 of extracted pages.
 
-Output is a single kind-tagged record table (``kind`` in {"mention",
-"triple"}) so one extraction pass feeds both downstream tables; the writer
-splits it with ``partition_cols=["kind"]``.
+Output is a single kind-tagged record table (``kind`` in {"page", "mention",
+"triple", "mcount"}) so ONE extraction pass feeds every downstream table;
+the writer splits it with ``partition_cols=["chunk", "kind"]``:
+- "page" rows carry the extracted text (the byte-identical artifact),
+- "mention"/"triple" rows are the per-page extraction results,
+- "mcount" rows are batch-level mention-count partials (see MCOUNT_COLUMNS).
 
 - "mention" rows are PER-(page, entity) aggregates — one row per distinct
   normalized surface per page, with ``n_in_page`` carrying the raw mention
