@@ -13,6 +13,27 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+# relationship-discovery-agent.ts:50-59 — the single source of truth for the
+# band thresholds and weights; both the list form and the counts form below
+# (and the O(1) per-triple path in stages/triples.py) use these.
+HIGH_BAND = 0.7
+MED_BAND = 0.5
+LOW_BAND = 0.4
+HIGH_WEIGHT = 0.15
+MED_WEIGHT = 0.08
+LOW_WEIGHT = 0.04
+MIN_CONFIDENCE = 0.3
+MAX_CONFIDENCE = 0.85
+
+
+def confidence_from_band_counts(high: int, med: int, low: int, total: int) -> float:
+    """The formula on pre-computed band counts (``total`` = number of shared
+    concepts; 0 -> minimum confidence)."""
+    if total <= 0:
+        return MIN_CONFIDENCE
+    score = high * HIGH_WEIGHT + med * MED_WEIGHT + low * LOW_WEIGHT
+    return min(MAX_CONFIDENCE, max(MIN_CONFIDENCE, score))
+
 
 def calculate_base_confidence(shared_relevances: Iterable[float]) -> float:
     """Bit-for-bit port of calculateBaseConfidence.
@@ -22,10 +43,7 @@ def calculate_base_confidence(shared_relevances: Iterable[float]) -> float:
       clamped to [0.3, 0.85]
     """
     rels = list(shared_relevances)
-    if not rels:
-        return 0.3
-    high = sum(1 for r in rels if r >= 0.7)
-    med = sum(1 for r in rels if 0.5 <= r < 0.7)
-    low = sum(1 for r in rels if 0.4 <= r < 0.5)
-    score = high * 0.15 + med * 0.08 + low * 0.04
-    return min(0.85, max(0.3, score))
+    high = sum(1 for r in rels if r >= HIGH_BAND)
+    med = sum(1 for r in rels if MED_BAND <= r < HIGH_BAND)
+    low = sum(1 for r in rels if LOW_BAND <= r < MED_BAND)
+    return confidence_from_band_counts(high, med, low, len(rels))

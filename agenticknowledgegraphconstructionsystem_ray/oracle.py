@@ -98,9 +98,13 @@ def oracle_graph(
             uf.union(norm, norm_surface(hit[0]))
 
     canon: dict[str, str] = {}
+    ent_type_of: dict[str, str] = {}
     for _, members in uf.components().items():
         names = sorted({alias[m][0] for m in members if m in alias})
         rep = names[0] if names else members[0]
+        # same rule as build_entity_table: smallest member type, else concept
+        member_types = sorted({alias[m][1] for m in members if m in alias})
+        ent_type_of[rep] = member_types[0] if member_types else "concept"
         for m in members:
             canon[m] = rep
 
@@ -112,7 +116,7 @@ def oracle_graph(
             {
                 "mention_count": 0,
                 "link_count": 0,
-                "ent_type": alias.get(norm_surface(c), (None, "concept"))[1],
+                "ent_type": ent_type_of[c],
             },
         )
         slot["mention_count"] += m["n_in_page"]

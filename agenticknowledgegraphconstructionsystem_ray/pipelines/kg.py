@@ -148,27 +148,42 @@ def _cluster_cpus() -> int:
 LAYOUT_VERSION = "5"  # bump when the on-disk output layout changes
 
 
-def _check_layout(out_dir: str, cfg: "KGConfig") -> None:
-    """Wipe output dirs written under an older layout OR a different
-    extraction config (lang filter / alias dict), so resume never silently
-    reuses artifacts produced under other semantics."""
+def _config_fingerprint(cfg: "KGConfig") -> str:
+    """Fingerprint of everything that determines phase-A output semantics
+    AND the chunk plan: layout version, lang filter, alias dict, chunk_files
+    and the exact input file list. Changing ANY of these invalidates cached
+    artifacts — resume matches chunks by id, so a reshaped plan (different
+    chunk_files, added/removed input files) must never be anti-joined
+    against manifests from the old plan."""
     import hashlib
-    import shutil
 
     alias = cfg.alias_dict()
-    fp = hashlib.sha1(
+    files = sorted(glob.glob(os.path.join(cfg.pages_dir, "*.parquet")))
+    return hashlib.sha1(
         repr(
             (
                 LAYOUT_VERSION,
                 sorted(cfg.lang_allow) if cfg.lang_allow else None,
                 len(alias),
                 hashlib.sha1(
-                    "\x00".join(f"{k}\x01{v[0]}\x01{v[1]}" for k, v in sorted(alias.items())).encode()
+                    "\x00".join(
+                        f"{k}\x01{v[0]}\x01{v[1]}" for k, v in sorted(alias.items())
+                    ).encode()
                 ).hexdigest(),
+                cfg.chunk_files,
+                tuple(os.path.basename(f) for f in files),
             )
         ).encode()
     ).hexdigest()
 
+
+def _check_layout(out_dir: str, cfg: "KGConfig") -> None:
+    """Wipe output dirs written under an older layout, a different
+    extraction config, or a different chunk plan, so resume never silently
+    reuses or misaligns artifacts produced under other semantics."""
+    import shutil
+
+    fp = _config_fingerprint(cfg)
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_LAYOUT")
     current = open(marker).read() if os.path.exists(marker) else None
@@ -559,16 +574,19 @@ def run_pipeline(cfg: KGConfig) -> dict:
         os.remove(marker)
     a = run_phase_a(cfg)
     b = run_phase_b(cfg)
-    with open(marker + ".tmp", "w") as f:
-        f.write(LAYOUT_VERSION)
-    os.replace(marker + ".tmp", marker)
+    # a truncated run (max_chunks) is NOT a completed graph — never mark it
+    if cfg.max_chunks is None:
+        with open(marker + ".tmp", "w") as f:
+            f.write(_config_fingerprint(cfg))
+        os.replace(marker + ".tmp", marker)
     return {**a, **b, "out_dir": cfg.out_dir}
 
 
 def ensure_complete(cfg: KGConfig) -> dict:
-    """Run the pipeline unless a completed run (same layout version) already
+    """Run the pipeline unless a completed run with the SAME config
+    fingerprint (layout + lang filter + alias dict + chunk plan) already
     exists at cfg.out_dir."""
     marker = os.path.join(cfg.out_dir, "_COMPLETE")
-    if os.path.exists(marker) and open(marker).read() == LAYOUT_VERSION:
+    if os.path.exists(marker) and open(marker).read() == _config_fingerprint(cfg):
         return {"out_dir": cfg.out_dir, "cached": True}
     return run_pipeline(cfg)

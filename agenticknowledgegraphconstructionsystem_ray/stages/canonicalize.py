@@ -98,12 +98,12 @@ def build_entity_table(
         canon_names = sorted(
             {alias[m][0] for m in members if m in alias}
         )
-        if canon_names:
-            canonical = canon_names[0]
-            ent_type = alias[norm_surface(canonical)][1]
-        else:
-            canonical = members[0]
-            ent_type = "concept"
+        # entity type: smallest member type by name — never indexes the
+        # canonical's own norm, which a user-supplied alias dict need not
+        # contain (it maps aliases, not necessarily the canonical itself)
+        member_types = sorted({alias[m][1] for m in members if m in alias})
+        ent_type = member_types[0] if member_types else "concept"
+        canonical = canon_names[0] if canon_names else members[0]
         seen = [m for m in members if m in by_norm.index]
         if not seen:
             continue  # canonical surface never observed and no members seen
@@ -227,6 +227,12 @@ def label_propagation_components(
     neighbors (one groupby per round, O(diameter) rounds — alias chains are
     short, so convergence is fast). The per-round state is the (node, label)
     assignment, corpus-vocabulary-sized.
+
+    NOTE: this implementation relieves the driver of the EDGE set (which
+    stays distributed) but still broadcasts the node->label map each round,
+    so the node set must fit in memory; a fully driverless variant would
+    propagate labels via a distributed join of (edges x labels) instead of
+    the broadcast dict.
     """
     import ray.data as rd
     from ray.data.aggregate import Min
@@ -257,8 +263,8 @@ def label_propagation_components(
         .materialize()
     )
 
+    ldf = labels.to_pandas()
     for _ in range(max_rounds):
-        ldf = labels.to_pandas()
         label_map = dict(zip(ldf["node"], ldf["label"]))
         import ray as _ray
 
@@ -286,13 +292,13 @@ def label_propagation_components(
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        if new_labels.to_pandas().equals(labels.to_pandas()):
-            labels = new_labels
+        new_df = new_labels.to_pandas()
+        converged = new_df.equals(ldf)
+        ldf = new_df
+        if converged:
             break
-        labels = new_labels
 
-    df = labels.to_pandas()
-    return dict(zip(df["node"], df["label"]))
+    return dict(zip(ldf["node"], ldf["label"]))
 
 
 _WORKER_ID_APPLIERS: dict = {}
@@ -304,18 +310,14 @@ def apply_ids_batch(batch: pa.Table, id_map_ref=None) -> pa.Table:
     so the stage runs as plain fused tasks (elastic parallelism, no
     actor-pool cap) — same rationale as stages/triples.extract_records_batch.
     """
-    if id_map_ref is None:
-        key = None
-    elif hasattr(id_map_ref, "hex"):
-        key = id_map_ref.hex()
-    else:
-        key = id(id_map_ref)
+    if id_map_ref is not None and not hasattr(id_map_ref, "hex"):
+        # already a plain dict: construct fresh — caching by id() could
+        # collide across runs after GC reuse
+        return ApplyEntityIds(id_map=id_map_ref)(batch)
+    key = id_map_ref.hex() if id_map_ref is not None else None
     applier = _WORKER_ID_APPLIERS.get(key)
     if applier is None:
-        if id_map_ref is None or hasattr(id_map_ref, "hex"):
-            applier = ApplyEntityIds(id_map_ref=id_map_ref)
-        else:
-            applier = ApplyEntityIds(id_map=id_map_ref)
+        applier = ApplyEntityIds(id_map_ref=id_map_ref)
         _WORKER_ID_APPLIERS[key] = applier
     return applier(batch)
 

@@ -30,7 +30,12 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..functions.confidence import calculate_base_confidence
+from ..functions.confidence import (
+    HIGH_BAND,
+    LOW_BAND,
+    MED_BAND,
+    confidence_from_band_counts,
+)
 from ..functions.textnorm import norm_surface as _norm
 from ..functions.triples import extract_mentions_and_triples, mention_relevance
 
@@ -153,11 +158,11 @@ class TripleExtractor:
             # confidence — equivalent to the pure list formula)
             n_high = n_med = n_low = 0
             for v in scores.values():
-                if v >= 0.7:
+                if v >= HIGH_BAND:
                     n_high += 1
-                elif v >= 0.5:
+                elif v >= MED_BAND:
                     n_med += 1
-                elif v >= 0.4:
+                elif v >= LOW_BAND:
                     n_low += 1
             n_total = len(scores)
 
@@ -204,13 +209,19 @@ class TripleExtractor:
             # duplicates by construction — url is part of the edge key and
             # each url is processed exactly once (assumption documented in
             # pipelines/kg.py; re-crawled duplicate urls need
-            # cfg.global_edge_dedup). Keeps the lexicographically smallest
+            # cfg.global_edge_dedup). The dedup key uses the NORMALIZED
+            # canonical so a raw mention of the canonical surface and a
+            # mention of its alias collapse to the same key; the alias dict
+            # must be canonicalized (values are fixed points — an alias's
+            # canonical must not itself be an alias of something else),
+            # which union-find would merge but this per-page key would not.
+            # Keeps the lexicographically smallest
             # (confidence, context, subj, obj) representative.
             best: dict[tuple, tuple] = {}
             for t in triples:
                 sn, on = _norm(t.subj), _norm(t.obj)
-                canon_s = self.alias[sn][0] if self.alias and sn in self.alias else sn
-                canon_o = self.alias[on][0] if self.alias and on in self.alias else on
+                canon_s = _norm(self.alias[sn][0]) if self.alias and sn in self.alias else sn
+                canon_o = _norm(self.alias[on][0]) if self.alias and on in self.alias else on
                 conf = self._confidence(scores, sn, on, n_high, n_med, n_low, n_total)
                 key = (canon_s, t.pred, canon_o)
                 cand = (conf, t.context, t.subj, sn, t.obj, on)
@@ -358,15 +369,13 @@ class TripleExtractor:
             if v is None:
                 continue
             total -= 1
-            if v >= 0.7:
+            if v >= HIGH_BAND:
                 h -= 1
-            elif v >= 0.5:
+            elif v >= MED_BAND:
                 m -= 1
-            elif v >= 0.4:
+            elif v >= LOW_BAND:
                 low -= 1
-        if total <= 0:
-            return 0.3
-        return min(0.85, max(0.3, h * 0.15 + m * 0.08 + low * 0.04))
+        return confidence_from_band_counts(h, m, low, total)
 
 
 # ---------------------------------------------------------------------------
@@ -393,17 +402,13 @@ def extract_records_batch(
     ``alias_ref`` is an ObjectRef; each worker process resolves it once from
     the local object store and caches the constructed extractor.
     """
-    if alias_ref is None:
-        key = (None, lang_allow)
-    elif hasattr(alias_ref, "hex"):
-        key = (alias_ref.hex(), lang_allow)
-    else:  # runtime already dereferenced it to the dict
-        key = (id(alias_ref), lang_allow)
+    if alias_ref is not None and not hasattr(alias_ref, "hex"):
+        # already a plain dict (runtime dereferenced it): construct fresh —
+        # caching by id() could collide across runs after GC reuse
+        return TripleExtractor(lang_allow=lang_allow, alias_dict=alias_ref)(batch)
+    key = (alias_ref.hex() if alias_ref is not None else None, lang_allow)
     extractor = _WORKER_EXTRACTORS.get(key)
     if extractor is None:
-        if hasattr(alias_ref, "hex") or alias_ref is None:
-            extractor = TripleExtractor(lang_allow=lang_allow, alias_ref=alias_ref)
-        else:
-            extractor = TripleExtractor(lang_allow=lang_allow, alias_dict=alias_ref)
+        extractor = TripleExtractor(lang_allow=lang_allow, alias_ref=alias_ref)
         _WORKER_EXTRACTORS[key] = extractor
     return extractor(batch)

@@ -1,0 +1,80 @@
+"""Regression tests for review findings: non-self-mapping alias dicts,
+chunk-plan changes vs resume, and truncated-run completion markers."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from agenticknowledgegraphconstructionsystem_ray import synth
+from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+from agenticknowledgegraphconstructionsystem_ray.stages.canonicalize import (
+    build_entity_table,
+)
+
+
+def test_alias_dict_without_canonical_self_map(ray_session, tmp_path):
+    """A user-supplied alias dict maps aliases only — the canonical's own
+    normalized surface need not be a key. Previously raised KeyError."""
+    import pandas as pd
+
+    alias = {"ml": ("Machine Learning", "field")}  # no 'machine learning' key
+    counts = pd.DataFrame(
+        [("ml", 3, 2, 0, 0.6, 0.4), ("other", 1, 1, 0, 0.4, 0.4)],
+        columns=["norm_surface", "mention_count", "link_count",
+                 "perfect_links", "max_score", "min_score"],
+    )
+    nodes, id_map = build_entity_table(counts, alias)
+    d = nodes.to_pydict()
+    assert d["canonical_name"] == ["Machine Learning", "other"]
+    assert d["ent_type"] == ["field", "concept"]
+    assert id_map["ml"][1] == "Machine Learning"
+
+
+def test_chunk_plan_change_invalidates_resume(ray_session, tmp_path):
+    """Resume matches chunks by id; a different chunk_files (or input file
+    set) must trigger a full re-run, never an id-misaligned anti-join."""
+    pages = str(tmp_path / "pages")
+    synth.write_pages(pages, 120, n_files=4)
+    out = str(tmp_path / "out")
+
+    kg.run_pipeline(kg.KGConfig(pages_dir=pages, out_dir=out, chunk_files=2))
+    baseline = pq.read_table(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True))
+    )
+
+    # same corpus, reshaped chunk plan -> everything reprocessed, same graph
+    m = kg.run_phase_a(kg.KGConfig(pages_dir=pages, out_dir=out, chunk_files=1))
+    assert m["chunks_processed"] == m["chunks_total"] == 4
+    kg.run_phase_b(kg.KGConfig(pages_dir=pages, out_dir=out, chunk_files=1))
+    again = pq.read_table(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True))
+    )
+    assert again.equals(baseline)
+
+    # adding an input file also invalidates (no stale-id reuse)
+    extra = synth.generate_shard(99, 10_000, 10_030)
+    pq.write_table(extra, os.path.join(pages, "pages-00099.parquet"))
+    os.remove(os.path.join(pages, "_SYNTH_OK"))
+    m2 = kg.run_phase_a(kg.KGConfig(pages_dir=pages, out_dir=out, chunk_files=1))
+    assert m2["chunks_processed"] == m2["chunks_total"] == 5
+
+
+def test_truncated_run_not_marked_complete(ray_session, tmp_path):
+    pages = str(tmp_path / "pages")
+    synth.write_pages(pages, 80, n_files=4)
+    out = str(tmp_path / "out")
+    cfg = kg.KGConfig(pages_dir=pages, out_dir=out, chunk_files=1, max_chunks=1)
+    kg.run_pipeline(cfg)
+    assert not os.path.exists(os.path.join(out, "_COMPLETE"))
+    # ensure_complete therefore finishes the job (and then marks it)
+    full = kg.KGConfig(pages_dir=pages, out_dir=out, chunk_files=1)
+    res = kg.ensure_complete(full)
+    assert res.get("cached") is not True
+    assert os.path.exists(os.path.join(out, "_COMPLETE"))
+    # and a config change busts the cache
+    res2 = kg.ensure_complete(
+        kg.KGConfig(pages_dir=pages, out_dir=out, chunk_files=1,
+                    lang_allow=frozenset({"en"}))
+    )
+    assert res2.get("cached") is not True
