@@ -37,8 +37,22 @@ _CENTS = dict(ndigits=0, round_mode="half_towards_infinity")
 
 
 def _cents(arr) -> pa.Array:
-    """round(x*100) as int64 — per-row, before any aggregation."""
+    """round(x*100) as int64 — per-row, before any aggregation. THE rounding
+    convention for every monetary/float driver-query output (half away from
+    zero, matching DuckDB ROUND); use this (or cents_np for numpy paths)
+    instead of re-implementing."""
     return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0)), **_CENTS), pa.int64())
+
+
+cents = _cents  # public alias for other query modules
+
+
+def cents_np(values) -> np.ndarray:
+    """numpy-side equivalent of ``cents``: round-half-away-from-zero of
+    value*100 as int64 (pandas/numpy .round is half-to-even — never use it
+    for driver-compared outputs)."""
+    v = np.asarray(values, dtype=np.float64) * 100.0
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

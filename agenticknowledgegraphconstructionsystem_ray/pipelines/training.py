@@ -17,6 +17,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..sources.tables import read_table
 from ..stages import dedup, multimodal, similarity, textstats
+from .analytics import cents, cents_np
 from ..stages.textstats import LANG_ORDER, LANG_STOPWORDS
 
 
@@ -36,12 +37,7 @@ def q22_orders_lineitem_join(sf_dir: str):
         disc = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
-        cents = pc.cast(
-            pc.round(pc.multiply(disc, pa.scalar(100.0)), ndigits=0,
-                     round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-        return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": cents})
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": cents(disc)})
 
     li_c = li.map_batches(prep, batch_format="pyarrow")
     joined = orders.join(
@@ -222,11 +218,10 @@ def q29_top_events_per_type(sf_dir: str):
 
     def head3(g):
         g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
-        cents = (g["value"] * 100).round(0).astype("int64")
         return {
             "event_type": g["event_type"].to_numpy(),
             "event_id": g["event_id"].to_numpy(),
-            "value_c": cents.to_numpy(),
+            "value_c": cents_np(g["value"].to_numpy()),
         }
 
     return ds.groupby("event_type").map_groups(head3, batch_format="pandas")
@@ -279,12 +274,9 @@ def q32_stable_split(sf_dir: str):
             [hashlib.md5(str(k).encode()).hexdigest()[-1] in "0123" for k in keys]
         )
         f = t.filter(keep)
-        cents = pc.cast(
-            pc.round(pc.multiply(f["o_totalprice"], pa.scalar(100.0)),
-                     ndigits=0, round_mode="half_towards_infinity"),
-            pa.int64(),
+        return pa.table(
+            {"o_orderkey": f["o_orderkey"], "price_c": cents(f["o_totalprice"])}
         )
-        return pa.table({"o_orderkey": f["o_orderkey"], "price_c": cents})
 
     sampled = ds.map_batches(sample, batch_format="pyarrow")
     agg = sampled.aggregate(Sum("price_c"), Count())

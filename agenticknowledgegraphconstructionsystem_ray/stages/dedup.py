@@ -59,6 +59,9 @@ _A, _B = _perm_params()
 
 
 _TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 500_000  # web-scale vocabularies are unbounded; cap
+                                 # the per-worker cache so long-lived workers
+                                 # don't grow without limit
 _SHINGLE_P1 = np.uint64(0x9E3779B97F4A7C15)
 _SHINGLE_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
@@ -66,6 +69,8 @@ _SHINGLE_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
 def _token_hash(tok: str) -> int:
     h = _TOKEN_HASH_CACHE.get(tok)
     if h is None:
+        if len(_TOKEN_HASH_CACHE) >= _TOKEN_HASH_CACHE_MAX:
+            _TOKEN_HASH_CACHE.clear()
         h = _stable_u64(tok)
         _TOKEN_HASH_CACHE[tok] = h
     return h
@@ -138,6 +143,20 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
+def _bucket_pairs(g):
+    """Group-to-sorted-pairs kernel shared by both LSH paths (pandas group:
+    one bucket)."""
+    ids = sorted(g["doc_id"].tolist())
+    rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    if not rows:
+        return {
+            "doc_a": np.array([], dtype=np.int64),
+            "doc_b": np.array([], dtype=np.int64),
+        }
+    arr = np.array(rows, dtype=np.int64)
+    return {"doc_a": arr[:, 0], "doc_b": arr[:, 1]}
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH candidate generation over a documents Dataset
 # ---------------------------------------------------------------------------
@@ -166,17 +185,9 @@ def minhash_candidate_pairs(docs: rd.Dataset) -> list[tuple[int, int]]:
     """LSH bucket groupby -> unique candidate pairs (sorted, deduplicated)."""
     bands = docs.map_batches(_minhash_bands_batch, batch_format="pyarrow")
 
-    def bucket_pairs(g):  # pandas group: one (band, band_hash) bucket
-        ids = sorted(g["doc_id"].tolist())
-        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not rows:
-            return {"doc_a": np.array([], dtype=np.int64), "doc_b": np.array([], dtype=np.int64)}
-        arr = np.array(rows, dtype=np.int64)
-        return {"doc_a": arr[:, 0], "doc_b": arr[:, 1]}
-
     pairs = (
         bands.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(_bucket_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_buckets"))
     )
@@ -271,7 +282,8 @@ def simhash_near_dups(sf_dir_or_ds, max_hamming: int = 3, table: str = "document
              "simhash": pa.array(hs, pa.uint64())}
         )
 
-    sims = docs.map_batches(sim_batch, batch_format="pyarrow")
+    # consumed twice (candidate generation + hamming verify) -> materialize
+    sims = docs.map_batches(sim_batch, batch_format="pyarrow").materialize()
 
     def explode_bands(t: pa.Table) -> pa.Table:
         ids, bands, keys = [], [], []
@@ -288,18 +300,10 @@ def simhash_near_dups(sf_dir_or_ds, max_hamming: int = 3, table: str = "document
             }
         )
 
-    def bucket_pairs(g):
-        ids = sorted(g["doc_id"].tolist())
-        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not rows:
-            return {"doc_a": np.array([], dtype=np.int64), "doc_b": np.array([], dtype=np.int64)}
-        arr = np.array(rows, dtype=np.int64)
-        return {"doc_a": arr[:, 0], "doc_b": arr[:, 1]}
-
     cand = (
         sims.map_batches(explode_bands, batch_format="pyarrow")
         .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(_bucket_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))
         .to_pandas()

@@ -110,6 +110,9 @@ def _kmeans_lite(
                 n = np.linalg.norm(v)
                 if n > 0:
                     cent[c] = v / n
+            else:
+                # deterministic re-seed: a dead centroid wastes probe slots
+                cent[c] = sample[c % len(sample)]
     return cent
 
 

@@ -22,6 +22,7 @@ the sequential oracle see identical input.
 
 from __future__ import annotations
 
+import glob
 import os
 
 import numpy as np
@@ -201,11 +202,6 @@ def _page_html(i: int, rng: np.random.Generator, ents: list[dict], weights: np.n
     return html.encode("utf-8")
 
 
-def _mention_surface(ent: dict, rng: np.random.Generator) -> str:
-    aliases = ent["aliases"]
-    return aliases[int(rng.integers(0, len(aliases)))]
-
-
 def generate_shard(
     shard: int, lo: int, hi: int, seed: int = 42
 ) -> pa.Table:
@@ -259,6 +255,13 @@ def write_pages(
     paths = [os.path.join(out_dir, f"pages-{s:05d}.parquet") for s, _, _ in bounds]
     if os.path.exists(marker) and open(marker).read() == tag:
         return paths
+
+    # regenerating under a different plan: remove stale shards first, or
+    # glob/dir readers would see a mix of old and new files
+    keep = set(paths)
+    for f in glob.glob(os.path.join(out_dir, "pages-*.parquet")):
+        if f not in keep:
+            os.remove(f)
 
     def _write(shard: int, lo: int, hi: int, path: str) -> None:
         pq.write_table(generate_shard(shard, lo, hi, seed), path)
