@@ -80,7 +80,11 @@ def main(argv: list[str] | None = None) -> int:
         out_dir=args.out,
         chunk_files=args.chunk_files,
         resume=not args.no_resume,
-        lang_allow=frozenset(args.lang.split(",")) if args.lang else None,
+        lang_allow=(
+            frozenset(x.strip() for x in args.lang.split(",") if x.strip())
+            if args.lang
+            else None
+        ),
     )
     if args.cmd == "run":
         print(json.dumps(kg.run_pipeline(cfg)))
@@ -115,10 +119,16 @@ def main(argv: list[str] | None = None) -> int:
         pr = metrics.precision_recall(emitted, golden)
         result = {
             "text_rows": text.num_rows,
+            "text_expected": len(golden_text),
             "text_mismatches": mismatches,
             "precision": pr[0],
             "recall": pr[1],
-            "pass": mismatches == 0 and pr[0] >= 0.95 and pr[1] >= 0.95,
+            "pass": (
+                mismatches == 0
+                and text.num_rows == len(golden_text)  # no silently dropped pages
+                and pr[0] >= 0.95
+                and pr[1] >= 0.95
+            ),
         }
         print(json.dumps(result))
         return 0 if result["pass"] else 1

@@ -31,27 +31,35 @@ _OTHER_RE = re.compile(r"[^a-z0-9\s]")
 _PUNCT_RE = re.compile(r"[.,;:!?]")
 
 
+_LANG_STOPSETS = {lang: frozenset(sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
 def lang_hits(text: str) -> dict[str, int]:
     """Per-language count of DISTINCT stopword hits in the token set."""
     toks = set(_TOKEN_RE.findall(text.lower()))
-    return {lang: len(toks & set(sw)) for lang, sw in LANG_STOPWORDS.items()}
+    return {lang: len(toks & sw) for lang, sw in _LANG_STOPSETS.items()}
+
+
+def _detect_from_hits(hits: dict[str, int]) -> str:
+    best = max(LANG_ORDER, key=lambda lang: (hits[lang], -LANG_ORDER.index(lang)))
+    return best if hits[best] > 0 else "unknown"
 
 
 def detect_lang(text: str) -> str:
     """argmax over stopword hits, ties broken by LANG_ORDER; 'unknown' when
     no evidence."""
-    hits = lang_hits(text)
-    best = max(LANG_ORDER, key=lambda lang: (hits[lang], -LANG_ORDER.index(lang)))
-    return best if hits[best] > 0 else "unknown"
+    return _detect_from_hits(lang_hits(text))
 
 
 def langid_batch(t: pa.Table) -> pa.Table:
     texts = t["text"].to_pylist()
-    hits = [lang_hits(x) for x in texts]
+    hits = [lang_hits(x) for x in texts]  # tokenize once per document
     cols = {"doc_id": t["doc_id"]}
     for lang in LANG_ORDER:
         cols[f"hits_{lang}"] = pa.array([h[lang] for h in hits], pa.int64())
-    cols["lang_detected"] = pa.array([detect_lang(x) for x in texts], pa.string())
+    cols["lang_detected"] = pa.array(
+        [_detect_from_hits(h) for h in hits], pa.string()
+    )
     return pa.table(cols)
 
 

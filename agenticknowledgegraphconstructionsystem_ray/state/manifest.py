@@ -45,7 +45,9 @@ def read_manifest(out_dir: str, chunk_id: int) -> dict | None:
     try:
         with open(path) as f:
             return json.load(f)
-    except (json.JSONDecodeError, OSError):
+    except (ValueError, OSError):
+        # ValueError covers JSONDecodeError AND UnicodeDecodeError — a
+        # torn/corrupt manifest must read as "not done", never abort resume
         return None
 
 

@@ -6,9 +6,10 @@ Prints ONE JSON line:
    "queries": {...per-pipeline sec...}, "sf": .., "num_cpus": N,
    "docs_per_s": .., "triples_per_s": ..}
 
-``--scaling`` runs the same bench twice in fresh processes at
-RAY_GRAFT_CPUS=8 and 32 (the sandbox stand-in for N vs 4N nodes) and reports
-throughput at both plus scaling efficiency.
+``--scaling`` runs the same bench twice in fresh processes at two CPU
+levels (defaults RAY_GRAFT_SCALING_LO=4 / HI=16 — the N vs 4N stand-in;
+override via those env vars) and reports throughput at both plus scaling
+efficiency.
 """
 
 from __future__ import annotations
@@ -105,7 +106,8 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
 
 
 def run_scaling() -> dict:
-    """Same input + pipeline at num_cpus=8 and 32 in fresh processes.
+    """Same input + pipeline at two num_cpus levels in fresh processes
+    (defaults 4 and 16; RAY_GRAFT_SCALING_LO/HI override).
 
     Uses a 4x corpus (200k pages at sf0.1) so per-CPU compute dominates the
     fixed per-run costs — the sandbox stand-in for the N vs 4N node
