@@ -20,23 +20,34 @@ def strip_fences(s: str) -> str:
     return _FENCE_RE.sub("", s).strip()
 
 
-def safe_parse_json(s: str | None):
-    """Parse s (fence-stripped) -> object, or None on any failure."""
+_PARSE_FAILED = object()  # distinguishes a failure from a valid JSON null
+
+
+def _parse(s: str | None):
     if not s:
         return None
     try:
         return json.loads(strip_fences(s))
     except (json.JSONDecodeError, TypeError, ValueError):
-        return None
+        return _PARSE_FAILED
+
+
+def safe_parse_json(s: str | None):
+    """Parse s (fence-stripped) -> object; None for empty input, a valid
+    JSON null, OR any failure (use parse_many for an exact error count)."""
+    out = _parse(s)
+    return None if out is _PARSE_FAILED else out
 
 
 def parse_many(values: list[str | None]) -> tuple[list, int]:
-    """Batch parse -> (results with None for bad rows, error count)."""
+    """Batch parse -> (results with None for bad rows, error count). A valid
+    JSON ``null`` is an empty-but-valid result, not an error."""
     out = []
     errors = 0
     for v in values:
-        parsed = safe_parse_json(v)
-        if parsed is None and v not in (None, ""):
+        parsed = _parse(v)
+        if parsed is _PARSE_FAILED:
             errors += 1
+            parsed = None
         out.append(parsed)
     return out, errors

@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..stages.triples import RECORD_SCHEMA
-
 
 class EntityLinker:
     """``map_batches(EntityLinker, fn_constructor_kwargs={"alias_ref": ref},
@@ -60,5 +58,3 @@ class EntityLinker:
             out = out.append_column("link_score", pa.array(link_scores, pa.float64()))
         return out
 
-
-LINKED_SCHEMA = RECORD_SCHEMA.append(pa.field("link_score", pa.float64()))

@@ -57,15 +57,28 @@ class BloomFilter:
         return bf
 
 
+_WORKER_BLOOMS: dict = {}
+
+
 def bloom_semi_join(ds, key_column: str, bloom_ref):
     """Approximate semi-join: keep rows whose key is (probably) in the
-    broadcast Bloom filter. Exact follow-up is the caller's choice."""
+    broadcast Bloom filter. Exact follow-up is the caller's choice.
+
+    The filter object is resolved from the object store ONCE per worker
+    process and cached (same pattern as stages/triples.extract_records_batch)
+    — never re-fetched per batch."""
     import pyarrow as pa
 
     def fil(t: pa.Table, _ref=bloom_ref) -> pa.Table:
-        import ray
+        if hasattr(_ref, "hex"):
+            bf = _WORKER_BLOOMS.get(_ref.hex())
+            if bf is None:
+                import ray
 
-        bf = ray.get(_ref) if hasattr(_ref, "hex") else _ref
+                bf = ray.get(_ref)
+                _WORKER_BLOOMS[_ref.hex()] = bf
+        else:
+            bf = _ref
         mask = pa.array([k in bf for k in t[key_column].to_pylist()])
         return t.filter(mask)
 

@@ -33,6 +33,11 @@ class TestJsonSafe:
         assert out == [{"k": 1}, None, None, "x"]
         assert errors == 1  # only the parse failure counts, not None
 
+    def test_valid_json_null_is_not_an_error(self):
+        out, errors = parse_many(["null", "```json\nnull\n```", "{bad"])
+        assert out == [None, None, None]
+        assert errors == 1  # only the malformed row
+
 
 class TestNormUrl:
     def test_scheme_www_slash(self):
