@@ -189,6 +189,16 @@ def q12_events_hourly(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
         .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+        # Ray's aggregate normalizes the key to timestamp[s]; cast back to
+        # timestamp[us] to byte-match DuckDB date_trunc('hour', ts)
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("hour"),
+                "hour",
+                pc.cast(t["hour"], pa.timestamp("us")),
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -198,7 +208,14 @@ def q21_orders_per_month(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_orderdate"])
 
     def prep(t: pa.Table) -> pa.Table:
-        return pa.table({"month": pc.floor_temporal(t["o_orderdate"], unit="month")})
+        # date32 to byte-match DuckDB date_trunc('month', DATE) -> DATE
+        return pa.table(
+            {
+                "month": pc.cast(
+                    pc.floor_temporal(t["o_orderdate"], unit="month"), pa.date32()
+                )
+            }
+        )
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
@@ -601,16 +618,16 @@ def q16_knn_vec0(sf_dir: str):
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS sum_qty_c,
-               SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS sum_base_c,
-               SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS sum_disc_c,
+               CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_c,
+               CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS sum_disc_c,
                COUNT(*) AS n_rows
         FROM lineitem WHERE l_quantity > 5
         GROUP BY l_returnflag, l_linestatus
     """,
     "q02_orders_by_status": """
         SELECT o_orderstatus, COUNT(*) AS n_orders,
-               SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS total_c
+               CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_c
         FROM orders GROUP BY o_orderstatus
     """,
     "q03_global_counts": """
@@ -621,7 +638,7 @@ ORACLE_SQL: dict[str, str] = {
                (SELECT COUNT(*) FROM documents) AS n_documents
     """,
     "q04_avg_orders_per_customer": """
-        SELECT SUM(cnt) AS n_orders_total,
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_orders_total,
                COUNT(*) AS n_customers_with_orders,
                CAST(round(AVG(cnt)*1000000, 0) AS BIGINT) AS avg_orders_ppm
         FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey)
@@ -633,7 +650,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q06_revenue_by_segment": """
         SELECT c_mktsegment, COUNT(*) AS n_orders,
-               SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS revenue_c
+               CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_c
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
@@ -665,7 +682,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q12_events_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
-               SUM(CAST(round(value*100,0) AS BIGINT)) AS value_c
+               CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_c
         FROM events GROUP BY event_type, date_trunc('hour', ts)
     """,
     "q13_dedup_docs_exact": """
@@ -704,7 +721,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20
     """,
     "q18_docs_by_lang": """
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang
     """,
     "q19_suppliers_by_region": """

@@ -378,7 +378,7 @@ _LANGID_HITS = ",\n               ".join(
 ORACLE_SQL: dict[str, str] = {
     "q22_orders_lineitem_join": """
         SELECT o_orderpriority, COUNT(*) AS n_items,
-               SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS revenue_c
+               CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_c
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority
     """,
@@ -440,7 +440,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q28_events_props_json": """
         SELECT event_type,
-               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                COUNT(json_extract(props, '$.k')) AS n_valid
         FROM events GROUP BY event_type
     """,
@@ -456,8 +456,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q30_user_sessions": """
         SELECT user_id, COUNT(*) AS n_events,
-               1 + SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
-                   AS n_sessions
+               CAST(1 + SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sessions
         FROM (
             SELECT user_id,
                    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
@@ -467,7 +467,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q32_stable_split": """
         SELECT COUNT(*) AS n_sampled,
-               SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS total_c
+               CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_c
         FROM orders
         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) IN
               ('0','1','2','3')

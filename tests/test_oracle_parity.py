@@ -1,12 +1,14 @@
 """In-repo safety net for the driver's query-vs-SQL comparison: run a fast
 subset of queries() against their oracle_sql() via DuckDB at sf0.001 and
-require EXACT value equality (the driver hashes values; any bit difference
-fails)."""
+require EXACT Arrow equality (schema dtypes + values). The driver's value-hash
+is dtype-sensitive — e.g. DuckDB SUM(BIGINT) -> decimal128(38,0) vs Ray int64
+fails it — so this test compares ``pyarrow.Table``s, never pandas objects."""
 
 import sys
 
 import duckdb
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 sys.path.insert(0, "/root/repo")
@@ -15,10 +17,13 @@ SF = "/root/testdata/sf0.001"
 
 FAST_QUERIES = [
     "q01_pricing_summary",
+    "q02_orders_by_status",
     "q03_global_counts",
+    "q04_avg_orders_per_customer",
     "q05_top_parts",
     "q09_nation_customer_counts",
     "q11_conditional_counts",
+    "q12_events_hourly",
     "q13_dedup_docs_exact",
     "q14_term_counts",
     "q15_doc_token_stats",
@@ -27,17 +32,38 @@ FAST_QUERIES = [
     "q25_langid",
     "q26_quality",
     "q27_token_classes",
+    "q28_events_props_json",
+    "q30_user_sessions",
+    "q32_stable_split",
     "mm_decode_meta",
 ]
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
-            drop=True
-        )
-    return df
+def _canon(t: pa.Table) -> pa.Table:
+    t = t.select(sorted(t.column_names)).combine_chunks()
+    if t.num_rows:
+        idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in t.column_names])
+        t = t.take(idx)
+    return t
+
+
+def _to_arrow(result) -> pa.Table:
+    import pandas as pd
+
+    import ray
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        tables = list(ray.get(result.to_arrow_refs()))
+        nonempty = [t for t in tables if t.num_rows]
+        if nonempty:
+            return pa.concat_tables(nonempty, promote_options="default")
+        return tables[0] if tables else pa.table({})
+    if isinstance(result, pa.Table):
+        return result
+    if isinstance(result, pd.DataFrame):
+        return pa.Table.from_pandas(result, preserve_index=False)
+    raise TypeError(type(result))
 
 
 @pytest.fixture(scope="module")
@@ -63,24 +89,13 @@ def con():
 
 @pytest.mark.parametrize("name", FAST_QUERIES)
 def test_query_matches_duckdb(entrymod, con, name):
-    import pyarrow as pa
-
-    import ray.data
-
     fn = entrymod.queries()[name]
     sql = entrymod.oracle_sql()[name]
-    result = fn(SF)
-    if isinstance(result, ray.data.Dataset):
-        mine = result.to_pandas()
-    elif isinstance(result, pa.Table):
-        mine = result.to_pandas()
-    else:
-        mine = result
-    mine = _canon(mine)
-    ref = _canon(con.execute(sql).df())
-    assert list(mine.columns) == list(ref.columns)
-    assert len(mine) == len(ref)
-    for c in mine.columns:
-        assert (
-            mine[c].astype("object") == ref[c].astype("object")
-        ).all(), f"{name}.{c}"
+    mine = _canon(_to_arrow(fn(SF)))
+    ref = _canon(con.execute(sql).arrow())
+    assert mine.column_names == ref.column_names, f"{name}: column names"
+    assert mine.num_rows == ref.num_rows, f"{name}: row count"
+    for c in mine.column_names:
+        a, b = mine[c], ref[c]
+        assert a.type == b.type, f"{name}.{c}: dtype {a.type} vs {b.type}"
+        assert a.equals(b), f"{name}.{c}: values differ"

@@ -1,6 +1,13 @@
 """Local parity harness: run every queries() entry AND its oracle_sql() twice
 (Ray vs DuckDB) on the same parquet tables and compare exactly, mirroring the
-driver's order-insensitive value comparison. Exits nonzero on any mismatch.
+driver's order-insensitive, dtype-sensitive value comparison. Exits nonzero on
+any mismatch.
+
+The comparison is Arrow-exact: both sides are converted to ``pyarrow.Table``
+(DuckDB via ``.arrow()``, never ``.df()`` — pandas object compare hides type
+drift like DuckDB SUM(BIGINT) -> decimal128(38,0) vs Ray int64, which the
+driver's value-hash DOES fail on), columns sorted by name, rows sorted by all
+columns, then schema and values compared with ``Table.equals``.
 
 Usage: python tools/check_oracles.py [sf_dir]
 """
@@ -13,30 +20,66 @@ import time
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def to_pandas(result) -> pd.DataFrame:
-    import pyarrow as pa
+def to_arrow(result) -> pa.Table:
+    import ray
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
+        tables = list(ray.get(result.to_arrow_refs()))
+        nonempty = [t for t in tables if t.num_rows]
+        if nonempty:
+            return pa.concat_tables(nonempty, promote_options="default")
+        return tables[0] if tables else pa.table({})
     if isinstance(result, pa.Table):
-        return result.to_pandas()
-    return result
+        return result
+    if isinstance(result, pd.DataFrame):
+        return pa.Table.from_pandas(result, preserve_index=False)
+    raise TypeError(f"unsupported result type {type(result)!r}")
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+def canon(t: pa.Table) -> pa.Table:
+    t = t.select(sorted(t.column_names))
+    t = t.combine_chunks()
+    if t.num_rows:
+        try:
+            idx = pc.sort_indices(
+                t, sort_keys=[(c, "ascending") for c in t.column_names]
+            )
+            t = t.take(idx)
+        except pa.ArrowError:
+            # non-orderable column (e.g. nested list) — sort by orderable ones
+            keys = [
+                c for c in t.column_names
+                if not pa.types.is_nested(t.schema.field(c).type)
+            ]
+            if keys:
+                idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in keys])
+                t = t.take(idx)
+    return t
+
+
+def diff_report(name: str, mine: pa.Table, ref: pa.Table) -> list[str]:
+    msgs = []
+    for c in mine.column_names:
+        a, b = mine[c], ref[c]
+        if a.type != b.type:
+            msgs.append(f"  col {c}: dtype {a.type} vs {b.type}")
+        elif not a.equals(b):
+            av, bv = a.to_pylist(), b.to_pylist()
+            bad = [(x, y) for x, y in zip(av, bv) if x != y][:3]
+            msgs.append(f"  col {c}: values differ, e.g. {bad}")
+    return msgs
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
 
     import ray
 
@@ -65,53 +108,46 @@ def main() -> int:
         )
 
     failures = []
+    n_checked = 0
     for name, fn in sorted(queries.items()):
+        if only and name not in only:
+            continue
+        n_checked += 1
         t0 = time.perf_counter()
         try:
-            mine = canon(to_pandas(fn(sf_dir)))
+            mine = canon(to_arrow(fn(sf_dir)))
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ray side raised: {e!r}"))
             print(f"FAIL {name}: ray side raised {e!r}")
             continue
         wall = time.perf_counter() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows={len(mine)} (no SQL oracle; rows-only) [{wall:.2f}s]")
+            print(f"ok   {name}: rows={mine.num_rows} (no SQL oracle; rows-only) [{wall:.2f}s]")
             continue
         try:
-            ref = canon(con.execute(oracles[name]).df())
+            ref = canon(con.execute(oracles[name]).arrow())
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb raised: {e!r}"))
             print(f"FAIL {name}: duckdb raised {e!r}")
             continue
-        if list(mine.columns) != list(ref.columns):
-            failures.append((name, f"columns {list(mine.columns)} != {list(ref.columns)}"))
-            print(f"FAIL {name}: columns {list(mine.columns)} vs {list(ref.columns)}")
+        if mine.column_names != ref.column_names:
+            failures.append((name, f"columns {mine.column_names} != {ref.column_names}"))
+            print(f"FAIL {name}: columns {mine.column_names} vs {ref.column_names}")
             continue
-        if len(mine) != len(ref):
-            failures.append((name, f"rows {len(mine)} != {len(ref)}"))
-            print(f"FAIL {name}: rows {len(mine)} vs {len(ref)}")
+        if mine.num_rows != ref.num_rows:
+            failures.append((name, f"rows {mine.num_rows} != {ref.num_rows}"))
+            print(f"FAIL {name}: rows {mine.num_rows} vs {ref.num_rows}")
             continue
-        # exact value compare (driver hashes values; any bit difference fails)
-        mismatch_cols = []
-        for c in mine.columns:
-            a, b = mine[c], ref[c]
-            try:
-                same = a.equals(b) or (a.astype("object") == b.astype("object")).all()
-            except Exception:  # noqa: BLE001
-                same = False
-            if not same:
-                mismatch_cols.append(c)
-        if mismatch_cols:
-            failures.append((name, f"value mismatch in {mismatch_cols}"))
-            print(f"FAIL {name}: value mismatch in {mismatch_cols}")
-            for c in mismatch_cols[:2]:
-                diff = mine[c] != ref[c]
-                print("  mine:", mine.loc[diff.fillna(True), c].head(3).tolist())
-                print("  ref :", ref.loc[diff.fillna(True), c].head(3).tolist())
+        if not mine.equals(ref):
+            msgs = diff_report(name, mine, ref)
+            failures.append((name, "; ".join(msgs) or "tables differ"))
+            print(f"FAIL {name}:")
+            for m in msgs[:4]:
+                print(m)
         else:
-            print(f"ok   {name}: rows={len(mine)} exact match [{wall:.2f}s]")
+            print(f"ok   {name}: rows={mine.num_rows} exact match [{wall:.2f}s]")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries ok")
+    print(f"\n{n_checked - len(failures)}/{n_checked} queries ok")
     return 1 if failures else 0
 
 
