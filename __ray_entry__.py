@@ -51,13 +51,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query. KG pipeline
-    queries (deterministic NER + union-find over synthesized pages) are
-    non-SQL-expressible -> rows-only checks; their strong oracle lives in
-    tests/ (sequential single-process oracle, byte-identical + exact P/R)."""
+    """DuckDB-equivalent SQL for every SQL-expressible query. The KG pipeline
+    queries (deterministic NER + union-find over synthesized pages) are not
+    SQL-expressible over the input tables, so their oracle is a GOLDEN FILE:
+    an independent sequential single-process recomputation of the expected
+    output (goldens.py), written as parquet that the SQL reads with
+    read_parquet. Generated here (idempotent, cached under /tmp) so the
+    golden exists whichever side the driver evaluates first."""
+    from agenticknowledgegraphconstructionsystem_ray import goldens
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
         training,
     )
 
-    return {**analytics.ORACLE_SQL, **training.ORACLE_SQL}
+    goldens.ensure_kg_golden()
+    return {
+        **analytics.ORACLE_SQL,
+        **training.ORACLE_SQL,
+        **goldens.kg_oracle_sql(),
+    }

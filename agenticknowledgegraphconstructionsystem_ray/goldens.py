@@ -1,0 +1,447 @@
+"""Golden-file oracles for the KG pipeline driver queries.
+
+The driver's correctness gate compares each ``queries()`` entry against a
+DuckDB ``oracle_sql()`` string. The KG pipeline itself (deterministic NER +
+per-page dedup + union-find canonicalization + validation) is not expressible
+in SQL over the input tables — but its expected OUTPUT can be computed by an
+independent sequential single-process implementation (the same pure kernels
+as :mod:`..oracle`, none of the Ray orchestration: no chunking, no shuffles,
+no combiners, no broadcast maps) and written as parquet that the oracle SQL
+then reads with ``read_parquet``. That turns every ``kg_*`` driver entry from
+a rows-only check into a full value comparison: distributed pipeline vs
+sequential golden.
+
+Everything here is sequential Python loops on the driver — deliberately so.
+It runs once per scale factor (idempotent marker) at the small correctness
+scale (sf0.01, 5k pages), never on benchmark-sized data.
+
+Reference parity anchors: extraction semantics
+``/root/reference/agents/src/agents/entity-extraction-agent.ts:30-79``,
+confidence ``relationship-discovery-agent.ts:43-60``, validation rules
+``validation-agent.ts:69-389``, dedup ``db_init.py:128``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import synth
+from .functions.confidence import calculate_base_confidence
+from .functions.html_text import html_to_text
+from .functions.textnorm import norm_surface
+from .functions.triples import extract_mentions_and_triples, mention_relevance
+from .functions.validate_rules import (
+    is_valid,
+    should_flag_for_review,
+    validate_relationship,
+)
+from .state.unionfind import UnionFind
+
+GOLDEN_ROOT = "/tmp/agkg_golden"
+GOLDEN_VERSION = "1"
+
+# The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
+# strings are pinned to this golden directory.
+DRIVER_SF = 0.01
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def golden_dir(sf: float) -> str:
+    return os.path.join(GOLDEN_ROOT, f"sf{sf:g}")
+
+
+# ---------------------------------------------------------------------------
+# sequential corpus pass
+# ---------------------------------------------------------------------------
+
+def _extract_page(text: str, alias: dict | None):
+    """One page, sequentially: (mention rows, per-page-deduped edge rows,
+    per-norm (n_in_page, score) dict). Mirrors the SEMANTICS of the
+    distributed extractor via the shared pure kernels; the orchestration
+    (aggregation order, dedup representative, confidence inputs) is
+    re-derived independently here."""
+    mentions, triples = extract_mentions_and_triples(text or "")
+
+    agg: dict[str, dict] = {}
+    for m in mentions:
+        slot = agg.get(m.norm)
+        if slot is None:
+            agg[m.norm] = {"surface": m.surface, "n": 1}
+        else:
+            slot["n"] += 1
+    scores = {norm: mention_relevance(s["n"]) for norm, s in agg.items()}
+
+    m_rows = []
+    for norm in sorted(agg):
+        s = agg[norm]
+        if alias is not None:
+            hit = alias.get(norm)
+            ent_type = hit[1] if hit else "concept"
+            link_score = 1.0 if hit else 0.0
+        else:
+            ent_type, link_score = None, None
+        m_rows.append(
+            {
+                "norm_surface": norm,
+                "surface": s["surface"],
+                "ent_type": ent_type,
+                "score": scores[norm],
+                "n_in_page": s["n"],
+                "link_score": link_score,
+            }
+        )
+
+    # per-page exact dedup on the canonical key, smallest
+    # (confidence, context, subj, subj_norm, obj, obj_norm) representative
+    best: dict[tuple, tuple] = {}
+    for t in triples:
+        sn, on = norm_surface(t.subj), norm_surface(t.obj)
+        if alias is not None:
+            canon_s = norm_surface(alias[sn][0]) if sn in alias else sn
+            canon_o = norm_surface(alias[on][0]) if on in alias else on
+        else:
+            canon_s, canon_o = sn, on
+        shared = [v for k, v in scores.items() if k not in (sn, on)]
+        conf = calculate_base_confidence(shared)
+        key = (canon_s, t.pred, canon_o)
+        cand = (conf, t.context, t.subj, sn, t.obj, on)
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    e_rows = [
+        {
+            "subj": subj,
+            "subj_norm": sn,
+            "pred": key[1],
+            "obj": obj,
+            "obj_norm": on,
+            "confidence": conf,
+            "context": context,
+        }
+        for key, (conf, context, subj, sn, obj, on) in sorted(best.items())
+    ]
+    return m_rows, e_rows, {n: (agg[n]["n"], scores[n]) for n in agg}
+
+
+def _canonicalize(counts: dict[str, list], alias: dict):
+    """Sequential union-find canonicalization -> (node row dicts sorted by
+    canonical name with dense entity ids, norm -> (entity_id, canonical))."""
+    uf = UnionFind()
+    for norm in counts:
+        uf.add(norm)
+        hit = alias.get(norm)
+        if hit is not None:
+            uf.union(norm, norm_surface(hit[0]))
+
+    rows = []
+    for _, members in sorted(uf.components().items()):
+        canon_names = sorted({alias[m][0] for m in members if m in alias})
+        member_types = sorted({alias[m][1] for m in members if m in alias})
+        canonical = canon_names[0] if canon_names else members[0]
+        ent_type = member_types[0] if member_types else "concept"
+        seen = [m for m in members if m in counts]
+        if not seen:
+            continue
+        rows.append(
+            {
+                "canonical_name": canonical,
+                "ent_type": ent_type,
+                "mention_count": sum(counts[m][0] for m in seen),
+                "link_count": sum(counts[m][1] for m in seen),
+                "perfect_links": sum(counts[m][2] for m in seen),
+                "max_score": max(counts[m][3] for m in seen),
+                "min_score": min(counts[m][4] for m in seen),
+                "aliases": sorted(seen),
+                "_members": members,
+            }
+        )
+    rows.sort(key=lambda r: r["canonical_name"])
+    id_map: dict[str, tuple[int, str]] = {}
+    for eid, r in enumerate(rows):
+        r["entity_id"] = eid
+        for m in r.pop("_members"):
+            id_map[m] = (eid, r["canonical_name"])
+    return rows, id_map
+
+
+def _compute_kg_golden(pages_dir: str, alias: dict):
+    """Full sequential KG run -> dict of pyarrow Tables keyed by artifact."""
+    from .stages.validate import EDGE_RULES, validate_nodes_table
+
+    text_rows: list[dict] = []
+    mention_rows: list[dict] = []
+    raw_edges: list[dict] = []
+    # norm -> [mention_count, link_count, perfect_links, max_score, min_score]
+    counts: dict[str, list] = {}
+
+    for f in sorted(glob.glob(os.path.join(pages_dir, "*.parquet"))):
+        t = pq.read_table(f, columns=["url", "warc_ts", "html", "lang"])
+        for url, ts, html, lang in zip(
+            t.column("url").to_pylist(),
+            t.column("warc_ts").to_pylist(),
+            t.column("html").to_pylist(),
+            t.column("lang").to_pylist(),
+        ):
+            text = html_to_text(html)
+            text_rows.append({"url": url, "text": text, "lang": lang})
+            m_rows, e_rows, page_counts = _extract_page(text, alias)
+            for r in m_rows:
+                r["url"] = url
+                mention_rows.append(r)
+            for r in e_rows:
+                r["url"] = url
+                r["warc_ts"] = ts
+                raw_edges.append(r)
+            for norm, (n, score) in page_counts.items():
+                slot = counts.get(norm)
+                if slot is None:
+                    counts[norm] = [n, 1, int(score == 1.0), score, score]
+                else:
+                    slot[0] += n
+                    slot[1] += 1
+                    slot[2] += int(score == 1.0)
+                    slot[3] = max(slot[3], score)
+                    slot[4] = min(slot[4], score)
+
+    node_rows, id_map = _canonicalize(counts, alias)
+
+    edges = []
+    for r in raw_edges:
+        sid, sname = id_map.get(r["subj_norm"], (-1, r["subj_norm"]))
+        oid, oname = id_map.get(r["obj_norm"], (-1, r["obj_norm"]))
+        issues = validate_relationship(
+            sid, oid, r["pred"], r["confidence"], r["context"]
+        )
+        edges.append(
+            {
+                "subj_id": sid,
+                "pred": r["pred"],
+                "obj_id": oid,
+                "subj": sname,
+                "obj": oname,
+                "url": r["url"],
+                "warc_ts": r["warc_ts"],
+                "confidence": r["confidence"],
+                "context": r["context"],
+                "validated": is_valid(issues),
+                "flag_for_review": should_flag_for_review(
+                    r["confidence"], issues
+                ),
+                "_issues": issues,
+            }
+        )
+    edges.sort(key=lambda e: (e["subj_id"], e["pred"], e["obj_id"], e["url"]))
+
+    # issue rows: entity issues via the shared driver-side rules, edge issues
+    # with the pipeline's static per-rule messages
+    nodes_table = pa.table(
+        {
+            "entity_id": pa.array([r["entity_id"] for r in node_rows], pa.int64()),
+            "canonical_name": pa.array([r["canonical_name"] for r in node_rows]),
+            "ent_type": pa.array([r["ent_type"] for r in node_rows]),
+            "mention_count": pa.array([r["mention_count"] for r in node_rows], pa.int64()),
+            "link_count": pa.array([r["link_count"] for r in node_rows], pa.int64()),
+            "perfect_links": pa.array([r["perfect_links"] for r in node_rows], pa.int64()),
+            "max_score": pa.array([r["max_score"] for r in node_rows], pa.float64()),
+            "min_score": pa.array([r["min_score"] for r in node_rows], pa.float64()),
+            "aliases": pa.array([r["aliases"] for r in node_rows], pa.list_(pa.string())),
+        }
+    )
+    issue_rows = validate_nodes_table(nodes_table).to_pylist()
+    for e in edges:
+        key = f'{e["subj_id"]}|{e["pred"]}|{e["obj_id"]}|{e["url"]}'
+        for i in e.pop("_issues"):
+            sev, msg = EDGE_RULES[i["rule"]]
+            issue_rows.append(
+                {
+                    "domain": "relationship",
+                    "key": key,
+                    "severity": sev,
+                    "rule": i["rule"],
+                    "message": msg,
+                }
+            )
+
+    out: dict[str, pa.Table] = {}
+    out["text"] = pa.table(
+        {
+            "url": pa.array([r["url"] for r in text_rows]),
+            "text": pa.array([r["text"] for r in text_rows]),
+            "lang": pa.array([r["lang"] for r in text_rows]),
+        }
+    )
+    out["mentions"] = pa.table(
+        {
+            "url": pa.array([r["url"] for r in mention_rows]),
+            "norm_surface": pa.array([r["norm_surface"] for r in mention_rows]),
+            "surface": pa.array([r["surface"] for r in mention_rows]),
+            "ent_type": pa.array([r["ent_type"] for r in mention_rows]),
+            "score": pa.array([r["score"] for r in mention_rows], pa.float64()),
+            "n_in_page": pa.array([r["n_in_page"] for r in mention_rows], pa.int32()),
+            "link_score": pa.array([r["link_score"] for r in mention_rows], pa.float64()),
+        }
+    )
+    out["nodes"] = nodes_table.drop_columns(["aliases"]).append_column(
+        "aliases_joined",
+        pa.array(["|".join(r["aliases"]) for r in node_rows], pa.string()),
+    )
+    out["edges"] = pa.table(
+        {
+            "subj_id": pa.array([e["subj_id"] for e in edges], pa.int64()),
+            "pred": pa.array([e["pred"] for e in edges]),
+            "obj_id": pa.array([e["obj_id"] for e in edges], pa.int64()),
+            "subj": pa.array([e["subj"] for e in edges]),
+            "obj": pa.array([e["obj"] for e in edges]),
+            "url": pa.array([e["url"] for e in edges]),
+            "warc_ts": pa.array([e["warc_ts"] for e in edges], pa.timestamp("us")),
+            "confidence": pa.array([e["confidence"] for e in edges], pa.float64()),
+            "context": pa.array([e["context"] for e in edges]),
+            "validated": pa.array([e["validated"] for e in edges], pa.bool_()),
+            "flag_for_review": pa.array([e["flag_for_review"] for e in edges], pa.bool_()),
+        }
+    )
+    out["issues"] = pa.table(
+        {
+            "domain": pa.array([r["domain"] for r in issue_rows]),
+            "key": pa.array([r["key"] for r in issue_rows]),
+            "severity": pa.array([r["severity"] for r in issue_rows]),
+            "rule": pa.array([r["rule"] for r in issue_rows]),
+            "message": pa.array([r["message"] for r in issue_rows]),
+        }
+    )
+    return out
+
+
+def _compute_docs_triples_golden(sf_dir: str) -> pa.Table:
+    """Sequential golden for kg_docs_triples: per-document mention/triple row
+    counts from the extractor applied to the documents table (no alias dict,
+    matching the pipeline call)."""
+    rows = []
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        m_rows, e_rows, _ = _extract_page(text, alias=None)
+        rows.append(
+            {
+                "url": f"doc://{doc_id}",
+                "n_mentions": len(m_rows),
+                "n_triples": len(e_rows),
+            }
+        )
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows]),
+            "n_mentions": pa.array([r["n_mentions"] for r in rows], pa.int64()),
+            "n_triples": pa.array([r["n_triples"] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# idempotent writer + oracle SQL
+# ---------------------------------------------------------------------------
+
+def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
+    """Compute-and-write the sequential golden for a scale factor (cached)."""
+    d = golden_dir(sf)
+    marker = os.path.join(d, "_GOLDEN_OK")
+    tag = f"v{GOLDEN_VERSION}:{sf:g}:{seed}"
+    if os.path.exists(marker) and open(marker).read() == tag:
+        return d
+
+    pages_dir = synth.ensure_pages(sf, seed=seed)
+    alias = synth.alias_dict()
+    tables = _compute_kg_golden(pages_dir, alias)
+    sf_dir = f"/root/testdata/sf{sf:g}"
+    if os.path.isdir(sf_dir):
+        tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
+
+    import shutil
+
+    tmp = d + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for name, t in tables.items():
+        pq.write_table(t, os.path.join(tmp, f"{name}.parquet"))
+    with open(os.path.join(tmp, "_GOLDEN_OK"), "w") as f:
+        f.write(tag)
+    shutil.rmtree(d, ignore_errors=True)
+    os.replace(tmp, d)
+    return d
+
+
+def _g(name: str) -> str:
+    return f"read_parquet('{golden_dir(DRIVER_SF)}/{name}.parquet')"
+
+
+def kg_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for the kg_* driver queries, reading the sequential
+    golden parquet. Pinned to the driver's correctness scale (sf0.01)."""
+    return {
+        "kg_text": f"SELECT url, text, lang FROM {_g('text')}",
+        "kg_mentions": f"""
+            SELECT url, norm_surface, surface, ent_type, score, n_in_page,
+                   link_score
+            FROM {_g('mentions')}
+        """,
+        "kg_nodes": f"""
+            SELECT entity_id, canonical_name, ent_type, mention_count,
+                   link_count, perfect_links, max_score, min_score,
+                   aliases_joined
+            FROM {_g('nodes')}
+        """,
+        "kg_edges": f"""
+            SELECT subj_id, pred, obj_id, subj, obj, url, warc_ts,
+                   confidence, context, validated, flag_for_review
+            FROM {_g('edges')}
+        """,
+        "kg_validation_issues": f"""
+            SELECT domain, key, severity, rule, message FROM {_g('issues')}
+        """,
+        "kg_top_concepts": f"""
+            SELECT entity_id, canonical_name, ent_type, mention_count
+            FROM {_g('nodes')}
+            ORDER BY mention_count DESC, entity_id LIMIT 10
+        """,
+        "kg_concept_summary": f"""
+            SELECT canonical_name, ent_type, mention_count, link_count,
+                   max_score, min_score
+            FROM {_g('nodes')}
+            ORDER BY link_count DESC, canonical_name LIMIT 100
+        """,
+        "kg_relationship_summary": f"""
+            SELECT pred, COUNT(*) AS n_edges,
+                   CAST(SUM(CAST(round(confidence*1000000, 0) AS BIGINT))
+                        AS BIGINT) AS sum_conf_ppm,
+                   CAST(SUM(CAST(validated AS BIGINT)) AS BIGINT)
+                       AS n_validated,
+                   CAST(SUM(CASE WHEN confidence < 0.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_low_confidence
+            FROM {_g('edges')} GROUP BY pred
+        """,
+        "kg_shared_entities": f"""
+            WITH rel AS (
+                SELECT url, norm_surface FROM {_g('mentions')}
+                WHERE score >= 0.4
+            ),
+            ok AS (
+                SELECT norm_surface FROM rel GROUP BY norm_surface
+                HAVING COUNT(*) BETWEEN 2 AND 20
+            )
+            SELECT a.url AS url_a, b.url AS url_b, COUNT(*) AS n_shared
+            FROM rel a
+            JOIN rel b ON a.norm_surface = b.norm_surface AND a.url < b.url
+            JOIN ok ON ok.norm_surface = a.norm_surface
+            GROUP BY a.url, b.url
+            ORDER BY n_shared DESC, url_a, url_b LIMIT 50
+        """,
+        "kg_docs_triples": f"""
+            SELECT url, n_mentions, n_triples FROM {_g('docs_triples')}
+        """,
+    }
