@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "1"
+GOLDEN_VERSION = "2"  # v2: + dd/tx/ivf sequential goldens over testdata
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -343,6 +343,148 @@ def _compute_docs_triples_golden(sf_dir: str) -> pa.Table:
     )
 
 
+def _seq_minhash_pairs(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Sequential MinHash-LSH near-dup golden: same pure per-doc kernels
+    (minhash_signature/shingles/jaccard), orchestration (banding, bucketing,
+    candidate generation, verify) re-run in one process with plain dicts."""
+    import hashlib
+
+    from .stages import dedup
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = t["doc_id"].to_pylist()
+    texts = dict(zip(ids, t["text"].to_pylist()))
+    buckets: dict[tuple, list[int]] = {}
+    for i in ids:
+        sig = dedup.minhash_signature(texts[i])
+        for band in range(dedup._BANDS):
+            chunk = sig[band * dedup._ROWS : (band + 1) * dedup._ROWS]
+            key = (band, hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+            buckets.setdefault(key, []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        if len(ms) > dedup.MAX_BUCKET_ALL_PAIRS:
+            cand.update(zip(ms[:-1], ms[1:]))
+        else:
+            cand.update((a, b) for i, a in enumerate(ms) for b in ms[i + 1 :])
+    sh = {
+        i: dedup.shingles_of(texts[i]) for i in {d for p in cand for d in p}
+    }
+    rows = []
+    for a, b in sorted(cand):
+        j = dedup.jaccard(sh[a], sh[b])
+        if j >= threshold:
+            rows.append((a, b, int(j * 1_000_000 + 0.5)))
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard_ppm": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _seq_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Sequential SimHash near-dup golden (4x16-bit band buckets)."""
+    from .stages import dedup
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = t["doc_id"].to_pylist()
+    h = {i: dedup.simhash64(x) for i, x in zip(ids, t["text"].to_pylist())}
+    buckets: dict[tuple, list[int]] = {}
+    for i in ids:
+        for band in range(4):
+            buckets.setdefault(
+                (band, (h[i] >> (band * 16)) & 0xFFFF), []
+            ).append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        if len(ms) > dedup.MAX_BUCKET_ALL_PAIRS:
+            cand.update(zip(ms[:-1], ms[1:]))
+        else:
+            cand.update((a, b) for i, a in enumerate(ms) for b in ms[i + 1 :])
+    rows = []
+    for a, b in sorted(cand):
+        d = dedup.hamming64(h[a], h[b])
+        if d <= max_hamming:
+            rows.append((a, b, d))
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "hamming": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _seq_fingerprints(sf_dir: str) -> pa.Table:
+    """Sequential fingerprint golden (same pure rolling-hash kernel)."""
+    import numpy as np
+
+    from .stages.textstats import fingerprint
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    res = [fingerprint(x) for x in t["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "fp_min": pa.array([np.uint64(r[0]) for r in res], pa.uint64()),
+            "n_fps": pa.array([r[1] for r in res], pa.int64()),
+        }
+    )
+
+
+def _seq_ivf_topk(
+    sf_dir: str,
+    query_ids=(0, 1, 2),
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Sequential IVF golden: same deterministic kmeans-lite kernel + probe
+    rule, one numpy pass instead of the bucketed Dataset pipeline."""
+    import numpy as np
+
+    from .stages.similarity import _kmeans_lite
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn[:2048]
+    cent = _kmeans_lite(S, nlist)
+    assign = np.argmax(Mn @ cent.T, axis=1)
+    rows = []
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for qid in sorted(query_ids):
+        qn = Mn[pos[qid]]
+        order = np.argsort(-(cent @ qn), kind="stable")[:nprobe]
+        probe = set(int(x) for x in order)
+        mask = np.isin(assign, list(probe)) & (ids != qid)
+        cids = ids[mask]
+        sims = Mn[mask] @ qn
+        top = np.lexsort((cids, -sims))[:k]
+        for rank, j in enumerate(top, 1):
+            rows.append((qid, int(cids[j]), rank))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # idempotent writer + oracle SQL
 # ---------------------------------------------------------------------------
@@ -361,6 +503,10 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     sf_dir = f"/root/testdata/sf{sf:g}"
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
+        tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
+        tables["dd_simhash"] = _seq_simhash_pairs(sf_dir)
+        tables["fingerprints"] = _seq_fingerprints(sf_dir)
+        tables["ivf_topk"] = _seq_ivf_topk(sf_dir)
 
     import shutil
 
@@ -443,5 +589,26 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "kg_docs_triples": f"""
             SELECT url, n_mentions, n_triples FROM {_g('docs_triples')}
+        """,
+        "dd_minhash_pairs": f"""
+            SELECT doc_a, doc_b, jaccard_ppm FROM {_g('dd_minhash')}
+        """,
+        "dd_simhash_pairs": f"""
+            SELECT doc_a, doc_b, hamming FROM {_g('dd_simhash')}
+        """,
+        "tx_fingerprints": f"""
+            SELECT doc_id, fp_min, n_fps FROM {_g('fingerprints')}
+        """,
+        "ann_ivf_topk": f"""
+            SELECT query_id, vec_id, rank FROM {_g('ivf_topk')}
+        """,
+        # pure SQL (no golden needed): the deterministic fake video payload is
+        # text-derived, so the frame-sample count is arithmetic on byte length
+        "mm_sampled_frames": """
+            SELECT doc_id AS media_id,
+                   CAST(((octet_length(encode(text)) + 255) // 256 + 3) // 4
+                        AS BIGINT) AS n_sampled_frames
+            FROM documents
+            WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
         """,
     }

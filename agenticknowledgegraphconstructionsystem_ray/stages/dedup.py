@@ -143,11 +143,24 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
+# A degenerate LSH bucket (empty docs, shared boilerplate) is O(n^2) in
+# pairs. Above this size, emit a sorted CHAIN (id_i, id_{i+1}) instead of all
+# pairs: O(n) rows that still connect a true duplicate cluster for the
+# downstream connected-components view, at the cost of possibly missing some
+# direct pairs between near-(not exactly)-identical members — which the other
+# LSH bands usually recover. Same guard family as kgqueries MAX_DEGREE.
+MAX_BUCKET_ALL_PAIRS = 100
+
+
 def _bucket_pairs(g):
     """Group-to-sorted-pairs kernel shared by both LSH paths (pandas group:
-    one bucket)."""
+    one bucket). Oversized buckets degrade to chain pairs (see
+    MAX_BUCKET_ALL_PAIRS) so no single hot bucket can go quadratic."""
     ids = sorted(g["doc_id"].tolist())
-    rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    if len(ids) > MAX_BUCKET_ALL_PAIRS:
+        rows = list(zip(ids[:-1], ids[1:]))
+    else:
+        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
     if not rows:
         return {
             "doc_a": np.array([], dtype=np.int64),
@@ -155,6 +168,95 @@ def _bucket_pairs(g):
         }
     arr = np.array(rows, dtype=np.int64)
     return {"doc_a": arr[:, 0], "doc_b": arr[:, 1]}
+
+
+def _join_pair_payload(
+    pairs: rd.Dataset, payload: rd.Dataset, col: str, col_type: pa.DataType
+):
+    """Attach a per-doc payload column to candidate pairs for BOTH endpoints
+    (distributed; nothing corpus-sized ever reaches the driver). ``payload``
+    columns: (doc_id, <col>); doc_id must be unique. Returns a Dataset with
+    (doc_a, doc_b, <col>_a, <col>_b).
+
+    Implemented as a join-via-groupby (union tagged rows, group on the doc
+    key to pick up the payload, regroup on the pair): ``Dataset.join``'s
+    hash partitions lose their schema when empty, which breaks the second
+    join on small/skewed candidate sets, and a groupby tolerates any skew.
+    """
+
+    def pair_sides(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks()
+        b = t["doc_b"].combine_chunks()
+        n = len(a)
+        return pa.table(
+            {
+                "k": pa.concat_arrays([a, b]),
+                "doc_a": pa.concat_arrays([a, a]),
+                "doc_b": pa.concat_arrays([b, b]),
+                "role": pa.concat_arrays(
+                    [pa.array(["a"] * n), pa.array(["b"] * n)]
+                ),
+                col: pa.nulls(2 * n, col_type),
+            }
+        )
+
+    def payload_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": t["doc_id"],
+                "doc_a": pa.nulls(n, pa.int64()),
+                "doc_b": pa.nulls(n, pa.int64()),
+                "role": pa.array(["p"] * n, pa.string()),
+                col: t[col],
+            }
+        )
+
+    tagged = pairs.map_batches(pair_sides, batch_format="pyarrow").union(
+        payload.map_batches(payload_rows, batch_format="pyarrow")
+    )
+
+    def attach(g):
+        vals = g.loc[g["role"] == "p", col]
+        if not len(vals):
+            return {
+                "doc_a": np.array([], dtype=np.int64),
+                "doc_b": np.array([], dtype=np.int64),
+                "role": np.array([], dtype="U1"),
+                col: np.array([], dtype="U1"),
+            }
+        v = vals.iloc[0]
+        side = g[g["role"] != "p"]
+        return {
+            "doc_a": side["doc_a"].to_numpy(dtype=np.int64, na_value=-1),
+            "doc_b": side["doc_b"].to_numpy(dtype=np.int64, na_value=-1),
+            "role": side["role"].to_numpy(dtype=object),
+            col: np.array([v] * len(side), dtype=object),
+        }
+
+    def combine(g):
+        va = g.loc[g["role"] == "a", col]
+        vb = g.loc[g["role"] == "b", col]
+        if not len(va) or not len(vb):
+            return {
+                "doc_a": np.array([], dtype=np.int64),
+                "doc_b": np.array([], dtype=np.int64),
+                f"{col}_a": np.array([], dtype="U1"),
+                f"{col}_b": np.array([], dtype="U1"),
+            }
+        return {
+            "doc_a": np.array([g["doc_a"].iloc[0]], dtype=np.int64),
+            "doc_b": np.array([g["doc_b"].iloc[0]], dtype=np.int64),
+            f"{col}_a": np.array([va.iloc[0]], dtype=object),
+            f"{col}_b": np.array([vb.iloc[0]], dtype=object),
+        }
+
+    return (
+        tagged.groupby("k")
+        .map_groups(attach, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(combine, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -181,18 +283,40 @@ def _minhash_bands_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def minhash_candidate_pairs(docs: rd.Dataset) -> list[tuple[int, int]]:
-    """LSH bucket groupby -> unique candidate pairs (sorted, deduplicated)."""
+def minhash_candidate_pairs_ds(docs: rd.Dataset) -> rd.Dataset:
+    """LSH bucket groupby -> unique candidate pairs as a DISTRIBUTED Dataset
+    (doc_a, doc_b) — never collected to the driver."""
     bands = docs.map_batches(_minhash_bands_batch, batch_format="pyarrow")
-
-    pairs = (
+    return (
         bands.groupby(["band", "band_hash"])
         .map_groups(_bucket_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_buckets"))
+        .select_columns(["doc_a", "doc_b"])
     )
-    out = pairs.to_pandas()  # candidate set is small by construction
+
+
+def minhash_candidate_pairs(docs: rd.Dataset) -> list[tuple[int, int]]:
+    """Candidate pairs collected to the driver (small result; tests/tools)."""
+    out = minhash_candidate_pairs_ds(docs).to_pandas()
     return sorted(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+
+
+def _involved_id_set(pairs: rd.Dataset) -> set[int]:
+    """Distinct doc ids appearing in candidate pairs — bounded by 2x the
+    candidate count (the legitimate broadcast small side)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+        )
+        import pyarrow.compute as pc
+
+        return pa.table({"doc_id": pc.unique(both)})
+
+    return set(
+        pairs.map_batches(explode, batch_format="pyarrow").unique("doc_id")
+    )
 
 
 def minhash_near_dups(
@@ -200,8 +324,12 @@ def minhash_near_dups(
 ):
     """Full MinHash-LSH near-dup pipeline: candidates -> exact-Jaccard verify.
 
-    Returns pa.Table(doc_a, doc_b, jaccard_ppm) sorted. Verification fetches
-    only candidate documents (semi-join via broadcast id-set).
+    Returns pa.Table(doc_a, doc_b, jaccard_ppm) sorted. Scale shape: the
+    candidate-pair set stays a Dataset; only the involved-id SET (2x pairs,
+    small by LSH construction + the bucket cap) is broadcast to filter the
+    shingle computation, and verification runs as two distributed hash joins
+    (pair x shingles) + a vectorized-per-pair Jaccard map — no corpus-sized
+    or content-sized driver materialization.
     """
     from ..sources.tables import read_table
 
@@ -210,16 +338,17 @@ def minhash_near_dups(
         if isinstance(sf_dir_or_ds, rd.Dataset)
         else read_table(sf_dir_or_ds, table, columns=["doc_id", "text"])
     )
-    cand = minhash_candidate_pairs(docs)
-    if not cand:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard_ppm": pa.array([], pa.int64()),
-            }
-        )
-    involved = {d for p in cand for d in p}
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard_ppm": pa.array([], pa.int64()),
+        }
+    )
+    pairs = minhash_candidate_pairs_ds(docs).materialize()
+    involved = _involved_id_set(pairs)
+    if not involved:
+        return empty
     inv_ref = ray.put(involved)
 
     class FetchShingles:
@@ -236,18 +365,35 @@ def minhash_near_dups(
                 {"doc_id": pa.array(ids, pa.int64()), "sh": pa.array(shs, pa.string())}
             )
 
-    fetched = docs.map_batches(
+    shingle_ds = docs.map_batches(
         FetchShingles, fn_constructor_kwargs={"ref": inv_ref},
         batch_format="pyarrow", concurrency=(1, 4),
-    ).take_all()
-    sh_by_id = {r["doc_id"]: set(r["sh"].split("\x00")) if r["sh"] else set() for r in fetched}
+    )
 
-    rows = []
-    for a, b in cand:
-        j = jaccard(sh_by_id[a], sh_by_id[b])
-        if j >= threshold:
-            rows.append((a, b, int(j * 1_000_000 + 0.5)))
-    rows.sort()
+    joined = _join_pair_payload(pairs, shingle_ds, "sh", pa.string())
+
+    def verify(t: pa.Table) -> pa.Table:
+        rows = []
+        for a, b, sa, sb in zip(
+            t["doc_a"].to_pylist(), t["doc_b"].to_pylist(),
+            t["sh_a"].to_pylist(), t["sh_b"].to_pylist(),
+        ):
+            j = jaccard(
+                set(sa.split("\x00")) if sa else set(),
+                set(sb.split("\x00")) if sb else set(),
+            )
+            if j >= threshold:
+                rows.append((a, b, int(j * 1_000_000 + 0.5)))
+        return pa.table(
+            {
+                "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+                "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+                "jaccard_ppm": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    out = joined.map_batches(verify, batch_format="pyarrow").take_all()
+    rows = sorted((r["doc_a"], r["doc_b"], r["jaccard_ppm"]) for r in out)
     return pa.table(
         {
             "doc_a": pa.array([r[0] for r in rows], pa.int64()),
@@ -300,21 +446,61 @@ def simhash_near_dups(sf_dir_or_ds, max_hamming: int = 3, table: str = "document
             }
         )
 
-    cand = (
+    pairs = (
         sims.map_batches(explode_bands, batch_format="pyarrow")
         .groupby(["band", "key"])
         .map_groups(_bucket_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))
-        .to_pandas()
+        .select_columns(["doc_a", "doc_b"])
     )
-    h_by_id = {r["doc_id"]: r["simhash"] for r in sims.take_all()}
-    rows = []
-    for a, b in zip(cand.get("doc_a", []), cand.get("doc_b", [])):
-        d = hamming64(int(h_by_id[int(a)]), int(h_by_id[int(b)]))
-        if d <= max_hamming:
-            rows.append((int(a), int(b), d))
-    rows.sort()
+
+    # distributed hamming verify: join the (doc_id, simhash) dataset to the
+    # candidate pairs for both endpoints — the corpus-sized simhash map never
+    # reaches the driver (it used to via take_all)
+    # hex-encode the simhash for the shuffle: uint64 values above 2^63 make
+    # pandas/arrow type inference flap between int64 and uint64 across blocks
+    sim_payload = sims.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(
+                    [f"{v:016x}" for v in t["simhash"].to_pylist()], pa.string()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = _join_pair_payload(pairs, sim_payload, "h", pa.string())
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = np.asarray(
+            [int(x, 16) for x in t["h_a"].to_pylist()], dtype=np.uint64
+        )
+        b = np.asarray(
+            [int(x, 16) for x in t["h_b"].to_pylist()], dtype=np.uint64
+        )
+        x = np.bitwise_xor(a, b)
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+            if len(x)
+            else np.empty(0, dtype=np.int64)
+        )
+        keep = ham <= max_hamming
+        da = np.asarray(t["doc_a"].to_pylist(), dtype=np.int64)[keep]
+        db = np.asarray(t["doc_b"].to_pylist(), dtype=np.int64)[keep]
+        return pa.table(
+            {
+                "doc_a": pa.array(da, pa.int64()),
+                "doc_b": pa.array(db, pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    out = joined.map_batches(verify, batch_format="pyarrow").take_all()
+    rows = sorted((r["doc_a"], r["doc_b"], r["hamming"]) for r in out)
     return pa.table(
         {
             "doc_a": pa.array([r[0] for r in rows], pa.int64()),

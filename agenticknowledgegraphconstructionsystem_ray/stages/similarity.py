@@ -41,41 +41,68 @@ def brute_force_topk(
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_ref = ray.put((qid_order, Q))
 
-    class PartialTopK:
-        """Per-block top-k against every query (combiner: only k rows per
-        query leave each block)."""
-
-        def __init__(self, ref, k) -> None:
-            self.qids, self.Q = ray.get(ref)
-            self.k = k
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _matrix(t)
-            ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = m @ self.Q.T  # (rows, n_queries)
-            out_q, out_v, out_s = [], [], []
-            for j, qid in enumerate(self.qids):
-                col = sims[:, j]
-                mask = ids != qid
-                cids, csims = ids[mask], col[mask]
-                top = np.argsort(-csims, kind="stable")[: self.k]
-                out_q.extend([qid] * len(top))
-                out_v.extend(cids[top].tolist())
-                out_s.extend(csims[top].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_v, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
-                }
-            )
-
     partials = emb.map_batches(
         PartialTopK, fn_constructor_kwargs={"ref": q_ref, "k": k},
         batch_format="pyarrow", concurrency=(1, 4),
     ).take_all()  # n_blocks * n_queries * k rows — small
+    return _merge_partials(partials, k)
 
+
+class PartialTopK:
+    """Per-block top-k against every broadcast query (combiner: only k rows
+    per query leave each block). Tie-break is (sim DESC, vec_id ASC) at BOTH
+    the block truncation and the global merge — block-position tie-breaking
+    could drop the globally tie-preferred vec_id.
+
+    ``probe_ref`` (optional, the IVF path): broadcast ``{qid: set(buckets)}``;
+    rows outside a query's probed buckets are excluded for that query (the
+    block must then carry a ``bucket`` column)."""
+
+    def __init__(self, ref, k, probe_ref=None) -> None:
+        self.qids, self.Q = ray.get(ref)
+        self.k = k
+        self.probe = ray.get(probe_ref) if probe_ref is not None else None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _matrix(t)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        if not len(ids):
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ self.Q.T  # (rows, n_queries)
+        buckets = (
+            np.asarray(t["bucket"].to_pylist(), dtype=np.int64)
+            if self.probe is not None
+            else None
+        )
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            col = sims[:, j]
+            mask = ids != qid
+            if buckets is not None:
+                mask &= np.isin(buckets, list(self.probe[qid]))
+            cids, csims = ids[mask], col[mask]
+            top = np.lexsort((cids, -csims))[: self.k]
+            out_q.extend([qid] * len(top))
+            out_v.extend(cids[top].tolist())
+            out_s.extend(csims[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _merge_partials(partials: list[dict], k: int) -> pa.Table:
+    """Driver merge of per-block top-k rows: (sim DESC, vec_id ASC) -> rank."""
     rows = []
     by_q: dict[int, list] = {}
     for r in partials:
@@ -161,12 +188,16 @@ def ivf_topk(
 
     # probe set per query
     probe: dict[int, set[int]] = {}
-    for qid, q in q_by_id.items():
-        qn = q / np.linalg.norm(q)
+    qid_order = sorted(q_by_id)
+    Q = np.asarray([q_by_id[qid] for qid in qid_order], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    for qid, qn in zip(qid_order, Q):
         order = np.argsort(-(cent @ qn), kind="stable")[:nprobe]
         probe[qid] = set(int(x) for x in order)
     all_probed = set().union(*probe.values()) if probe else set()
     probed_ref = ray.put(all_probed)
+    q_ref = ray.put((qid_order, Q))
+    probe_ref = ray.put(probe)
 
     class KeepProbed:
         def __init__(self, ref) -> None:
@@ -176,30 +207,19 @@ def ivf_topk(
             mask = pa.array([b in self.keep for b in t["bucket"].to_pylist()])
             return t.filter(mask)
 
-    kept = bucketed.map_batches(
-        KeepProbed, fn_constructor_kwargs={"ref": probed_ref},
-        batch_format="pyarrow", concurrency=(1, 2),
-    ).take_all()  # only probed buckets' vectors
-
-    rows = []
-    ids = np.asarray([r["vec_id"] for r in kept], dtype=np.int64)
-    M = np.asarray([r["embedding"] for r in kept], dtype=np.float64)
-    B = np.asarray([r["bucket"] for r in kept], dtype=np.int64)
-    if len(M):
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
-    for qid in sorted(q_by_id):
-        q = q_by_id[qid]
-        qn = q / np.linalg.norm(q)
-        mask = np.isin(B, list(probe[qid])) & (ids != qid)
-        cids, cm = ids[mask], M[mask]
-        sims = cm @ qn
-        order = np.lexsort((cids, -sims))[:k]
-        for rank, j in enumerate(order, 1):
-            rows.append((qid, int(cids[j]), rank))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
-            "rank": pa.array([r[2] for r in rows], pa.int64()),
-        }
+    # per-block top-k combiner within the probed buckets (same pattern as the
+    # brute-force path) — only k rows per (block, query) reach the driver;
+    # probed-bucket vectors are never materialized
+    partials = (
+        bucketed.map_batches(
+            KeepProbed, fn_constructor_kwargs={"ref": probed_ref},
+            batch_format="pyarrow", concurrency=(1, 2),
+        )
+        .map_batches(
+            PartialTopK,
+            fn_constructor_kwargs={"ref": q_ref, "k": k, "probe_ref": probe_ref},
+            batch_format="pyarrow", concurrency=(1, 4),
+        )
+        .take_all()
     )
+    return _merge_partials(partials, k)

@@ -70,3 +70,36 @@ def test_shingles():
     assert dedup.shingles_of("a b c d") == {"a b c", "b c d"}
     assert dedup.shingles_of("a b") == {"a b"}
     assert dedup.shingles_of("") == set()
+
+
+def test_degenerate_hot_bucket_no_quadratic_blowup():
+    """A bucket far above MAX_BUCKET_ALL_PAIRS (here: one identical doc
+    repeated 500x) must complete quickly with O(n) chain pairs instead of
+    O(n^2), and the chain must still connect the duplicate cluster."""
+    n = 500
+    text = "identical boilerplate page content repeated across the mirror set"
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([text] * n),
+            }
+        )
+    )
+    out = dedup.minhash_near_dups(docs, threshold=0.8).to_pydict()
+    pairs = sorted(zip(out["doc_a"], out["doc_b"]))
+    # chain, not clique: bounded pair count
+    assert len(pairs) <= 2 * n
+    assert all(j == 1_000_000 for j in out["jaccard_ppm"])
+    # connectivity: union the pairs, all docs end in one component
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n)}) == 1

@@ -121,8 +121,10 @@ def main() -> int:
             print(f"FAIL {name}: ray side raised {e!r}")
             continue
         wall = time.perf_counter() - t0
-        if name.startswith("kg_") and not sf_dir.rstrip("/").endswith("sf0.01"):
-            # kg_* oracle SQL reads the sf0.01 golden parquet (the driver's
+        if "/tmp/agkg_golden" in oracles.get(name, "") and not sf_dir.rstrip(
+            "/"
+        ).endswith("sf0.01"):
+            # golden-file oracles are pinned to sf0.01 (the driver's
             # correctness scale); at other scales treat as rows-only
             print(f"ok   {name}: rows={mine.num_rows} (golden pinned to sf0.01; rows-only here) [{wall:.2f}s]")
             continue
