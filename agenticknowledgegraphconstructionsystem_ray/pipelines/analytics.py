@@ -270,6 +270,27 @@ def _broadcast_column_map(sf_dir: str, table: str, key: str, val: str):
     return ray.put(d)
 
 
+def _lookup_arrays(mapping: dict, key_type, value_type):
+    """Broadcast dict -> parallel Arrow (keys, values) arrays, built ONCE per
+    actor/worker in __init__; per-batch probes are then fully vectorized
+    (pc.index_in + pc.take), no per-row Python."""
+    items = list(mapping.items())
+    return (
+        pa.array([k for k, _ in items], key_type),
+        pa.array([v for _, v in items], value_type),
+    )
+
+
+def _vec_lookup(keys: pa.Array, vals: pa.Array, col) -> pa.Array:
+    """Vectorized dict lookup: missing keys -> null."""
+    return pc.take(vals, pc.index_in(col, value_set=keys))
+
+
+def _vec_member_mask(keys: pa.Array, col) -> pa.Array:
+    """Vectorized set-membership mask."""
+    return pc.is_valid(pc.index_in(col, value_set=keys))
+
+
 def q06_revenue_by_segment(sf_dir: str):
     """orders ⋈ customer -> grouped revenue (J2 hash join; small side
     broadcast instead of shuffled — SURVEY §4.2)."""
@@ -278,13 +299,16 @@ def q06_revenue_by_segment(sf_dir: str):
 
     class JoinSegment:
         def __init__(self, ref) -> None:
-            self.seg = ray.get(ref)
+            self.keys, self.vals = _lookup_arrays(
+                ray.get(ref), pa.int64(), pa.string()
+            )
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            segs = [self.seg.get(k) for k in t["o_custkey"].to_pylist()]
             return pa.table(
                 {
-                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "c_mktsegment": _vec_lookup(
+                        self.keys, self.vals, t["o_custkey"]
+                    ),
                     "price_c": _cents(t["o_totalprice"]),
                 }
             )
@@ -325,11 +349,12 @@ def q07_customers_no_orders(sf_dir: str):
 
     class AntiJoin:
         def __init__(self, ref) -> None:
-            self.have = ray.get(ref)
+            self.keys = pa.array(sorted(ray.get(ref)), pa.int64())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([k not in self.have for k in t["c_custkey"].to_pylist()])
-            return t.filter(mask)
+            return t.filter(
+                pc.invert(_vec_member_mask(self.keys, t["c_custkey"]))
+            )
 
     return cust.map_batches(
         AntiJoin, fn_constructor_kwargs={"ref": have},
@@ -344,11 +369,10 @@ def q08_customers_with_orders(sf_dir: str):
 
     class SemiJoin:
         def __init__(self, ref) -> None:
-            self.have = ray.get(ref)
+            self.keys = pa.array(sorted(ray.get(ref)), pa.int64())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([k in self.have for k in t["c_custkey"].to_pylist()])
-            return t.filter(mask)
+            return t.filter(_vec_member_mask(self.keys, t["c_custkey"]))
 
     return cust.map_batches(
         SemiJoin, fn_constructor_kwargs={"ref": have},
@@ -392,15 +416,13 @@ def q19_suppliers_by_region(sf_dir: str):
 
     class ToRegion:
         def __init__(self, r) -> None:
-            self.m = ray.get(r)
+            self.keys, self.vals = _lookup_arrays(
+                ray.get(r), pa.int64(), pa.string()
+            )
 
         def __call__(self, t: pa.Table) -> pa.Table:
             return pa.table(
-                {
-                    "r_name": pa.array(
-                        [self.m[k] for k in t["s_nationkey"].to_pylist()], pa.string()
-                    )
-                }
+                {"r_name": _vec_lookup(self.keys, self.vals, t["s_nationkey"])}
             )
 
     return (
@@ -563,52 +585,14 @@ def q18_docs_by_lang(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q16_knn_vec0(sf_dir: str):
-    """Top-10 nearest neighbours of vec_id=0 by cosine — brute-force baseline:
-    numpy matmul per batch against the broadcast query vector (SURVEY
+    """Top-10 nearest neighbours of vec_id=0 by cosine — delegates to the
+    brute-force per-block top-k combiner (stages/similarity.py): only k rows
+    per block reach the driver merge, no global sort shuffle (SURVEY
     'similarity search')."""
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qrow = (
-        emb.map_batches(
-            lambda t: t.filter(pc.equal(t["vec_id"], pa.scalar(0))),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    )
-    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    q_ref = ray.put(qn)
+    from ..stages.similarity import brute_force_topk
 
-    class Cosine:
-        def __init__(self, r) -> None:
-            self.q = ray.get(r)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            sims = (m @ self.q) / norms
-            return pa.table(
-                {"vec_id": t["vec_id"], "sim": pa.array(sims, pa.float64())}
-            )
-
-    sims = emb.map_batches(
-        Cosine, fn_constructor_kwargs={"r": q_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
-    top = (
-        sims.map_batches(
-            lambda t: t.filter(pc.not_equal(t["vec_id"], pa.scalar(0))),
-            batch_format="pyarrow",
-        )
-        .sort(["sim", "vec_id"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
-    )
-    return pa.table(
-        {
-            "vec_id": pa.array(top["vec_id"].astype("int64")),
-            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
-        }
-    )
+    top = brute_force_topk(sf_dir, query_ids=[0], k=10)
+    return top.select(["vec_id", "rank"])
 
 
 # ---------------------------------------------------------------------------

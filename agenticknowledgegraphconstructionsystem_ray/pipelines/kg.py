@@ -30,7 +30,8 @@ is an expensive model load rather than a broadcast dict.
 **Phase B — global canonicalization + materialization, idempotent
 overwrite** (reference analog: concept upserts + validation, §3.2-3.4):
 
-    mcount partials (vocabulary-sized) -> pandas merge on driver
+    mcount partials -> merge (driver pandas when small; Ray groupby when
+      the chunks x vocabulary partial volume is large — auto-selected)
       -> union-find over alias edges -> nodes + id map (broadcast)
     triples -> map_batches(apply_ids_batch)   [broadcast id map, cached]
             -> map_batches(validate_edges_batch)  [vectorized rules]
@@ -58,7 +59,6 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
 
 from ..stages.canonicalize import (
     apply_ids_batch,
@@ -106,6 +106,13 @@ class KGConfig:
                                      # with the broadcast dict cached per
                                      # worker process (faster when state is
                                      # just the object-store alias dict)
+    distributed_counts: bool | None = None  # phase-B mention-count merge:
+                                     # None = auto (Ray groupby when the
+                                     # mcount partial rows exceed
+                                     # PANDAS_MCOUNT_MAX_ROWS — the
+                                     # open-vocabulary web-text case — else
+                                     # driver pandas merge); True/False
+                                     # force a path
 
     def alias_dict(self) -> dict[str, tuple[str, str]]:
         return self.alias if self.alias is not None else synth.alias_dict()
@@ -124,14 +131,19 @@ def _records_dir(out: str, cid: int) -> str:
 
 def _add_sort_key(t: pa.Table) -> pa.Table:
     """Packed single-column sort key equivalent to the
-    (subj_id, pred, obj_id, url) tuple order (see run_phase_b)."""
+    (subj_id, pred, obj_id, url) tuple order (see run_phase_b). Ids are
+    0-padded to 19 digits — the full int64 width — so the bytewise order
+    matches numeric order at ANY id cardinality (8-digit padding silently
+    broke past 100M entities). The only negative id is the -1 unknown
+    sentinel, which pads to a '-'-prefixed key sorting before every
+    0-padded nonnegative id, preserving tuple order."""
     import pyarrow.compute as pc
 
     s = pa.string()
     k = pc.binary_join_element_wise(
-        pc.utf8_lpad(pc.cast(t["subj_id"], s), 8, padding="0"),
+        pc.utf8_lpad(pc.cast(t["subj_id"], s), 19, padding="0"),
         pc.cast(t["pred"], s),
-        pc.utf8_lpad(pc.cast(t["obj_id"], s), 8, padding="0"),
+        pc.utf8_lpad(pc.cast(t["obj_id"], s), 19, padding="0"),
         pc.cast(t["url"], s),
         pa.scalar("\x00", s),
     )
@@ -177,23 +189,58 @@ def _config_fingerprint(cfg: "KGConfig") -> str:
     ).hexdigest()
 
 
+# Everything the pipeline itself writes under out_dir — the ONLY names
+# _check_layout is allowed to delete on a layout/config change.
+_PIPELINE_ARTIFACTS = frozenset(
+    {"extracted", "nodes", "edges", "validation", "_manifests",
+     "nodes_summary.csv", "validation-results.json", "_LAYOUT", "_COMPLETE"}
+)
+
+
+def _is_pipeline_artifact(name: str) -> bool:
+    return (
+        name in _PIPELINE_ARTIFACTS
+        or name.endswith(".tmp")
+        or name.startswith(".group-")
+    )
+
+
 def _check_layout(out_dir: str, cfg: "KGConfig") -> None:
-    """Wipe output dirs written under an older layout, a different
-    extraction config, or a different chunk plan, so resume never silently
-    reuses or misaligns artifacts produced under other semantics."""
+    """Wipe output written under an older layout, a different extraction
+    config, or a different chunk plan, so resume never silently reuses or
+    misaligns artifacts produced under other semantics.
+
+    Deletes ONLY known pipeline artifacts. A non-empty directory that holds
+    anything else and carries no _LAYOUT marker is refused outright —
+    pointing --out at a pre-existing data/home directory must never destroy
+    its contents."""
     import shutil
 
     fp = _config_fingerprint(cfg)
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_LAYOUT")
     current = open(marker).read() if os.path.exists(marker) else None
-    if current != fp:
-        for name in os.listdir(out_dir):
-            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
-            if os.path.isfile(os.path.join(out_dir, name)):
-                os.remove(os.path.join(out_dir, name))
-        with open(marker, "w") as f:
-            f.write(fp)
+    if current == fp:
+        return
+    entries = os.listdir(out_dir)
+    foreign = [n for n in entries if not _is_pipeline_artifact(n)]
+    if current is None and foreign:
+        raise ValueError(
+            f"refusing to use {out_dir!r} as the pipeline output directory: "
+            f"it is non-empty, has no _LAYOUT marker, and contains "
+            f"non-pipeline entries {sorted(foreign)[:5]!r}; choose an empty "
+            f"or pipeline-owned directory"
+        )
+    for name in entries:
+        if not _is_pipeline_artifact(name):
+            continue  # never touch foreign files even on layout change
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            os.remove(p)
+    with open(marker, "w") as f:
+        f.write(fp)
 
 
 def run_phase_a(cfg: KGConfig) -> dict:
@@ -326,6 +373,58 @@ def triples_dataset(out_dir: str, columns: list[str] | None = None):
     return rd.read_parquet(files, columns=columns)
 
 
+# Above this many mcount partial rows the driver pandas merge is replaced by
+# a distributed Ray groupby (auto mode). The pandas path is bounded by
+# chunks x vocabulary; on open-vocabulary web text that product is the
+# phase-B scale killer, while the groupby's OUTPUT stays vocabulary-sized.
+PANDAS_MCOUNT_MAX_ROWS = 2_000_000
+
+
+def _distributed_counts(mcount_files: list[str]):
+    """Ray-groupby merge of mention-count partials: reads the (chunks x
+    vocabulary)-sized partial rows distributed and reduces them to ONE row
+    per norm_surface; only that vocabulary-sized output reaches the driver
+    (for union-find + node building)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max as RMax
+    from ray.data.aggregate import Min as RMin
+    from ray.data.aggregate import Sum as RSum
+
+    ds = rd.read_parquet(
+        mcount_files,
+        columns=["norm_surface", "n_in_page", "span_start", "span_end",
+                 "score", "confidence"],
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        # MCOUNT_COLUMNS mapping (stages/triples.py): the partials reuse
+        # record columns
+        return pa.table(
+            {
+                "norm_surface": t["norm_surface"],
+                "mentions_p": pc.cast(t["n_in_page"], pa.int64()),
+                "links_p": pc.cast(t["span_start"], pa.int64()),
+                "perfect_p": pc.cast(t["span_end"], pa.int64()),
+                "max_score_p": t["score"],
+                "min_score_p": t["confidence"],
+            }
+        )
+
+    merged = (
+        ds.map_batches(rename, batch_format="pyarrow")
+        .groupby("norm_surface")
+        .aggregate(
+            RSum("mentions_p", alias_name="mention_count"),
+            RSum("links_p", alias_name="link_count"),
+            RSum("perfect_p", alias_name="perfect_links"),
+            RMax("max_score_p", alias_name="max_score"),
+            RMin("min_score_p", alias_name="min_score"),
+        )
+    )
+    df = merged.to_pandas()
+    return df.sort_values("norm_surface", kind="mergesort").reset_index(drop=True)
+
+
 def run_phase_b(cfg: KGConfig) -> dict:
     """Global canonicalization + dedup + validate + materialize."""
     t0 = time.perf_counter()
@@ -349,6 +448,21 @@ def run_phase_b(cfg: KGConfig) -> dict:
     # the mention rows when mcount files are absent.
     mcount_files = _kind_files(out, "mcount")
     if mcount_files:
+        total_partial_rows = sum(
+            pq.read_metadata(f).num_rows for f in mcount_files
+        )
+        use_distributed = (
+            cfg.distributed_counts
+            if cfg.distributed_counts is not None
+            else total_partial_rows > PANDAS_MCOUNT_MAX_ROWS
+        )
+    else:
+        use_distributed = False
+    counts_df = None
+    if mcount_files and use_distributed:
+        partials = None  # already merged distributed
+        counts_df = _distributed_counts(mcount_files)
+    elif mcount_files:
         import pandas as pd
 
         frames = []
@@ -383,9 +497,7 @@ def run_phase_b(cfg: KGConfig) -> dict:
             else None
         )
 
-    if partials is None or partials.empty:
-        counts_df = None
-    else:
+    if partials is not None and not partials.empty:
         counts_df = (
             partials.groupby("norm_surface", sort=True)
             .agg(
@@ -445,13 +557,14 @@ def run_phase_b(cfg: KGConfig) -> dict:
         # recur (re-crawls), cfg.global_edge_dedup adds an exact groupby
         # dedup pass (D4, db_init.py:128).
         if cfg.global_edge_dedup:
+            from ..stages.canonicalize import dedup_edges_group
+
             edges = edges.map_batches(dedup_edges_batch, batch_format="pyarrow")
-            edges = edges.groupby(["subj_id", "pred", "obj_id", "url"]).aggregate(
-                Min("subj", alias_name="subj"),
-                Min("obj", alias_name="obj"),
-                Min("warc_ts", alias_name="warc_ts"),
-                Min("confidence", alias_name="confidence"),
-                Min("context", alias_name="context"),
+            # tuple-min representative (same rule as the per-page and
+            # block-level dedups) — independent per-column Min aggregates
+            # could stitch together fields from different source rows
+            edges = edges.groupby(["subj_id", "pred", "obj_id", "url"]).map_groups(
+                dedup_edges_group, batch_format="pandas"
             )
         edges = edges.map_batches(validate_edges_batch, batch_format="pyarrow")
         # Global sort on ONE packed string key instead of a 4-column key —

@@ -322,35 +322,47 @@ def apply_ids_batch(batch: pa.Table, id_map_ref=None) -> pa.Table:
     return applier(batch)
 
 
+DEDUP_TIEBREAK = ["confidence", "context", "subj", "obj", "warc_ts"]
+
+
 def dedup_edges_batch(batch: pa.Table) -> pa.Table:
     """Block-level exact-dedup combiner on (subj_id, pred, obj_id, url):
-    column-wise min of the carried columns (deterministic; within a page the
-    carried values are the canonical names, so groups are near-identical).
-    Reference analog: UNIQUE(source, target, type) upsert-DO-NOTHING
-    (``db_init.py:128``, ``database.ts:264-289``)."""
-    g = batch.group_by(["subj_id", "pred", "obj_id", "url"]).aggregate(
-        [
-            ("subj", "min"),
-            ("obj", "min"),
-            ("warc_ts", "min"),
-            ("confidence", "min"),
-            ("context", "min"),
-        ]
+    keeps the row with the smallest (confidence, context, subj, obj, warc_ts)
+    TUPLE — the same representative rule as the per-page dedup in
+    stages/triples.py, so the two dedup paths agree on surviving row
+    contents (independent per-column mins could stitch fields from different
+    source rows). Sort-then-ordered-first; pyarrow 'first' with
+    use_threads=False preserves encounter order. Reference analog:
+    UNIQUE(source, target, type) upsert-DO-NOTHING (``db_init.py:128``,
+    ``database.ts:264-289``)."""
+    import pyarrow.compute as _pc
+
+    keys = ["subj_id", "pred", "obj_id", "url"]
+    batch = batch.sort_by([(c, "ascending") for c in keys + DEDUP_TIEBREAK])
+    g = batch.group_by(keys, use_threads=False).aggregate(
+        [(c, "first") for c in DEDUP_TIEBREAK]
     )
     return pa.Table.from_arrays(
         [
             g.column("subj_id"),
             g.column("pred"),
             g.column("obj_id"),
-            g.column("subj_min"),
-            g.column("obj_min"),
+            g.column("subj_first"),
+            g.column("obj_first"),
             g.column("url"),
-            g.column("warc_ts_min"),
-            g.column("confidence_min"),
-            g.column("context_min"),
+            g.column("warc_ts_first"),
+            g.column("confidence_first"),
+            g.column("context_first"),
         ],
         names=[
             "subj_id", "pred", "obj_id", "subj", "obj",
             "url", "warc_ts", "confidence", "context",
         ],
     )
+
+
+def dedup_edges_group(g):
+    """Global-dedup reducer for ``groupby(key).map_groups``: same tuple-min
+    representative rule as :func:`dedup_edges_batch` (one pandas group = one
+    (subj_id, pred, obj_id, url) key)."""
+    return g.sort_values(DEDUP_TIEBREAK, kind="mergesort").head(1)
