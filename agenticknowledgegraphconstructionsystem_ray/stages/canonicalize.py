@@ -301,6 +301,115 @@ def label_propagation_components(
     return dict(zip(ldf["node"], ldf["label"]))
 
 
+def label_propagation_components_driverless(edges, max_rounds: int = 50):
+    """Fully driverless connected components: min-label propagation where
+    BOTH the edge set and the per-round (node, label) assignment stay
+    distributed — labels are joined to edges via a groupby on the node key
+    (the broadcast-dict variant above ships the whole node->label map to
+    every task each round, so its node set must fit in one heap; this one
+    has no such bound).
+
+    Per round: union(edge rows keyed by each endpoint, label rows keyed by
+    node) -> groupby(node key) attaches the key's current label to each
+    incident edge row -> emitted (neighbor, candidate label) rows ∪ own
+    labels -> groupby(node).min(label). Convergence = no label changed,
+    checked with a distributed count. O(diameter) rounds, 2 shuffles per
+    round over |V|+|E| rows.
+
+    Returns the converged label assignment as a Dataset (node, label); the
+    caller decides whether that fits on the driver. Labels equal the
+    lexicographically smallest reachable member, matching UnionFind.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        n = len(a)
+        return pa.table(
+            {
+                "k": pa.concat_arrays([a, b]),
+                "other": pa.concat_arrays([b, a]),
+                "label": pa.nulls(2 * n, pa.string()),
+            }
+        )
+
+    edge_rows = edges.map_batches(explode, batch_format="pyarrow").materialize()
+
+    # initial labels: every node labels itself
+    labels = (
+        edge_rows.map_batches(
+            lambda t: pa.table({"node": t["k"], "label": t["k"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        tagged = edge_rows.union(
+            labels.map_batches(
+                lambda t: pa.table(
+                    {
+                        "k": t["node"],
+                        "other": pa.nulls(t.num_rows, pa.string()),
+                        "label": t["label"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        def attach(g):
+            import numpy as np
+
+            lab = g.loc[g["other"].isna(), "label"]
+            if not len(lab):
+                return {
+                    "node": np.array([], dtype="U1"),
+                    "cand": np.array([], dtype="U1"),
+                }
+            v = lab.iloc[0]
+            others = g.loc[g["other"].notna(), "other"]
+            # neighbors receive this node's label; the node keeps its own
+            return {
+                "node": np.concatenate(
+                    [others.to_numpy(dtype=object),
+                     np.array([g["k"].iloc[0]], dtype=object)]
+                ),
+                "cand": np.array([v] * (len(others) + 1), dtype=object),
+            }
+
+        new_labels = (
+            tagged.groupby("k")
+            .map_groups(attach, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+
+        # distributed convergence check: any (node, label) row not present
+        # identically in both assignments?
+        n_old = labels.count()
+        n_same = (
+            labels.union(new_labels)
+            .groupby(["node", "label"])
+            .aggregate(Count(alias_name="n"))
+            .map_batches(
+                lambda t: t.filter(pc.equal(t["n"], pa.scalar(2))),
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+        converged = n_same == n_old
+        labels = new_labels
+        if converged:
+            break
+    return labels
+
+
 _WORKER_ID_APPLIERS: dict = {}
 
 
