@@ -70,11 +70,10 @@ def split_sentences(text: str) -> list[str]:
 
 
 def tokenize_with_spans(sentence: str) -> list[tuple[str, int, int]]:
-    """[(token, start, end)] within the sentence string."""
-    return [
-        (sentence[a:b], a, b)
-        for a, b in (m.span() for m in TOKEN_RE.finditer(sentence))
-    ]
+    """[(token, start, end)] within the sentence string. Single flat
+    comprehension — this is the hottest kernel in extraction (one call per
+    sentence, one tuple per token)."""
+    return [(m[0], m.start(), m.end()) for m in TOKEN_RE.finditer(sentence)]
 
 
 def is_entity_token(tok: str) -> bool:

@@ -463,28 +463,21 @@ def run_phase_b(cfg: KGConfig) -> dict:
         partials = None  # already merged distributed
         counts_df = _distributed_counts(mcount_files)
     elif mcount_files:
-        import pandas as pd
-
-        frames = []
-        for f in mcount_files:
-            t = pq.read_table(
+        # zero-copy load: read all partial files as one Arrow table, rename
+        # per MCOUNT_COLUMNS and convert columnar (to_pylist loops here cost
+        # seconds of serial driver time at bench scale)
+        t = pa.concat_tables(
+            pq.read_table(
                 f,
                 columns=["norm_surface", "n_in_page", "span_start",
                          "span_end", "score", "confidence"],
             )
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "norm_surface": t.column("norm_surface").to_pylist(),
-                        "mentions_p": t.column("n_in_page").to_pylist(),
-                        "links_p": t.column("span_start").to_pylist(),
-                        "perfect_p": t.column("span_end").to_pylist(),
-                        "max_score_p": t.column("score").to_pylist(),
-                        "min_score_p": t.column("confidence").to_pylist(),
-                    }
-                )
-            )
-        partials = pd.concat(frames, ignore_index=True) if frames else None
+            for f in mcount_files
+        ).rename_columns(
+            ["norm_surface", "mentions_p", "links_p", "perfect_p",
+             "max_score_p", "min_score_p"]
+        )
+        partials = t.to_pandas() if t.num_rows else None
     else:
         mentions = mentions_dataset(
             out, columns=["norm_surface", "n_in_page", "score"]
@@ -606,24 +599,28 @@ def run_phase_b(cfg: KGConfig) -> dict:
     sample: list[dict] = entity_issues.slice(0, 100).to_pylist()
 
     if n_edges:
-        issues_ds = rd.read_parquet(
-            sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
-        ).map_batches(edge_issues_batch, batch_format="pyarrow")
-        issues_ds.write_parquet(tmpi, compression="zstd")
-        # summary counts: driver-side scan of the (severity, rule) columns
-        # only — two tiny dictionary-ish columns, no extra Ray execution
-        edge_issue_files = [
-            f
-            for f in sorted(glob.glob(os.path.join(tmpi, "*.parquet")))
-            if not f.endswith("entity-issues.parquet")
-        ]
-        for f in edge_issue_files:
-            part = issue_count_batch(
-                pq.read_table(f, columns=["severity", "rule"])
+        from ray.data.aggregate import Sum as RSum
+
+        issues_ds = (
+            rd.read_parquet(
+                sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
             )
-            for r in part.to_pylist():
-                key = (r["severity"], r["rule"])
-                by_rule_sev[key] = by_rule_sev.get(key, 0) + r["n"]
+            .map_batches(edge_issues_batch, batch_format="pyarrow")
+            .materialize()  # consumed twice: parquet write + summary counts
+        )
+        issues_ds.write_parquet(tmpi, compression="zstd")
+        # summary counts distributed (block combiner -> tiny groupby); the
+        # previous serial driver scan of the issue files cost seconds at
+        # bench scale
+        cnt = (
+            issues_ds.map_batches(issue_count_batch, batch_format="pyarrow")
+            .groupby(["severity", "rule"])
+            .aggregate(RSum("n", alias_name="n"))
+            .to_pandas()
+        )
+        for r in cnt.itertuples(index=False):
+            key = (r.severity, r.rule)
+            by_rule_sev[key] = by_rule_sev.get(key, 0) + int(r.n)
     mf.atomic_replace_dir(tmpi, issues_dir)
     _mark("issues_s", _since)
 
