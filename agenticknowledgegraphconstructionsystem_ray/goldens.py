@@ -493,14 +493,17 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     """Compute-and-write the sequential golden for a scale factor (cached)."""
     d = golden_dir(sf)
     marker = os.path.join(d, "_GOLDEN_OK")
-    tag = f"v{GOLDEN_VERSION}:{sf:g}:{seed}"
+    sf_dir = f"/root/testdata/sf{sf:g}"
+    # the tag records whether the optional testdata-derived tables were
+    # built, so a golden generated before /root/testdata existed is
+    # regenerated (not served incomplete forever) once it appears
+    tag = f"v{GOLDEN_VERSION}:{sf:g}:{seed}:td{int(os.path.isdir(sf_dir))}"
     if os.path.exists(marker) and open(marker).read() == tag:
         return d
 
     pages_dir = synth.ensure_pages(sf, seed=seed)
     alias = synth.alias_dict()
     tables = _compute_kg_golden(pages_dir, alias)
-    sf_dir = f"/root/testdata/sf{sf:g}"
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
@@ -510,7 +513,9 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
 
     import shutil
 
-    tmp = d + ".tmp"
+    # per-process tmp name: concurrent generators (pytest + check_oracles)
+    # must not rmtree each other's in-progress writes
+    tmp = d + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     for name, t in tables.items():
@@ -518,7 +523,14 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     with open(os.path.join(tmp, "_GOLDEN_OK"), "w") as f:
         f.write(tag)
     shutil.rmtree(d, ignore_errors=True)
-    os.replace(tmp, d)
+    try:
+        os.replace(tmp, d)
+    except OSError:
+        # another process promoted its (identical, deterministic) golden
+        # between our rmtree and replace — accept theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not (os.path.exists(marker) and open(marker).read() == tag):
+            raise
     return d
 
 

@@ -406,8 +406,11 @@ def label_propagation_components_driverless(edges, max_rounds: int = 50):
         converged = n_same == n_old
         labels = new_labels
         if converged:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"label propagation did not converge within {max_rounds} rounds "
+        f"(a component's diameter exceeds max_rounds); raise max_rounds"
+    )
 
 
 _WORKER_ID_APPLIERS: dict = {}

@@ -50,13 +50,25 @@ def salted_aggregate(ds, key: str | list[str], aggs: dict[str, tuple[str, str]])
             raise ValueError(f"{out_col}: op {op!r} not decomposable")
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(keys).aggregate(
-            [(col, _ARROW_FN[op]) for _, (col, op) in aggs.items()]
-        )
+        # "count" counts ROWS (matching ray.data.aggregate.Count), not
+        # non-null values — Arrow's hash count is only_valid by default, so
+        # count ops aggregate a constant ones column instead
+        specs = []
+        needs_ones = any(op == "count" for _, (_, op) in aggs.items())
+        if needs_ones:
+            t = t.append_column(
+                "__ones", pa.array([1] * t.num_rows, pa.int64())
+            )
+        for _, (col, op) in aggs.items():
+            if op == "count":
+                specs.append(("__ones", "sum"))
+            else:
+                specs.append((col, _ARROW_FN[op]))
+        g = t.group_by(keys).aggregate(sorted(set(specs)))
         arrays = [g.column(k) for k in keys]
         names = list(keys)
-        for out_col, (col, op) in aggs.items():
-            c = g.column(f"{col}_{_ARROW_FN[op]}")
+        for (out_col, (col, op)), (scol, sop) in zip(aggs.items(), specs):
+            c = g.column(f"{scol}_{sop}")
             if op in ("count", "sum") and pa.types.is_integer(c.type):
                 c = pc.cast(c, pa.int64())
             arrays.append(c)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -29,11 +30,9 @@ def brute_force_topk(
     """Exact top-k by cosine for each query id (excluding the query itself).
     Output: (query_id, vec_id, rank)."""
     emb = read_table(sf_dir, table, columns=["vec_id", "embedding"])
-    want = set(query_ids)
+    want = pa.array(sorted(set(query_ids)), pa.int64())
     qrows = emb.map_batches(
-        lambda t: t.filter(
-            pa.array([v in want for v in t["vec_id"].to_pylist()])
-        ),
+        lambda t: t.filter(pc.is_valid(pc.index_in(t["vec_id"], value_set=want))),
         batch_format="pyarrow",
     ).take_all()
     qid_order = [r["vec_id"] for r in qrows]
@@ -162,9 +161,9 @@ def ivf_topk(
     cent = _kmeans_lite(S, nlist)
     cent_ref = ray.put(cent)
 
-    want = set(query_ids)
+    want = pa.array(sorted(set(query_ids)), pa.int64())
     qrows = emb.map_batches(
-        lambda t: t.filter(pa.array([v in want for v in t["vec_id"].to_pylist()])),
+        lambda t: t.filter(pc.is_valid(pc.index_in(t["vec_id"], value_set=want))),
         batch_format="pyarrow",
     ).take_all()
     q_by_id = {
@@ -201,11 +200,12 @@ def ivf_topk(
 
     class KeepProbed:
         def __init__(self, ref) -> None:
-            self.keep = ray.get(ref)
+            self.keep = pa.array(sorted(ray.get(ref)), pa.int32())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([b in self.keep for b in t["bucket"].to_pylist()])
-            return t.filter(mask)
+            return t.filter(
+                pc.is_valid(pc.index_in(t["bucket"], value_set=self.keep))
+            )
 
     # per-block top-k combiner within the probed buckets (same pattern as the
     # brute-force path) — only k rows per (block, query) reach the driver;

@@ -2,27 +2,10 @@
 must match the distributed pipeline's kg_* query outputs exactly — this is
 the in-repo version of the driver's kg_* value comparison, run at sf0.001."""
 
-import pyarrow as pa
-import pyarrow.compute as pc
 import pytest
 
-
-def _canon(t: pa.Table) -> pa.Table:
-    t = t.select(sorted(t.column_names)).combine_chunks()
-    if t.num_rows:
-        idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in t.column_names])
-        t = t.take(idx)
-    return t
-
-
-def _to_arrow(result) -> pa.Table:
-    import ray
-    import ray.data
-
-    if isinstance(result, ray.data.Dataset):
-        tables = [t for t in ray.get(result.to_arrow_refs()) if t.num_rows]
-        return pa.concat_tables(tables, promote_options="default")
-    return result
+from agenticknowledgegraphconstructionsystem_ray.arrowcmp import canon as _canon
+from agenticknowledgegraphconstructionsystem_ray.arrowcmp import to_arrow as _to_arrow
 
 
 @pytest.fixture(scope="module")

@@ -7,11 +7,12 @@ fails it — so this test compares ``pyarrow.Table``s, never pandas objects."""
 import sys
 
 import duckdb
-import pyarrow as pa
-import pyarrow.compute as pc
 import pytest
 
 sys.path.insert(0, "/root/repo")
+
+from agenticknowledgegraphconstructionsystem_ray.arrowcmp import canon as _canon
+from agenticknowledgegraphconstructionsystem_ray.arrowcmp import to_arrow as _to_arrow
 
 SF = "/root/testdata/sf0.001"
 
@@ -37,33 +38,6 @@ FAST_QUERIES = [
     "q32_stable_split",
     "mm_decode_meta",
 ]
-
-
-def _canon(t: pa.Table) -> pa.Table:
-    t = t.select(sorted(t.column_names)).combine_chunks()
-    if t.num_rows:
-        idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in t.column_names])
-        t = t.take(idx)
-    return t
-
-
-def _to_arrow(result) -> pa.Table:
-    import pandas as pd
-
-    import ray
-    import ray.data
-
-    if isinstance(result, ray.data.Dataset):
-        tables = list(ray.get(result.to_arrow_refs()))
-        nonempty = [t for t in tables if t.num_rows]
-        if nonempty:
-            return pa.concat_tables(nonempty, promote_options="default")
-        return tables[0] if tables else pa.table({})
-    if isinstance(result, pa.Table):
-        return result
-    if isinstance(result, pd.DataFrame):
-        return pa.Table.from_pandas(result, preserve_index=False)
-    raise TypeError(type(result))
 
 
 @pytest.fixture(scope="module")

@@ -52,6 +52,30 @@ def test_salted_aggregate_matches_direct_groupby(_ray):
         assert (salted[c].astype("int64") == direct[c].astype("int64")).all(), c
 
 
+def test_salted_count_counts_rows_with_nulls(_ray):
+    """'count' must count ROWS like ray.data Count(), including rows whose
+    value column is null (Arrow's hash count would skip them)."""
+    from agenticknowledgegraphconstructionsystem_ray.stages.salted import (
+        salted_aggregate,
+    )
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 2, 2], pa.int64()),
+                "v": pa.array([10, None, None, None, 5], pa.int64()),
+            }
+        )
+    )
+    out = (
+        salted_aggregate(ds, "k", {"n": ("v", "count")})
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [2, 3]
+
+
 def test_driverless_label_propagation_matches_unionfind(_ray):
     from agenticknowledgegraphconstructionsystem_ray.stages.canonicalize import (
         label_propagation_components_driverless,

@@ -3,13 +3,12 @@
 driver's order-insensitive, dtype-sensitive value comparison. Exits nonzero on
 any mismatch.
 
-The comparison is Arrow-exact: both sides are converted to ``pyarrow.Table``
-(DuckDB via ``.arrow()``, never ``.df()`` — pandas object compare hides type
-drift like DuckDB SUM(BIGINT) -> decimal128(38,0) vs Ray int64, which the
-driver's value-hash DOES fail on), columns sorted by name, rows sorted by all
-columns, then schema and values compared with ``Table.equals``.
+Comparison kernel: agenticknowledgegraphconstructionsystem_ray.arrowcmp
+(Arrow-exact — DuckDB results via ``.arrow()``, never ``.df()``, because
+pandas object compare hides type drift like DuckDB SUM(BIGINT) ->
+decimal128(38,0) vs Ray int64, which the driver's value-hash DOES fail on).
 
-Usage: python tools/check_oracles.py [sf_dir]
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -19,62 +18,14 @@ import sys
 import time
 
 import duckdb
-import pandas as pd
-import pyarrow as pa
-import pyarrow.compute as pc
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def to_arrow(result) -> pa.Table:
-    import ray
-    import ray.data
-
-    if isinstance(result, ray.data.Dataset):
-        tables = list(ray.get(result.to_arrow_refs()))
-        nonempty = [t for t in tables if t.num_rows]
-        if nonempty:
-            return pa.concat_tables(nonempty, promote_options="default")
-        return tables[0] if tables else pa.table({})
-    if isinstance(result, pa.Table):
-        return result
-    if isinstance(result, pd.DataFrame):
-        return pa.Table.from_pandas(result, preserve_index=False)
-    raise TypeError(f"unsupported result type {type(result)!r}")
-
-
-def canon(t: pa.Table) -> pa.Table:
-    t = t.select(sorted(t.column_names))
-    t = t.combine_chunks()
-    if t.num_rows:
-        try:
-            idx = pc.sort_indices(
-                t, sort_keys=[(c, "ascending") for c in t.column_names]
-            )
-            t = t.take(idx)
-        except pa.ArrowError:
-            # non-orderable column (e.g. nested list) — sort by orderable ones
-            keys = [
-                c for c in t.column_names
-                if not pa.types.is_nested(t.schema.field(c).type)
-            ]
-            if keys:
-                idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in keys])
-                t = t.take(idx)
-    return t
-
-
-def diff_report(name: str, mine: pa.Table, ref: pa.Table) -> list[str]:
-    msgs = []
-    for c in mine.column_names:
-        a, b = mine[c], ref[c]
-        if a.type != b.type:
-            msgs.append(f"  col {c}: dtype {a.type} vs {b.type}")
-        elif not a.equals(b):
-            av, bv = a.to_pylist(), b.to_pylist()
-            bad = [(x, y) for x, y in zip(av, bv) if x != y][:3]
-            msgs.append(f"  col {c}: values differ, e.g. {bad}")
-    return msgs
+from agenticknowledgegraphconstructionsystem_ray.arrowcmp import (  # noqa: E402
+    canon,
+    diff_report,
+    to_arrow,
+)
 
 
 def main() -> int:
@@ -146,7 +97,7 @@ def main() -> int:
             print(f"FAIL {name}: rows {mine.num_rows} vs {ref.num_rows}")
             continue
         if not mine.equals(ref):
-            msgs = diff_report(name, mine, ref)
+            msgs = diff_report(mine, ref)
             failures.append((name, "; ".join(msgs) or "tables differ"))
             print(f"FAIL {name}:")
             for m in msgs[:4]:
