@@ -113,6 +113,16 @@ class KGConfig:
                                      # open-vocabulary web-text case — else
                                      # driver pandas merge); True/False
                                      # force a path
+    open_vocab: bool = False         # True = fully open-vocabulary phase B
+                                     # (pipelines/openvocab.py): only
+                                     # alias-relevant surfaces reach the
+                                     # driver; singleton nodes, id
+                                     # assignment and edge id application
+                                     # all run distributed (join, not
+                                     # broadcast map). Same outputs as the
+                                     # default path (tests assert parity);
+                                     # use for corpora whose surface
+                                     # vocabulary does not fit one heap
 
     def alias_dict(self) -> dict[str, tuple[str, str]]:
         return self.alias if self.alias is not None else synth.alias_dict()
@@ -380,15 +390,27 @@ def triples_dataset(out_dir: str, columns: list[str] | None = None):
 PANDAS_MCOUNT_MAX_ROWS = 2_000_000
 
 
-def _distributed_counts(mcount_files: list[str]):
-    """Ray-groupby merge of mention-count partials: reads the (chunks x
-    vocabulary)-sized partial rows distributed and reduces them to ONE row
-    per norm_surface; only that vocabulary-sized output reaches the driver
-    (for union-find + node building)."""
-    import pyarrow.compute as pc
+def _merge_partials_ds(partials_ds: rd.Dataset) -> rd.Dataset:
+    """Distributed merge of (norm_surface, mentions_p, links_p, perfect_p,
+    max_score_p, min_score_p) partial rows -> one row per surface."""
     from ray.data.aggregate import Max as RMax
     from ray.data.aggregate import Min as RMin
     from ray.data.aggregate import Sum as RSum
+
+    return partials_ds.groupby("norm_surface").aggregate(
+        RSum("mentions_p", alias_name="mention_count"),
+        RSum("links_p", alias_name="link_count"),
+        RSum("perfect_p", alias_name="perfect_links"),
+        RMax("max_score_p", alias_name="max_score"),
+        RMin("min_score_p", alias_name="min_score"),
+    )
+
+
+def _distributed_counts_ds(mcount_files: list[str]) -> rd.Dataset:
+    """Ray-groupby merge of mention-count partials as a DATASET: reads the
+    (chunks x vocabulary)-sized partial rows distributed and reduces them to
+    one row per norm_surface."""
+    import pyarrow.compute as pc
 
     ds = rd.read_parquet(
         mcount_files,
@@ -410,23 +432,57 @@ def _distributed_counts(mcount_files: list[str]):
             }
         )
 
-    merged = (
-        ds.map_batches(rename, batch_format="pyarrow")
-        .groupby("norm_surface")
-        .aggregate(
-            RSum("mentions_p", alias_name="mention_count"),
-            RSum("links_p", alias_name="link_count"),
-            RSum("perfect_p", alias_name="perfect_links"),
-            RMax("max_score_p", alias_name="max_score"),
-            RMin("min_score_p", alias_name="min_score"),
-        )
-    )
-    df = merged.to_pandas()
+    return _merge_partials_ds(ds.map_batches(rename, batch_format="pyarrow"))
+
+
+def _distributed_counts(mcount_files: list[str]):
+    """As above but reduced to a driver DataFrame (the closed-vocabulary
+    case, where the merged output is dimension-bounded)."""
+    df = _distributed_counts_ds(mcount_files).to_pandas()
     return df.sort_values("norm_surface", kind="mergesort").reset_index(drop=True)
+
+
+def _finalize_edges(edges: "rd.Dataset", edges_dir: str, cfg: KGConfig) -> int:
+    """Shared edge materialization: optional global dedup -> vectorized
+    validation -> ONE corpus-sized packed-key sort -> atomic parquet write.
+    Returns the edge count.
+
+    Edge dedup already happened AT SOURCE (the extractor dedups per page on
+    the canonical key, which the alias dict fully determines; url is in the
+    key and each url is extracted exactly once), so no global dedup shuffle
+    is needed by default. For corpora where the same url can recur
+    (re-crawls), cfg.global_edge_dedup adds an exact groupby dedup pass (D4,
+    db_init.py:128) with the same tuple-min representative rule as the
+    per-page and block-level dedups.
+
+    Sort: ONE packed string key instead of a 4-column key — multi-column Ray
+    sort was ~3x slower (measured). See _add_sort_key for the key layout;
+    the invariant test asserts tuple-sortedness of the final parquet.
+    """
+    if cfg.global_edge_dedup:
+        from ..stages.canonicalize import dedup_edges_group
+
+        edges = edges.map_batches(dedup_edges_batch, batch_format="pyarrow")
+        edges = edges.groupby(["subj_id", "pred", "obj_id", "url"]).map_groups(
+            dedup_edges_group, batch_format="pandas"
+        )
+    edges = edges.map_batches(validate_edges_batch, batch_format="pyarrow")
+    edges = edges.map_batches(_add_sort_key, batch_format="pyarrow")
+    edges = edges.sort("skey").drop_columns(["skey"])
+    tmp = edges_dir + ".tmp"
+    mf.clear_stale_tmp(tmp)
+    edges.write_parquet(tmp, compression="zstd")
+    mf.atomic_replace_dir(tmp, edges_dir)
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(edges_dir, "*.parquet"))
+    )
 
 
 def run_phase_b(cfg: KGConfig) -> dict:
     """Global canonicalization + dedup + validate + materialize."""
+    if cfg.open_vocab:
+        return run_phase_b_openvocab(cfg)
     t0 = time.perf_counter()
     timings: dict[str, float] = {}
 
@@ -549,34 +605,8 @@ def run_phase_b(cfg: KGConfig) -> dict:
         # global dedup shuffle is needed. For corpora where the same url can
         # recur (re-crawls), cfg.global_edge_dedup adds an exact groupby
         # dedup pass (D4, db_init.py:128).
-        if cfg.global_edge_dedup:
-            from ..stages.canonicalize import dedup_edges_group
-
-            edges = edges.map_batches(dedup_edges_batch, batch_format="pyarrow")
-            # tuple-min representative (same rule as the per-page and
-            # block-level dedups) — independent per-column Min aggregates
-            # could stitch together fields from different source rows
-            edges = edges.groupby(["subj_id", "pred", "obj_id", "url"]).map_groups(
-                dedup_edges_group, batch_format="pandas"
-            )
-        edges = edges.map_batches(validate_edges_batch, batch_format="pyarrow")
-        # Global sort on ONE packed string key instead of a 4-column key —
-        # multi-column Ray sort was ~3x slower (measured). The packed key
-        # "subj_id(0pad8)\x00pred\x00obj_id(0pad8)\x00url" preserves exactly
-        # the (subj_id, pred, obj_id, url) tuple order (ids are 0-padded,
-        # \x00 sorts below every other byte; ids are always >= 0 here); the
-        # invariant test asserts tuple-sortedness of the final parquet.
-        edges = edges.map_batches(_add_sort_key, batch_format="pyarrow")
-        edges = edges.sort("skey").drop_columns(["skey"])
-        tmp = edges_dir + ".tmp"
-        mf.clear_stale_tmp(tmp)
-        edges.write_parquet(tmp, compression="zstd")
-        mf.atomic_replace_dir(tmp, edges_dir)
+        n_edges = _finalize_edges(edges, edges_dir, cfg)
         _mark("edges_s", _since)
-        n_edges = sum(
-            pq.read_metadata(f).num_rows
-            for f in glob.glob(os.path.join(edges_dir, "*.parquet"))
-        )
     else:
         os.makedirs(edges_dir, exist_ok=True)
 
@@ -633,6 +663,141 @@ def run_phase_b(cfg: KGConfig) -> dict:
 
     return {
         "n_nodes": nodes.num_rows,
+        "n_edges": n_edges,
+        "n_issues": summary["total_issues"],
+        "phase_b_wall_s": round(time.perf_counter() - t0, 3),
+        "phase_b_timings": timings,
+    }
+
+
+def run_phase_b_openvocab(cfg: KGConfig) -> dict:
+    """Open-vocabulary phase B (see pipelines/openvocab.py): counts, node
+    building, id assignment, edge id application and entity validation all
+    run distributed; only alias-relevant surfaces (bounded by the alias
+    dictionary) and per-block row counts reach the driver. Produces the same
+    on-disk outputs as run_phase_b (nodes may span multiple parquet files)."""
+    from ray.data.aggregate import Sum as RSum
+
+    from ..stages.validate import validate_nodes_table as _vnt
+    from .openvocab import apply_ids_join, build_nodes_openvocab
+
+    t0 = time.perf_counter()
+    timings: dict[str, float] = {}
+
+    def _mark(name: str, since: list[float]) -> None:
+        now = time.perf_counter()
+        timings[name] = round(now - since[0], 3)
+        since[0] = now
+
+    _since = [t0]
+    out = cfg.out_dir
+    alias = cfg.alias_dict()
+
+    mcount_files = _kind_files(out, "mcount")
+    if mcount_files:
+        counts_ds = _distributed_counts_ds(mcount_files)
+    else:
+        mentions = mentions_dataset(
+            out, columns=["norm_surface", "n_in_page", "score"]
+        )
+        counts_ds = (
+            _merge_partials_ds(
+                mentions.map_batches(
+                    partial_mention_counts, batch_format="pyarrow"
+                )
+            )
+            if mentions is not None
+            else None
+        )
+
+    nodes_dir = os.path.join(out, "nodes")
+    if counts_ds is None:
+        os.makedirs(nodes_dir, exist_ok=True)
+        n_nodes = 0
+        nodes_ds = mapping_ds = None
+    else:
+        nodes_ds, mapping_ds = build_nodes_openvocab(counts_ds, alias)
+        n_nodes = nodes_ds.count()
+        tmpn = nodes_dir + ".tmp"
+        mf.clear_stale_tmp(tmpn)
+        nodes_ds.write_parquet(tmpn, compression="zstd")
+        mf.atomic_replace_dir(tmpn, nodes_dir)
+        top = pa.concat_tables(
+            ray.get(
+                nodes_ds.sort(
+                    ["mention_count", "entity_id"], descending=[True, False]
+                )
+                .limit(1000)
+                .drop_columns(["aliases"])
+                .to_arrow_refs()
+            )
+        )
+        _write_nodes_summary_csv(top, os.path.join(out, "nodes_summary.csv"))
+    _mark("counts_unionfind_s", _since)
+
+    triples = triples_dataset(
+        out,
+        columns=[
+            "url", "warc_ts", "subj", "subj_norm", "pred",
+            "obj", "obj_norm", "confidence", "context",
+        ],
+    )
+    edges_dir = os.path.join(out, "edges")
+    n_edges = 0
+    if triples is not None and mapping_ds is not None:
+        edges = apply_ids_join(
+            triples, mapping_ds, num_partitions=max(2, _cluster_cpus())
+        )
+        n_edges = _finalize_edges(edges, edges_dir, cfg)
+        _mark("edges_s", _since)
+    else:
+        os.makedirs(edges_dir, exist_ok=True)
+
+    # ---- validation report: entity issues distributed too ----
+    issues_dir = os.path.join(out, "validation", "issues")
+    tmpi = issues_dir + ".tmp"
+    mf.clear_stale_tmp(tmpi)
+    os.makedirs(tmpi, exist_ok=True)
+    by_rule_sev: dict[tuple[str, str], int] = {}
+    sample: list[dict] = []
+    issue_sources = []
+    if nodes_ds is not None:
+        issue_sources.append(
+            nodes_ds.map_batches(_vnt, batch_format="pyarrow")
+        )
+    if n_edges:
+        issue_sources.append(
+            rd.read_parquet(
+                sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
+            ).map_batches(edge_issues_batch, batch_format="pyarrow")
+        )
+    if issue_sources:
+        issues_ds = issue_sources[0]
+        for extra in issue_sources[1:]:
+            issues_ds = issues_ds.union(extra)
+        issues_ds = issues_ds.materialize()
+        issues_ds.write_parquet(tmpi, compression="zstd")
+        cnt = (
+            issues_ds.map_batches(issue_count_batch, batch_format="pyarrow")
+            .groupby(["severity", "rule"])
+            .aggregate(RSum("n", alias_name="n"))
+            .to_pandas()
+        )
+        for r in cnt.itertuples(index=False):
+            by_rule_sev[(r.severity, r.rule)] = int(r.n)
+        sample = issues_ds.limit(100).take_all()
+    mf.atomic_replace_dir(tmpi, issues_dir)
+    _mark("issues_s", _since)
+
+    summary = summarize_issues(by_rule_sev, n_nodes, n_edges)
+    report = {"summary": summary, "issues_sample": sample[:100]}
+    report_path = os.path.join(out, "validation-results.json")
+    with open(report_path + ".tmp", "w") as f:
+        json.dump(report, f, sort_keys=True, default=str)
+    os.replace(report_path + ".tmp", report_path)
+
+    return {
+        "n_nodes": n_nodes,
         "n_edges": n_edges,
         "n_issues": summary["total_issues"],
         "phase_b_wall_s": round(time.perf_counter() - t0, 3),

@@ -71,16 +71,27 @@ def partial_mention_counts(batch: pa.Table) -> pa.Table:
     )
 
 
-def build_entity_table(
-    counts: pd.DataFrame, alias: dict[str, tuple[str, str]]
-) -> tuple[pa.Table, dict[str, tuple[int, str]]]:
-    """Driver-side union-find merge -> (nodes table, norm -> (entity_id,
-    canonical_name) map).
+NODES_SCHEMA = pa.schema(
+    [
+        ("entity_id", pa.int64()),
+        ("canonical_name", pa.string()),
+        ("ent_type", pa.string()),
+        ("mention_count", pa.int64()),
+        ("link_count", pa.int64()),
+        ("perfect_links", pa.int64()),
+        ("max_score", pa.float64()),
+        ("min_score", pa.float64()),
+        ("aliases", pa.list_(pa.string())),
+    ]
+)
 
-    ``counts`` columns: norm_surface, mention_count, link_count,
-    perfect_links, max_score, min_score (already merged across blocks).
-    Deterministic: entity ids are the dense rank of sorted canonical names.
-    """
+
+def component_rows(
+    counts: pd.DataFrame, alias: dict[str, tuple[str, str]]
+) -> list[dict]:
+    """Union-find over the counts rows -> node row dicts (no entity ids yet),
+    sorted by canonical name; each row carries ``_members`` (all component
+    members incl. unseen canonical norms) for id-map construction."""
     uf = UnionFind()
     for norm in counts["norm_surface"]:
         uf.add(norm)
@@ -91,10 +102,9 @@ def build_entity_table(
             uf.union(norm, norm_surface(hit[0]))
 
     by_norm = counts.set_index("norm_surface")
-    comps = uf.components()
 
     rows = []
-    for _, members in sorted(comps.items()):
+    for _, members in sorted(uf.components().items()):
         canon_names = sorted(
             {alias[m][0] for m in members if m in alias}
         )
@@ -123,6 +133,20 @@ def build_entity_table(
         )
 
     rows.sort(key=lambda r: r["canonical_name"])
+    return rows
+
+
+def build_entity_table(
+    counts: pd.DataFrame, alias: dict[str, tuple[str, str]]
+) -> tuple[pa.Table, dict[str, tuple[int, str]]]:
+    """Driver-side union-find merge -> (nodes table, norm -> (entity_id,
+    canonical_name) map).
+
+    ``counts`` columns: norm_surface, mention_count, link_count,
+    perfect_links, max_score, min_score (already merged across blocks).
+    Deterministic: entity ids are the dense rank of sorted canonical names.
+    """
+    rows = component_rows(counts, alias)
     id_map: dict[str, tuple[int, str]] = {}
     out = {
         "entity_id": [],
@@ -142,22 +166,7 @@ def build_entity_table(
         for k in r:
             out[k].append(r[k])
 
-    nodes = pa.Table.from_pydict(
-        out,
-        schema=pa.schema(
-            [
-                ("entity_id", pa.int64()),
-                ("canonical_name", pa.string()),
-                ("ent_type", pa.string()),
-                ("mention_count", pa.int64()),
-                ("link_count", pa.int64()),
-                ("perfect_links", pa.int64()),
-                ("max_score", pa.float64()),
-                ("min_score", pa.float64()),
-                ("aliases", pa.list_(pa.string())),
-            ]
-        ),
-    )
+    nodes = pa.Table.from_pydict(out, schema=NODES_SCHEMA)
     return nodes, id_map
 
 

@@ -1,0 +1,73 @@
+"""The open-vocabulary phase B (KGConfig(open_vocab=True): alias-relevant
+surfaces only to the driver, distributed singleton nodes, block-offset id
+assignment, join-based edge id application) must produce the same graph as
+the default driver-side path."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from agenticknowledgegraphconstructionsystem_ray import synth
+from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+
+
+def _read_dir(d, columns=None):
+    return pq.read_table(
+        sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)),
+        columns=columns,
+    )
+
+
+@pytest.fixture(scope="module")
+def pages(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("ov_pages")
+    synth.write_pages(str(d), 150, n_files=4)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def outputs(pages, tmp_path_factory):
+    outs = {}
+    for name, ov in [("default", False), ("openvocab", True)]:
+        out = str(tmp_path_factory.mktemp(f"ov_{name}"))
+        kg.run_pipeline(
+            kg.KGConfig(
+                pages_dir=pages, out_dir=out, chunk_files=2, open_vocab=ov
+            )
+        )
+        outs[name] = out
+    return outs
+
+
+def test_openvocab_nodes_equal(outputs):
+    a = _read_dir(os.path.join(outputs["default"], "nodes"))
+    b = _read_dir(os.path.join(outputs["openvocab"], "nodes"))
+    b = b.select(a.column_names)
+    # row order: both are entity_id-dense; sort for a stable compare
+    a = a.sort_by("entity_id")
+    b = b.sort_by("entity_id")
+    assert a.num_rows == b.num_rows
+    for c in a.column_names:
+        assert a[c].type == b[c].type, c
+        assert a[c].combine_chunks().equals(b[c].combine_chunks()), c
+
+
+def test_openvocab_edges_equal(outputs):
+    a = _read_dir(os.path.join(outputs["default"], "edges"))
+    b = _read_dir(os.path.join(outputs["openvocab"], "edges"))
+    b = b.select(a.column_names)
+    assert a.num_rows == b.num_rows
+    for c in a.column_names:
+        assert a[c].combine_chunks().equals(b[c].combine_chunks()), c
+
+
+def test_openvocab_validation_summary_equal(outputs):
+    import json
+
+    summaries = []
+    for name in ("default", "openvocab"):
+        with open(os.path.join(outputs[name], "validation-results.json")) as f:
+            summaries.append(json.load(f)["summary"])
+    assert summaries[0] == summaries[1]
