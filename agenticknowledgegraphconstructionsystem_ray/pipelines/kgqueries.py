@@ -47,10 +47,14 @@ def kg_nodes(sf_dir: str):
     """Canonical entity table (aliases joined to a string for stable
     driver-side hashing of the list column)."""
     out = _ensure_run(sf_dir)
+    import glob
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(out, "nodes", "part-00000.parquet"))
+    t = pq.read_table(
+        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet")))
+    )
     aliases = ["|".join(a) for a in t.column("aliases").to_pylist()]
     return t.drop_columns(["aliases"]).append_column(
         "aliases_joined", pa.array(aliases, pa.string())
