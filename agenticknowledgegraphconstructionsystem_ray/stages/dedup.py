@@ -153,9 +153,9 @@ MAX_BUCKET_ALL_PAIRS = 100
 
 
 def _bucket_pairs(g):
-    """Group-to-sorted-pairs kernel shared by both LSH paths (pandas group:
-    one bucket). Oversized buckets degrade to chain pairs (see
-    MAX_BUCKET_ALL_PAIRS) so no single hot bucket can go quadratic."""
+    """Group-to-sorted-pairs kernel (pandas group: one bucket). Oversized
+    buckets degrade to chain pairs (see MAX_BUCKET_ALL_PAIRS) so no single
+    hot bucket can go quadratic."""
     ids = sorted(g["doc_id"].tolist())
     if len(ids) > MAX_BUCKET_ALL_PAIRS:
         rows = list(zip(ids[:-1], ids[1:]))
@@ -168,6 +168,56 @@ def _bucket_pairs(g):
         }
     arr = np.array(rows, dtype=np.int64)
     return {"doc_a": arr[:, 0], "doc_b": arr[:, 1]}
+
+
+# LSH bucket keys are numerous and tiny (most buckets are singletons), so a
+# per-bucket groupby().map_groups() pays framework overhead per bucket —
+# tens of thousands of calls. Instead the band rows are shuffled on a COARSE
+# key (bucket-hash % N_COARSE_TASKS) and each coarse group generates pairs
+# for ALL its buckets in one vectorized pass (sort + run boundaries).
+N_COARSE_TASKS = 64
+
+
+def _coarse_bucket_pairs(g):
+    """One coarse group = many buckets. Columns: band, bkey, doc_id.
+    Emits (doc_a, doc_b) pairs per (band, bkey) bucket with the same
+    all-pairs / chain-cap semantics as _bucket_pairs."""
+    band = g["band"].to_numpy()
+    bkey = g["bkey"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    order = np.lexsort((ids, bkey, band))
+    band, bkey, ids = band[order], bkey[order], ids[order]
+    n = len(ids)
+    if n < 2:
+        return {
+            "doc_a": np.array([], dtype=np.int64),
+            "doc_b": np.array([], dtype=np.int64),
+        }
+    change = (band[1:] != band[:-1]) | (bkey[1:] != bkey[:-1])
+    starts = np.concatenate([[0], np.nonzero(change)[0] + 1, [n]])
+    out_a: list = []
+    out_b: list = []
+    for s, e in zip(starts[:-1], starts[1:]):
+        m = e - s
+        if m < 2:
+            continue
+        run = ids[s:e]
+        if m > MAX_BUCKET_ALL_PAIRS:
+            out_a.append(run[:-1])
+            out_b.append(run[1:])
+        else:
+            for i in range(m - 1):
+                out_a.append(np.full(m - 1 - i, run[i]))
+                out_b.append(run[i + 1 :])
+    if not out_a:
+        return {
+            "doc_a": np.array([], dtype=np.int64),
+            "doc_b": np.array([], dtype=np.int64),
+        }
+    return {
+        "doc_a": np.concatenate(out_a).astype(np.int64),
+        "doc_b": np.concatenate(out_b).astype(np.int64),
+    }
 
 
 def _join_pair_payload(
@@ -264,32 +314,56 @@ def _join_pair_payload(
 # ---------------------------------------------------------------------------
 
 def _minhash_bands_batch(t: pa.Table) -> pa.Table:
-    """doc batch -> (band, band_hash, doc_id) rows (the LSH explode)."""
-    ids, bands, bhashes = [], [], []
+    """doc batch -> (band, bkey, coarse, doc_id) rows (the LSH explode).
+    ``bkey`` is the 8-byte blake2b band digest bit-cast to int64 (equality-
+    preserving, faster to shuffle/sort than hex strings); ``coarse`` is the
+    shuffle key for _coarse_bucket_pairs."""
+    ids, bands, bkeys, coarse = [], [], [], []
     for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
         sig = minhash_signature(text)
         for band in range(_BANDS):
             chunk = sig[band * _ROWS : (band + 1) * _ROWS]
-            bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            k = int.from_bytes(
+                hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+            )
+            if k >= 1 << 63:
+                k -= 1 << 64  # bit-cast to int64
             ids.append(doc_id)
             bands.append(band)
-            bhashes.append(bh)
+            bkeys.append(k)
+            coarse.append((k ^ band) % N_COARSE_TASKS)
     return pa.table(
         {
             "band": pa.array(bands, pa.int32()),
-            "band_hash": pa.array(bhashes, pa.string()),
+            "bkey": pa.array(bkeys, pa.int64()),
+            "coarse": pa.array(coarse, pa.int32()),
             "doc_id": pa.array(ids, pa.int64()),
         }
     )
 
 
+def _spread(ds: rd.Dataset) -> rd.Dataset:
+    """Spread a (possibly single-block) input across the cluster before a
+    per-document CPU-heavy stage: a one-file parquet table arrives as ONE
+    block, which would serialize signature computation on one worker. The
+    repartition is row-identical and cheap relative to the compute it
+    parallelizes; real sharded corpora already arrive multi-block."""
+    import ray
+
+    try:
+        n = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:  # noqa: BLE001
+        n = 8
+    return ds.repartition(n)
+
+
 def minhash_candidate_pairs_ds(docs: rd.Dataset) -> rd.Dataset:
     """LSH bucket groupby -> unique candidate pairs as a DISTRIBUTED Dataset
     (doc_a, doc_b) — never collected to the driver."""
-    bands = docs.map_batches(_minhash_bands_batch, batch_format="pyarrow")
+    bands = _spread(docs).map_batches(_minhash_bands_batch, batch_format="pyarrow")
     return (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+        bands.groupby("coarse")
+        .map_groups(_coarse_bucket_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_buckets"))
         .select_columns(["doc_a", "doc_b"])
@@ -351,24 +425,21 @@ def minhash_near_dups(
         return empty
     inv_ref = ray.put(involved)
 
-    class FetchShingles:
-        def __init__(self, ref) -> None:
-            self.want = ray.get(ref)
+    def fetch_shingles(t: pa.Table, ref=inv_ref) -> pa.Table:
+        # stateless task form (actor-pool spin-up costs ~2 s of fixed wall);
+        # ray.get on the broadcast ref is a local in-process-store hit after
+        # the first fetch per worker
+        want = ray.get(ref) if hasattr(ref, "hex") else ref
+        ids, shs = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if doc_id in want:
+                ids.append(doc_id)
+                shs.append("\x00".join(sorted(shingles_of(text))))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "sh": pa.array(shs, pa.string())}
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids, shs = [], []
-            for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-                if doc_id in self.want:
-                    ids.append(doc_id)
-                    shs.append("\x00".join(sorted(shingles_of(text))))
-            return pa.table(
-                {"doc_id": pa.array(ids, pa.int64()), "sh": pa.array(shs, pa.string())}
-            )
-
-    shingle_ds = docs.map_batches(
-        FetchShingles, fn_constructor_kwargs={"ref": inv_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+    shingle_ds = _spread(docs).map_batches(fetch_shingles, batch_format="pyarrow")
 
     joined = _join_pair_payload(pairs, shingle_ds, "sh", pa.string())
 
@@ -429,77 +500,95 @@ def simhash_near_dups(sf_dir_or_ds, max_hamming: int = 3, table: str = "document
         )
 
     # consumed twice (candidate generation + hamming verify) -> materialize
-    sims = docs.map_batches(sim_batch, batch_format="pyarrow").materialize()
+    sims = _spread(docs).map_batches(sim_batch, batch_format="pyarrow").materialize()
 
+    # The hamming payload is 8 bytes/doc, so it is CARRIED THROUGH the band
+    # rows and verified INSIDE the pair-generation kernel — no pair-payload
+    # join at all. This matters: word-salad-like corpora make 16-bit band
+    # buckets collide heavily (150k+ candidate pairs at 5k docs), and only
+    # the handful within max_hamming survive; verifying at the bucket means
+    # the pair-dedup groupby only ever sees survivors.
     def explode_bands(t: pa.Table) -> pa.Table:
-        ids, bands, keys = [], [], []
+        ids, bands, keys, coarse, hs = [], [], [], [], []
         for doc_id, h in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
+            h_i64 = h - (1 << 64) if h >= 1 << 63 else h  # bit-cast to int64
             for band in range(4):
+                k = (h >> (band * 16)) & 0xFFFF
                 ids.append(doc_id)
                 bands.append(band)
-                keys.append((h >> (band * 16)) & 0xFFFF)
+                keys.append(k)
+                coarse.append((k ^ band) % N_COARSE_TASKS)
+                hs.append(h_i64)
         return pa.table(
             {
                 "band": pa.array(bands, pa.int32()),
-                "key": pa.array(keys, pa.int64()),
+                "bkey": pa.array(keys, pa.int64()),
+                "coarse": pa.array(coarse, pa.int32()),
                 "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
             }
         )
 
-    pairs = (
+    def bucket_verified_pairs(g):
+        """Pairs per (band, bkey) bucket with hamming computed in-bucket
+        (vectorized xor+popcount); only pairs <= max_hamming are emitted.
+        Same all-pairs / chain-cap semantics as _coarse_bucket_pairs."""
+        band = g["band"].to_numpy()
+        bkey = g["bkey"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        hu = g["h"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.lexsort((ids, bkey, band))
+        band, bkey, ids, hu = band[order], bkey[order], ids[order], hu[order]
+        n = len(ids)
+        empty = {
+            "doc_a": np.array([], dtype=np.int64),
+            "doc_b": np.array([], dtype=np.int64),
+            "hamming": np.array([], dtype=np.int64),
+        }
+        if n < 2:
+            return empty
+        change = (band[1:] != band[:-1]) | (bkey[1:] != bkey[:-1])
+        starts = np.concatenate([[0], np.nonzero(change)[0] + 1, [n]])
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            run_ids, run_h = ids[s:e], hu[s:e]
+            if m > MAX_BUCKET_ALL_PAIRS:
+                ii = np.arange(m - 1)
+                jj = ii + 1
+            else:
+                ii, jj = np.triu_indices(m, k=1)
+            x = np.bitwise_xor(run_h[ii], run_h[jj])
+            ham = (
+                np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            keep = ham <= max_hamming
+            if keep.any():
+                out_a.append(run_ids[ii[keep]])
+                out_b.append(run_ids[jj[keep]])
+                out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return {
+            "doc_a": np.concatenate(out_a).astype(np.int64),
+            "doc_b": np.concatenate(out_b).astype(np.int64),
+            "hamming": np.concatenate(out_h),
+        }
+
+    from ray.data.aggregate import Min as RMin
+
+    verified = (
         sims.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+        .groupby("coarse")
+        .map_groups(bucket_verified_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_a", "doc_b"])
+        .aggregate(RMin("hamming", alias_name="hamming"))
     )
-
-    # distributed hamming verify: join the (doc_id, simhash) dataset to the
-    # candidate pairs for both endpoints — the corpus-sized simhash map never
-    # reaches the driver (it used to via take_all)
-    # hex-encode the simhash for the shuffle: uint64 values above 2^63 make
-    # pandas/arrow type inference flap between int64 and uint64 across blocks
-    sim_payload = sims.map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "h": pa.array(
-                    [f"{v:016x}" for v in t["simhash"].to_pylist()], pa.string()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    joined = _join_pair_payload(pairs, sim_payload, "h", pa.string())
-
-    def verify(t: pa.Table) -> pa.Table:
-        a = np.asarray(
-            [int(x, 16) for x in t["h_a"].to_pylist()], dtype=np.uint64
-        )
-        b = np.asarray(
-            [int(x, 16) for x in t["h_b"].to_pylist()], dtype=np.uint64
-        )
-        x = np.bitwise_xor(a, b)
-        ham = (
-            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
-            .sum(axis=1)
-            .astype(np.int64)
-            if len(x)
-            else np.empty(0, dtype=np.int64)
-        )
-        keep = ham <= max_hamming
-        da = np.asarray(t["doc_a"].to_pylist(), dtype=np.int64)[keep]
-        db = np.asarray(t["doc_b"].to_pylist(), dtype=np.int64)[keep]
-        return pa.table(
-            {
-                "doc_a": pa.array(da, pa.int64()),
-                "doc_b": pa.array(db, pa.int64()),
-                "hamming": pa.array(ham[keep], pa.int64()),
-            }
-        )
-
-    out = joined.map_batches(verify, batch_format="pyarrow").take_all()
+    out = verified.take_all()
     rows = sorted((r["doc_a"], r["doc_b"], r["hamming"]) for r in out)
     return pa.table(
         {
