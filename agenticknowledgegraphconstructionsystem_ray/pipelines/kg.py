@@ -161,10 +161,9 @@ def _add_sort_key(t: pa.Table) -> pa.Table:
 
 
 def _cluster_cpus() -> int:
-    try:
-        return max(1, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:  # noqa: BLE001
-        return 8
+    from ..runtime import cluster_cpus
+
+    return cluster_cpus()
 
 
 LAYOUT_VERSION = "5"  # bump when the on-disk output layout changes
@@ -439,6 +438,8 @@ def _distributed_counts(mcount_files: list[str]):
     """As above but reduced to a driver DataFrame (the closed-vocabulary
     case, where the merged output is dimension-bounded)."""
     df = _distributed_counts_ds(mcount_files).to_pandas()
+    if df.empty or "norm_surface" not in df.columns:
+        return None  # empty partials (e.g. all pages lang-filtered)
     return df.sort_values("norm_surface", kind="mergesort").reset_index(drop=True)
 
 
@@ -462,8 +463,10 @@ def _finalize_edges(edges: "rd.Dataset", edges_dir: str, cfg: KGConfig) -> int:
     if cfg.global_edge_dedup:
         from ..stages.canonicalize import dedup_edges_group
 
+        from ..stages.canonicalize import DEDUP_KEYS
+
         edges = edges.map_batches(dedup_edges_batch, batch_format="pyarrow")
-        edges = edges.groupby(["subj_id", "pred", "obj_id", "url"]).map_groups(
+        edges = edges.groupby(DEDUP_KEYS).map_groups(
             dedup_edges_group, batch_format="pandas"
         )
     edges = edges.map_batches(validate_edges_batch, batch_format="pyarrow")
@@ -710,20 +713,28 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
             else None
         )
 
+    from ..stages.canonicalize import NODES_SCHEMA
+
     nodes_dir = os.path.join(out, "nodes")
-    if counts_ds is None:
-        os.makedirs(nodes_dir, exist_ok=True)
-        n_nodes = 0
-        nodes_ds = mapping_ds = None
-    else:
+    n_nodes = 0
+    nodes_ds = mapping_ds = None
+    if counts_ds is not None:
         nodes_ds, mapping_ds = build_nodes_openvocab(counts_ds, alias)
         n_nodes = nodes_ds.count()
+    if nodes_ds is None or n_nodes == 0:
+        # empty corpus: same on-disk shape as the default path (an empty
+        # single-file nodes table readers can open)
+        _write_atomic_table(NODES_SCHEMA.empty_table(), nodes_dir)
+        nodes_ds = mapping_ds = None
+        n_nodes = 0
+    else:
         tmpn = nodes_dir + ".tmp"
         mf.clear_stale_tmp(tmpn)
         nodes_ds.write_parquet(tmpn, compression="zstd")
         mf.atomic_replace_dir(tmpn, nodes_dir)
-        top = pa.concat_tables(
-            ray.get(
+        top_tables = [
+            t
+            for t in ray.get(
                 nodes_ds.sort(
                     ["mention_count", "entity_id"], descending=[True, False]
                 )
@@ -731,6 +742,12 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
                 .drop_columns(["aliases"])
                 .to_arrow_refs()
             )
+            if t.num_rows
+        ]
+        top = (
+            pa.concat_tables(top_tables)
+            if top_tables
+            else NODES_SCHEMA.empty_table().drop_columns(["aliases"])
         )
         _write_nodes_summary_csv(top, os.path.join(out, "nodes_summary.csv"))
     _mark("counts_unionfind_s", _since)
@@ -761,10 +778,12 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
     by_rule_sev: dict[tuple[str, str], int] = {}
     sample: list[dict] = []
     issue_sources = []
+    entity_issues_ds = None
     if nodes_ds is not None:
-        issue_sources.append(
-            nodes_ds.map_batches(_vnt, batch_format="pyarrow")
-        )
+        entity_issues_ds = nodes_ds.map_batches(
+            _vnt, batch_format="pyarrow"
+        ).materialize()
+        issue_sources.append(entity_issues_ds)
     if n_edges:
         issue_sources.append(
             rd.read_parquet(
@@ -785,7 +804,10 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
         )
         for r in cnt.itertuples(index=False):
             by_rule_sev[(r.severity, r.rule)] = int(r.n)
-        sample = issues_ds.limit(100).take_all()
+        # sample ENTITY issues (matching the default path's
+        # validation-results.json, which samples entity issues only)
+        if entity_issues_ds is not None:
+            sample = entity_issues_ds.limit(100).take_all()
     mf.atomic_replace_dir(tmpi, issues_dir)
     _mark("issues_s", _since)
 

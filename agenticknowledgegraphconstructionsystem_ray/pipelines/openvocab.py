@@ -191,42 +191,143 @@ def build_nodes_openvocab(
     return nodes_ds, mapping_ds
 
 
-def apply_ids_join(
-    triples: rd.Dataset, mapping_ds: rd.Dataset, num_partitions: int
-) -> rd.Dataset:
-    """Join-based edge id application (no broadcast map): triples joined to
-    the mapping dataset on subj_norm and obj_norm (left outer; unknown norms
-    keep -1/norm like the broadcast path). Output columns match
-    stages/canonicalize.ApplyEntityIds."""
+# Skew-safe distributed lookup join (no Dataset.join — its hash partitions
+# lose their schema when empty, which breaks chained joins on small or
+# skewed inputs; verified on this Ray version). Rows are routed to
+# M coarse shuffle groups by crc32(key)+salt, the (small-side) mapping is
+# replicated once per salt so every coarse group holding rows of a key also
+# holds that key's mapping row, and each coarse group resolves ALL its keys
+# with one vectorized pandas merge. The salt splits a Zipf-hot key's rows
+# across LOOKUP_SALTS coarse groups, so no single reducer receives a hot
+# key's full row set.
+LOOKUP_SALTS = 8
+LOOKUP_GROUPS = 64
 
-    def ren(prefix: str):
-        return mapping_ds.map_batches(
-            lambda t, p=prefix: t.rename_columns(
-                [f"{p}_norm", f"{p}_id", f"{p}_name"]
-            ),
-            batch_format="pyarrow",
+
+def _crc_i64(values: list[str]) -> "np.ndarray":
+    import zlib
+
+    return np.fromiter(
+        (zlib.crc32(x.encode()) for x in values), dtype=np.int64,
+        count=len(values),
+    )
+
+
+def lookup_join(
+    rows: rd.Dataset,
+    key_col: str,
+    mapping_ds: rd.Dataset,
+    id_out: str,
+    name_out: str,
+    row_fields: list[tuple[str, pa.DataType]],
+) -> rd.Dataset:
+    """Left-lookup of ``rows[key_col]`` against mapping (member_norm ->
+    entity_id, canonical_name); appends ``id_out`` (int64, -1 when missing)
+    and ``name_out`` (string, key itself when missing). ``row_fields`` names
+    the row columns and their Arrow types (callers know their schema; asking
+    the Dataset would force execution mid-plan)."""
+
+    row_cols = [n for n, _ in row_fields]
+    row_types = dict(row_fields)
+
+    # both sides of the union carry the SAME column set (row cols + mapping
+    # cols), null-padded — Ray's union/shuffle needs consistent block schemas
+    def route_rows(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        h = _crc_i64(keys)
+        salt = np.arange(len(keys), dtype=np.int64) % LOOKUP_SALTS
+        coarse = (h + salt) % LOOKUP_GROUPS
+        arrays = [t[c] for c in row_cols]
+        arrays += [
+            pa.array(coarse, pa.int32()),
+            pa.nulls(t.num_rows, pa.string()),   # __mkey
+            pa.nulls(t.num_rows, pa.int64()),    # __mid
+            pa.nulls(t.num_rows, pa.string()),   # __mname
+        ]
+        return pa.Table.from_arrays(
+            arrays, names=row_cols + ["__coarse", "__mkey", "__mid", "__mname"]
         )
 
-    j = triples.join(
-        ren("ms"), join_type="left_outer", num_partitions=num_partitions,
-        on=("subj_norm",), right_on=("ms_norm",),
+    def route_mapping(t: pa.Table) -> pa.Table:
+        norms = t["member_norm"].to_pylist()
+        h = _crc_i64(norms)
+        idx = np.repeat(np.arange(t.num_rows), LOOKUP_SALTS)
+        salts = np.tile(np.arange(LOOKUP_SALTS, dtype=np.int64), t.num_rows)
+        coarse = (h[idx] + salts) % LOOKUP_GROUPS
+        rep = t.take(pa.array(idx))
+        arrays = [pa.nulls(rep.num_rows, row_types[c]) for c in row_cols]
+        arrays += [
+            pa.array(coarse, pa.int32()),
+            rep["member_norm"],
+            pc.cast(rep["entity_id"], pa.int64()),
+            rep["canonical_name"],
+        ]
+        return pa.Table.from_arrays(
+            arrays, names=row_cols + ["__coarse", "__mkey", "__mid", "__mname"]
+        )
+
+    routed_rows = rows.map_batches(route_rows, batch_format="pyarrow")
+    routed_map = mapping_ds.map_batches(route_mapping, batch_format="pyarrow")
+
+    def resolve(g):
+        is_map = g["__mkey"].notna()
+        mp = g.loc[is_map, ["__mkey", "__mid", "__mname"]].drop_duplicates(
+            "__mkey"
+        )
+        tr = g.loc[~is_map, row_cols]
+        if not len(tr):
+            out = tr.copy()
+            out[id_out] = np.array([], dtype=np.int64)
+            out[name_out] = np.array([], dtype="U1")
+            return out
+        out = tr.merge(
+            mp, left_on=key_col, right_on="__mkey", how="left"
+        )
+        out[id_out] = out["__mid"].fillna(-1).astype("int64")
+        out[name_out] = out["__mname"].fillna(out[key_col])
+        return out.drop(columns=["__mkey", "__mid", "__mname"])
+
+    return (
+        routed_rows.union(routed_map)
+        .groupby("__coarse")
+        .map_groups(resolve, batch_format="pandas")
     )
-    j = j.join(
-        ren("mo"), join_type="left_outer", num_partitions=num_partitions,
-        on=("obj_norm",), right_on=("mo_norm",),
+
+
+def apply_ids_join(
+    triples: rd.Dataset, mapping_ds: rd.Dataset, num_partitions: int = 0
+) -> rd.Dataset:
+    """Join-based edge id application (no broadcast map): triples resolved
+    against the mapping dataset on subj_norm then obj_norm via the skew-safe
+    lookup join (unknown norms keep -1/norm like the broadcast path).
+    Output columns match stages/canonicalize.ApplyEntityIds.
+    ``num_partitions`` is accepted for API compatibility; routing uses
+    LOOKUP_GROUPS coarse groups."""
+    triple_fields = [
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+        ("subj", pa.string()), ("subj_norm", pa.string()),
+        ("pred", pa.string()), ("obj", pa.string()),
+        ("obj_norm", pa.string()), ("confidence", pa.float64()),
+        ("context", pa.string()),
+    ]
+    j = lookup_join(
+        triples, "subj_norm", mapping_ds, "ms_id", "ms_name", triple_fields
+    )
+    j = lookup_join(
+        j, "obj_norm", mapping_ds, "mo_id", "mo_name",
+        triple_fields + [("ms_id", pa.int64()), ("ms_name", pa.string())],
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        neg1 = pa.scalar(-1, pa.int64())
         return pa.Table.from_arrays(
             [
-                pc.coalesce(pc.cast(t["ms_id"], pa.int64()), neg1),
+                pc.cast(t["ms_id"], pa.int64()).combine_chunks(),
                 t["pred"].combine_chunks(),
-                pc.coalesce(pc.cast(t["mo_id"], pa.int64()), neg1),
-                pc.coalesce(t["ms_name"], t["subj_norm"]).combine_chunks(),
-                pc.coalesce(t["mo_name"], t["obj_norm"]).combine_chunks(),
+                pc.cast(t["mo_id"], pa.int64()).combine_chunks(),
+                t["ms_name"].combine_chunks(),
+                t["mo_name"].combine_chunks(),
                 t["url"].combine_chunks(),
-                t["warc_ts"].combine_chunks(),
+                pc.cast(t["warc_ts"], pa.timestamp("us")).combine_chunks(),
                 t["confidence"].combine_chunks(),
                 t["context"].combine_chunks(),
             ],

@@ -39,15 +39,12 @@ def q22_orders_lineitem_join(sf_dir: str):
         )
         return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": cents(disc)})
 
-    import ray
+    from ..runtime import cluster_cpus
 
     li_c = li.map_batches(prep, batch_format="pyarrow")
     # partition count scales with the cluster so each CPU gets ~1 join
     # partition; hardcoding it caps parallelism on bigger clusters
-    try:
-        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:  # noqa: BLE001
-        n_parts = 16
+    n_parts = max(8, cluster_cpus())
     joined = orders.join(
         li_c, join_type="inner", num_partitions=n_parts,
         on=("o_orderkey",), right_on=("l_orderkey",),

@@ -443,7 +443,12 @@ def apply_ids_batch(batch: pa.Table, id_map_ref=None) -> pa.Table:
     return applier(batch)
 
 
-DEDUP_TIEBREAK = ["confidence", "context", "subj", "obj", "warc_ts"]
+# Dedup KEY includes the carried subj/obj names: for resolved ids they are
+# the canonical name (a function of the id — no extra splitting), but for
+# the -1 unknown sentinel they are the raw norm, so two DISTINCT unknown
+# entities on one url never collapse into one edge.
+DEDUP_KEYS = ["subj_id", "pred", "obj_id", "url", "subj", "obj"]
+DEDUP_TIEBREAK = ["confidence", "context", "warc_ts"]
 
 
 def dedup_edges_batch(batch: pa.Table) -> pa.Table:
@@ -458,9 +463,10 @@ def dedup_edges_batch(batch: pa.Table) -> pa.Table:
     ``database.ts:264-289``)."""
     import pyarrow.compute as _pc
 
-    keys = ["subj_id", "pred", "obj_id", "url"]
-    batch = batch.sort_by([(c, "ascending") for c in keys + DEDUP_TIEBREAK])
-    g = batch.group_by(keys, use_threads=False).aggregate(
+    batch = batch.sort_by(
+        [(c, "ascending") for c in DEDUP_KEYS + DEDUP_TIEBREAK]
+    )
+    g = batch.group_by(DEDUP_KEYS, use_threads=False).aggregate(
         [(c, "first") for c in DEDUP_TIEBREAK]
     )
     return pa.Table.from_arrays(
@@ -468,8 +474,8 @@ def dedup_edges_batch(batch: pa.Table) -> pa.Table:
             g.column("subj_id"),
             g.column("pred"),
             g.column("obj_id"),
-            g.column("subj_first"),
-            g.column("obj_first"),
+            g.column("subj"),
+            g.column("obj"),
             g.column("url"),
             g.column("warc_ts_first"),
             g.column("confidence_first"),
@@ -483,7 +489,7 @@ def dedup_edges_batch(batch: pa.Table) -> pa.Table:
 
 
 def dedup_edges_group(g):
-    """Global-dedup reducer for ``groupby(key).map_groups``: same tuple-min
-    representative rule as :func:`dedup_edges_batch` (one pandas group = one
-    (subj_id, pred, obj_id, url) key)."""
+    """Global-dedup reducer for ``groupby(DEDUP_KEYS).map_groups``: same
+    tuple-min representative rule as :func:`dedup_edges_batch` (one pandas
+    group = one dedup key)."""
     return g.sort_values(DEDUP_TIEBREAK, kind="mergesort").head(1)

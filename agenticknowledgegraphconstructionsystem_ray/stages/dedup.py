@@ -152,24 +152,6 @@ def jaccard(a: set, b: set) -> float:
 MAX_BUCKET_ALL_PAIRS = 100
 
 
-def _bucket_pairs(g):
-    """Group-to-sorted-pairs kernel (pandas group: one bucket). Oversized
-    buckets degrade to chain pairs (see MAX_BUCKET_ALL_PAIRS) so no single
-    hot bucket can go quadratic."""
-    ids = sorted(g["doc_id"].tolist())
-    if len(ids) > MAX_BUCKET_ALL_PAIRS:
-        rows = list(zip(ids[:-1], ids[1:]))
-    else:
-        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-    if not rows:
-        return {
-            "doc_a": np.array([], dtype=np.int64),
-            "doc_b": np.array([], dtype=np.int64),
-        }
-    arr = np.array(rows, dtype=np.int64)
-    return {"doc_a": arr[:, 0], "doc_b": arr[:, 1]}
-
-
 # LSH bucket keys are numerous and tiny (most buckets are singletons), so a
 # per-bucket groupby().map_groups() pays framework overhead per bucket —
 # tens of thousands of calls. Instead the band rows are shuffled on a COARSE
@@ -244,7 +226,8 @@ def _join_pair_payload(
                 "doc_a": pa.concat_arrays([a, a]),
                 "doc_b": pa.concat_arrays([b, b]),
                 "role": pa.concat_arrays(
-                    [pa.array(["a"] * n), pa.array(["b"] * n)]
+                    [pa.array(["a"] * n, pa.string()),
+                     pa.array(["b"] * n, pa.string())]
                 ),
                 col: pa.nulls(2 * n, col_type),
             }
@@ -347,13 +330,18 @@ def _spread(ds: rd.Dataset) -> rd.Dataset:
     per-document CPU-heavy stage: a one-file parquet table arrives as ONE
     block, which would serialize signature computation on one worker. The
     repartition is row-identical and cheap relative to the compute it
-    parallelizes; real sharded corpora already arrive multi-block."""
-    import ray
+    parallelizes. Inputs that are already well-sharded (>= n source files)
+    are passed through untouched — repartitioning them would be a full
+    pointless shuffle and could REDUCE their block count."""
+    from ..runtime import cluster_cpus
 
+    n = max(8, cluster_cpus())
     try:
-        n = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        files = ds.input_files()
+        if files and len(files) >= n:
+            return ds
     except Exception:  # noqa: BLE001
-        n = 8
+        pass
     return ds.repartition(n)
 
 

@@ -132,3 +132,39 @@ def test_check_layout_refuses_foreign_dir(tmp_path, small_pages):
     with pytest.raises(ValueError, match="refusing"):
         kg.run_phase_a(cfg)
     assert (out / "precious.txt").read_text() == "do not delete"
+
+
+def test_global_dedup_keeps_distinct_unknown_entities(tmp_path, ray_session):
+    """Two triples on one url whose subjects are DISTINCT unknown surfaces
+    (both id -1) must both survive global_edge_dedup — the dedup key
+    includes the carried names, not just the -1 sentinel ids."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from agenticknowledgegraphconstructionsystem_ray.stages.canonicalize import (
+        DEDUP_KEYS,
+        dedup_edges_batch,
+        dedup_edges_group,
+    )
+
+    edges = pa.table(
+        {
+            "subj_id": pa.array([-1, -1], pa.int64()),
+            "pred": ["uses", "uses"],
+            "obj_id": pa.array([5, 5], pa.int64()),
+            "subj": ["foo corp", "bar ltd"],
+            "obj": ["Thing", "Thing"],
+            "url": ["u", "u"],
+            "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+            "confidence": [0.5, 0.6],
+            "context": ["c1", "c2"],
+        }
+    )
+    out = dedup_edges_batch(edges)
+    assert out.num_rows == 2
+    deduped = (
+        rd.from_arrow(out)
+        .groupby(DEDUP_KEYS)
+        .map_groups(dedup_edges_group, batch_format="pandas")
+    )
+    assert deduped.count() == 2

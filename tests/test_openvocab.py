@@ -71,3 +71,43 @@ def test_openvocab_validation_summary_equal(outputs):
         with open(os.path.join(outputs[name], "validation-results.json")) as f:
             summaries.append(json.load(f)["summary"])
     assert summaries[0] == summaries[1]
+
+
+def test_lookup_join_tiny_input_many_groups(ray_session):
+    """The skew-safe lookup join must survive inputs far smaller than the
+    coarse-group count (Dataset.join's empty hash partitions broke here)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines.openvocab import (
+        apply_ids_join,
+    )
+
+    triples = rd.from_arrow(
+        pa.table(
+            {
+                "url": ["u1", "u2"],
+                "warc_ts": pa.array([0, 0], pa.timestamp("us")),
+                "subj": ["A", "B"],
+                "subj_norm": ["a", "b"],
+                "pred": ["uses", "uses"],
+                "obj": ["C", "D"],
+                "obj_norm": ["c", "x_unknown"],
+                "confidence": [0.5, 0.6],
+                "context": ["ctx1", "ctx2"],
+            }
+        )
+    )
+    mapping = rd.from_arrow(
+        pa.table(
+            {
+                "member_norm": ["a", "b", "c"],
+                "entity_id": pa.array([0, 1, 2], pa.int64()),
+                "canonical_name": ["A", "B", "C"],
+            }
+        )
+    )
+    rows = {r["url"]: r for r in apply_ids_join(triples, mapping).take_all()}
+    assert rows["u1"]["subj_id"] == 0 and rows["u1"]["obj_id"] == 2
+    assert rows["u2"]["subj_id"] == 1 and rows["u2"]["obj_id"] == -1
+    assert rows["u2"]["obj"] == "x_unknown"

@@ -59,6 +59,10 @@ def main() -> int:
         )
 
     failures = []
+    unknown = only - set(queries)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     n_checked = 0
     for name, fn in sorted(queries.items()):
         if only and name not in only:
