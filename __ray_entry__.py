@@ -28,11 +28,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
         kgqueries,
+        temporal,
         training,
     )
 
     q: dict[str, Callable[[str], Any]] = dict(analytics.QUERIES)
     q.update(training.QUERIES)
+    q.update(temporal.QUERIES)
     q.update(
         {
             "kg_edges": kgqueries.kg_edges,
@@ -61,6 +63,7 @@ def oracle_sql() -> dict[str, str]:
     from agenticknowledgegraphconstructionsystem_ray import goldens
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
+        temporal,
         training,
     )
 
@@ -68,5 +71,6 @@ def oracle_sql() -> dict[str, str]:
     return {
         **analytics.ORACLE_SQL,
         **training.ORACLE_SQL,
+        **temporal.ORACLE_SQL,
         **goldens.kg_oracle_sql(),
     }

@@ -1,0 +1,307 @@
+"""Temporal / windowed / non-equi operators over the events and part tables.
+
+Custom distributed operators Ray Data has no built-in for, each expressed as
+the composition the SURVEY §2.10 plan prescribes (groupby().map_groups over
+explicitly ordered groups, or broadcast small side + vectorized predicate),
+with an exact DuckDB oracle:
+
+- as-of join        (q33): per-user most-recent-prior match — the classic
+                    event-to-state temporal join (DuckDB ASOF JOIN).
+                    Partitioning assumption: one user's events fit one group.
+- range join        (q34): many-to-many non-equi interval join against a
+                    BROADCAST band table (the small-side path; an
+                    interval-overlap join of two big sides would instead
+                    bucket both sides by coarse range and join per bucket).
+- windowed cumsum   (q35): ROWS UNBOUNDED PRECEDING running aggregate per
+                    user, ordered by (ts, event_id).
+- exact quantiles   (q36): per-group exact order statistics (lower median /
+                    p90 by index selection — no interpolation, so results
+                    are integer-exact across engines).
+- pivot             (q37): event_type -> columns conditional aggregation,
+                    pre-aggregated per block (combiner) before the shuffle.
+
+All monetary/float outputs are integer cents (see analytics.py docstring);
+every aggregate in the oracles is CAST(... AS BIGINT) (NOTES.md invariant 3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Sum
+
+from ..sources.tables import read_table
+from .analytics import cents, cents_np
+
+
+# ---------------------------------------------------------------------------
+# q33: as-of join (clicks matched to the most recent prior purchase per user)
+# ---------------------------------------------------------------------------
+
+def q33_asof_join(sf_dir: str):
+    """For every 'click' event: the most recent 'purchase' by the same user
+    with purchase.ts <= click.ts (inclusive), plus the lag in microseconds;
+    unmatched clicks keep NULLs (ASOF LEFT JOIN semantics).
+
+    Shape: one filtered read tags both sides, ONE hash shuffle on user_id,
+    then a sorted searchsorted merge inside each group — the standard
+    distributed as-of join (sort-merge within co-partitioned keys). Right
+    rows sharing (user_id, ts) are deduped to max event_id first so the
+    match is deterministic."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"])))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "is_left": pc.equal(t["event_type"], "click"),
+            }
+        )
+
+    def asof_group(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["event_id"].to_pylist(), dtype=np.int64)
+        ts = np.asarray(t["ts"].to_pylist(), dtype="datetime64[us]").astype(np.int64)
+        left = np.asarray(t["is_left"].to_pylist(), dtype=bool)
+
+        l_ids, l_ts = ids[left], ts[left]
+        r_ids, r_ts = ids[~left], ts[~left]
+        # dedup right side per ts -> max event_id (deterministic ASOF match)
+        order = np.lexsort((r_ids, r_ts))
+        r_ids, r_ts = r_ids[order], r_ts[order]
+        if len(r_ts):
+            last_of_ts = np.r_[r_ts[1:] != r_ts[:-1], True]
+            r_ids, r_ts = r_ids[last_of_ts], r_ts[last_of_ts]
+
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        miss = idx < 0
+        safe = np.where(miss, 0, idx)
+        matched = r_ids[safe] if len(r_ids) else np.zeros(len(l_ids), np.int64)
+        lag = l_ts - (r_ts[safe] if len(r_ts) else 0)
+        return pa.table(
+            {
+                "event_id": pa.array(l_ids, pa.int64()),
+                "matched_id": pa.array(matched, pa.int64(), mask=miss),
+                "lag_us": pa.array(lag, pa.int64(), mask=miss),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(asof_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34: range join against a broadcast band table (overlapping intervals ->
+# genuinely many-to-many; binning alone cannot express it)
+# ---------------------------------------------------------------------------
+
+PRICE_BANDS: list[tuple[int, float, float]] = [
+    (0, 900.0, 930.0),
+    (1, 920.0, 960.0),
+    (2, 950.0, 1000.0),
+    (3, 925.0, 975.0),
+    (4, 0.0, 10000.0),  # catch-all band overlaps every other band
+]
+
+
+def q34_range_join_bands(sf_dir: str):
+    """part ⋈ bands ON lo <= p_retailprice < hi -> per-band count + total
+    cents. The band table is a compile-time constant (the broadcast small
+    side); each block evaluates every band predicate vectorized and emits
+    per-block partials, so the only shuffle is the tiny per-band rollup."""
+    ds = read_table(sf_dir, "part", columns=["p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = np.asarray(t["p_retailprice"].to_pylist(), dtype=np.float64)
+        c = cents_np(p)
+        band_ids, ns, sums = [], [], []
+        for band_id, lo, hi in PRICE_BANDS:
+            m = (p >= lo) & (p < hi)
+            if m.any():
+                band_ids.append(band_id)
+                ns.append(int(m.sum()))
+                sums.append(int(c[m].sum()))
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int64()),
+                "n_p": pa.array(ns, pa.int64()),
+                "sum_p": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("band_id")
+        .aggregate(
+            Sum("n_p", alias_name="n_parts"),
+            Sum("sum_p", alias_name="sum_price_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35: per-user running aggregate (ROWS UNBOUNDED PRECEDING window)
+# ---------------------------------------------------------------------------
+
+def q35_window_cumsum(sf_dir: str):
+    """Running cents-sum and row number per user over (ts, event_id) order —
+    the ROWS-frame window aggregate (q31 is the RANGE-frame sibling)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def cum_group(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["event_id"].to_pylist(), dtype=np.int64)
+        ts = np.asarray(t["ts"].to_pylist(), dtype="datetime64[us]").astype(np.int64)
+        v_c = cents_np(np.asarray(t["value"].to_pylist(), dtype=np.float64))
+        order = np.lexsort((ids, ts))
+        return pa.table(
+            {
+                "event_id": pa.array(ids[order], pa.int64()),
+                "rn": pa.array(np.arange(1, len(ids) + 1), pa.int64()),
+                "run_c": pa.array(np.cumsum(v_c[order]), pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(cum_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# q36: exact per-group order statistics (index selection, no interpolation)
+# ---------------------------------------------------------------------------
+
+def q36_grouped_quantiles(sf_dir: str):
+    """Per event_type over integer cents: n, min, lower median
+    (sorted[(n-1)//2]), p90 (sorted[floor(0.9*(n-1))]), max. Index selection
+    keeps the result integer-exact across engines — interpolation would
+    reintroduce float drift."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def q_group(t: pa.Table) -> pa.Table:
+        v = np.sort(cents_np(np.asarray(t["value"].to_pylist(), dtype=np.float64)))
+        n = len(v)
+        return pa.table(
+            {
+                "event_type": pa.array([t["event_type"][0].as_py()], pa.string()),
+                "n": pa.array([n], pa.int64()),
+                "min_c": pa.array([int(v[0])], pa.int64()),
+                "median_c": pa.array([int(v[(n - 1) // 2])], pa.int64()),
+                "p90_c": pa.array([int(v[int(np.floor(0.9 * (n - 1)))])], pa.int64()),
+                "max_c": pa.array([int(v[-1])], pa.int64()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(q_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# q37: pivot (event_type -> columns), per-block partials before the shuffle
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q37_event_pivot(sf_dir: str):
+    """Per-user event counts pivoted to one column per event_type. Each block
+    pre-aggregates its own (user, type) counts via Arrow group_by (combiner),
+    so the global shuffle carries at most users x types tiny rows."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for et in EVENT_TYPES:
+            cols[f"p_{et}"] = pc.cast(pc.equal(t["event_type"], et), pa.int64())
+        g = pa.table(cols).group_by("user_id").aggregate(
+            [(f"p_{et}", "sum") for et in EVENT_TYPES]
+        )
+        return pa.Table.from_arrays(
+            [g["user_id"]] + [pc.cast(g[f"p_{et}_sum"], pa.int64()) for et in EVENT_TYPES],
+            names=["user_id"] + [f"n_{et}" for et in EVENT_TYPES],
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{et}", alias_name=f"n_{et}") for et in EVENT_TYPES])
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+
+ORACLE_SQL: dict[str, str] = {
+    "q33_asof_join": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             r AS (SELECT user_id, ts, MAX(event_id) AS matched_id
+                   FROM events WHERE event_type = 'purchase'
+                   GROUP BY user_id, ts)
+        SELECT l.event_id,
+               CAST(r.matched_id AS BIGINT) AS matched_id,
+               CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "q34_range_join_bands": f"""
+        WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_VALUES})
+        SELECT CAST(band_id AS BIGINT) AS band_id,
+               COUNT(*) AS n_parts,
+               CAST(SUM(CAST(round(p_retailprice*100,0) AS BIGINT)) AS BIGINT)
+                   AS sum_price_c
+        FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band_id
+    """,
+    "q35_window_cumsum": """
+        SELECT event_id,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(SUM(CAST(round(value*100,0) AS BIGINT)) OVER w AS BIGINT)
+                   AS run_c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "q36_grouped_quantiles": """
+        WITH c AS (SELECT event_type,
+                          CAST(round(value*100,0) AS BIGINT) AS v
+                   FROM events),
+             r AS (SELECT event_type, v,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY v) - 1 AS rn,
+                          COUNT(*) OVER (PARTITION BY event_type) AS n
+                   FROM c)
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(v) AS BIGINT) AS min_c,
+               CAST(MAX(CASE WHEN rn = (n-1)//2 THEN v END) AS BIGINT)
+                   AS median_c,
+               CAST(MAX(CASE WHEN rn = CAST(floor(0.9*(n-1)) AS BIGINT)
+                        THEN v END) AS BIGINT) AS p90_c,
+               CAST(MAX(v) AS BIGINT) AS max_c
+        FROM r GROUP BY event_type
+    """,
+    "q37_event_pivot": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """,
+}
+
+QUERIES = {
+    "q33_asof_join": q33_asof_join,
+    "q34_range_join_bands": q34_range_join_bands,
+    "q35_window_cumsum": q35_window_cumsum,
+    "q36_grouped_quantiles": q36_grouped_quantiles,
+    "q37_event_pivot": q37_event_pivot,
+}

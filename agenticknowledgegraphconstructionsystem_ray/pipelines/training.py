@@ -332,6 +332,13 @@ def mm_sampled_frames(sf_dir: str):
     return multimodal.sampled_frames(sf_dir)
 
 
+def mm_sniff_meta(sf_dir: str):
+    """REAL container-format metadata: valid PNG/GIF/BMP/JPEG/WAV files
+    synthesized from documents, parsed back by the real header sniffers
+    (marker-segment walk / chunk walk — functions/mediasniff.py)."""
+    return multimodal.sniff_meta(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # rows-only (hash/approximate) operators
 # ---------------------------------------------------------------------------
@@ -498,6 +505,18 @@ ORACLE_SQL: dict[str, str] = {
             WHERE q.vec_id IN (0, 1, 2))
         WHERE rank <= 10
     """,
+    "mm_sniff_meta": """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 5 WHEN 0 THEN 'PNG' WHEN 1 THEN 'GIF'
+                    WHEN 2 THEN 'BMP' WHEN 3 THEN 'JPEG' ELSE 'WAV'
+               END AS format,
+               CASE WHEN doc_id % 5 = 4 THEN 8000 + (n_chars % 8) * 1000
+                    ELSE (n_chars % 640) + 16 END AS width,
+               CASE WHEN doc_id % 5 = 4 THEN 1 + doc_id % 2
+                    ELSE (n_chars % 480) + 16 END AS height,
+               octet_length(encode(text)) AS body_bytes
+        FROM documents
+    """,
     "mm_decode_meta": """
         SELECT doc_id AS media_id,
                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -525,6 +544,7 @@ QUERIES = {
     "q32_stable_split": q32_stable_split,
     "mm_decode_meta": mm_decode_meta,
     "mm_sampled_frames": mm_sampled_frames,
+    "mm_sniff_meta": mm_sniff_meta,
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
     "tx_fingerprints": tx_fingerprints,

@@ -1,9 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio libraries, so the DECODE KERNEL is stubbed
-(deterministic header parse; the real-decoder path raises
-``NotImplementedError``) while the Ray-side plumbing — binary Arrow schema,
-actor-pool stage, batch sizing, output layout — is real and tested.
+Two layers:
+- REAL container parsing (``functions/mediasniff.py``): actual PNG / GIF /
+  BMP / JPEG / WAV header sniffers (marker-segment walk for JPEG, chunk walk
+  for WAV) — the production path for extracting media metadata without
+  decoding, exercised end-to-end by ``sniff_meta``/``mm_sniff_meta``.
+- The container has no image/audio libraries, so PIXEL/SAMPLE DECODE is
+  stubbed (the real-decoder path raises ``NotImplementedError``) while the
+  Ray-side plumbing — binary Arrow schema, actor-pool stage, batch sizing,
+  output layout — is real and tested.
 
 Payload format (deterministic fake, built from the documents table so a SQL
 oracle can validate the plumbing end-to-end):
@@ -117,6 +122,94 @@ class FrameSampler:
                 "frame": pa.array(frames, pa.binary()),
             }
         )
+
+
+REAL_FORMATS = ("PNG", "GIF", "BMP", "JPEG", "WAV")
+
+
+def build_real_media_batch(t: pa.Table) -> pa.Table:
+    """documents -> real-container media: each doc becomes a minimal VALID
+    PNG/GIF/BMP/JPEG/WAV file (format = doc_id % 5) whose header encodes
+    dimensions derived from n_chars, with the text bytes as body. Lets the
+    real sniffers be driver-verified end-to-end against a SQL oracle."""
+    from ..functions import mediasniff as ms
+
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    n_chars = t["n_chars"].to_pylist()
+    payloads = []
+    for doc_id, text, nc in zip(ids, texts, n_chars):
+        body = text.encode("utf-8")
+        w = (nc % 640) + 16
+        h = (nc % 480) + 16
+        k = doc_id % 5
+        if k == 0:
+            payloads.append(ms.build_png(w, h, body))
+        elif k == 1:
+            payloads.append(ms.build_gif(w, h, body))
+        elif k == 2:
+            payloads.append(ms.build_bmp(w, h, body))
+        elif k == 3:
+            payloads.append(ms.build_jpeg(w, h, body))
+        else:
+            rate = 8000 + (nc % 8) * 1000
+            channels = 1 + doc_id % 2
+            payloads.append(ms.build_wav(rate, channels, body))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class SniffMedia:
+    """Actor-pool metadata stage over REAL container bytes: per-payload
+    header sniff (no decode). Unknown formats pass through with nulls rather
+    than poisoning the batch."""
+
+    def __init__(self) -> None:
+        from ..functions.mediasniff import sniff
+
+        self.sniff = sniff
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        fmts, widths, heights, bodies = [], [], [], []
+        for payload in t["payload"].to_pylist():
+            out = self.sniff(payload)
+            if out is None:
+                fmts.append(None)
+                widths.append(None)
+                heights.append(None)
+                bodies.append(None)
+            else:
+                fmt, w, h, hdr_len = out
+                fmts.append(fmt)
+                widths.append(w)
+                heights.append(h)
+                bodies.append(len(payload) - hdr_len)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "format": pa.array(fmts, pa.string()),
+                "width": pa.array(widths, pa.int64()),
+                "height": pa.array(heights, pa.int64()),
+                "body_bytes": pa.array(bodies, pa.int64()),
+            }
+        )
+
+
+def sniff_meta(sf_dir: str):
+    """Real-format metadata extraction end-to-end: synthesize valid
+    PNG/GIF/BMP/JPEG/WAV files from documents, sniff them back with the real
+    header parsers (actor pool), emit (media_id, format, width, height,
+    body_bytes)."""
+    from ..sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    return docs.map_batches(build_real_media_batch, batch_format="pyarrow").map_batches(
+        SniffMedia, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )
 
 
 def media_dataset(sf_dir: str):

@@ -42,3 +42,82 @@ def test_frame_sampler_counts():
 def test_real_decode_is_marked_stub():
     with pytest.raises(NotImplementedError):
         multimodal.DecodeMedia(real_decode=True)
+
+
+# ---------------------------------------------------------------------------
+# real container-format sniffers (functions/mediasniff.py) — hand-written
+# byte literals, NOT the builders, so a shared builder/sniffer bug can't hide
+# ---------------------------------------------------------------------------
+
+from agenticknowledgegraphconstructionsystem_ray.functions import mediasniff as ms
+
+
+def test_sniff_png_literal():
+    b = (b"\x89PNG\r\n\x1a\n"
+         + b"\x00\x00\x00\x0dIHDR"
+         + b"\x00\x00\x01\x00"   # width 256 big-endian
+         + b"\x00\x00\x00\x10"   # height 16
+         + b"\x08\x02\x00\x00\x00" + b"\xde\xad\xbe\xef" + b"rest")
+    assert ms.sniff(b) == ("PNG", 256, 16, 33)
+
+
+def test_sniff_gif_literal():
+    b = b"GIF89a" + b"\x40\x01" + b"\xf0\x00" + b"\x00\x00\x00" + b"tail"
+    assert ms.sniff(b) == ("GIF", 320, 240, 13)
+
+
+def test_sniff_bmp_literal():
+    b = (b"BM" + b"\x00" * 8 + b"\x36\x00\x00\x00"
+         + b"\x28\x00\x00\x00"          # info header size 40
+         + b"\x20\x00\x00\x00"          # width 32 LE
+         + b"\xe0\xff\xff\xff"          # height -32 (top-down) -> abs
+         + b"\x01\x00\x18\x00" + b"\x00" * 24 + b"pixels")
+    assert ms.sniff(b) == ("BMP", 32, 32, 54)
+
+
+def test_sniff_jpeg_walks_past_other_segments():
+    app0 = b"\xff\xe0" + b"\x00\x10" + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + b"\x00\x05" + b"\x00\x01\x02"
+    sof = b"\xff\xc2" + b"\x00\x0b" + b"\x08" + b"\x00\x64" + b"\x00\xc8" + b"\x01\x01\x11\x00"
+    b = b"\xff\xd8" + app0 + dqt + sof + b"entropy..."
+    fmt, w, h, hdr = ms.sniff(b)
+    assert (fmt, w, h) == ("JPEG", 200, 100)
+    assert hdr == 2 + len(app0) + len(dqt) + len(sof)
+
+
+def test_sniff_wav_walks_past_list_chunk():
+    import struct
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    data = b"data" + struct.pack("<I", 6) + b"abcdef"
+    b = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + lst + fmt + data
+    out = ms.sniff(b)
+    assert out == ("WAV", 44100, 2, len(b) - 6)
+
+
+def test_sniff_rejects_garbage_and_truncation():
+    assert ms.sniff(b"") is None
+    assert ms.sniff(b"hello world this is not an image") is None
+    assert ms.sniff(b"IMG1" + b"\x00" * 40) is None        # the fake format
+    assert ms.sniff(b"\x89PNG\r\n\x1a\n\x00\x00") is None   # truncated PNG
+    assert ms.sniff(b"\xff\xd8\xff\xd9") is None            # JPEG, EOI before SOF
+
+
+def test_builders_roundtrip_through_sniffers():
+    body = b"B" * 100
+    assert ms.sniff(ms.build_png(640, 480, body)) == ("PNG", 640, 480, 33)
+    assert ms.sniff(ms.build_gif(13, 7, body)) == ("GIF", 13, 7, 13)
+    assert ms.sniff(ms.build_bmp(1920, 1080, body)) == ("BMP", 1920, 1080, 54)
+    assert ms.sniff(ms.build_jpeg(320, 240, body)) == ("JPEG", 320, 240, 15)
+    assert ms.sniff(ms.build_wav(16000, 1, body)) == ("WAV", 16000, 1, 44)
+
+
+def test_sniff_meta_pipeline(ray_session):
+    out = multimodal.sniff_meta(SF).to_pandas()
+    assert len(out) == 500
+    assert set(out["format"]) == {"PNG", "GIF", "BMP", "JPEG", "WAV"}
+    assert out["width"].notna().all() and (out["body_bytes"] > 0).all()
+    for _, r in out.head(10).iterrows():
+        if r["media_id"] % 5 == 3:
+            assert r["format"] == "JPEG"

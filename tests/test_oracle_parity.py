@@ -36,7 +36,13 @@ FAST_QUERIES = [
     "q28_events_props_json",
     "q30_user_sessions",
     "q32_stable_split",
+    "q33_asof_join",
+    "q34_range_join_bands",
+    "q35_window_cumsum",
+    "q36_grouped_quantiles",
+    "q37_event_pivot",
     "mm_decode_meta",
+    "mm_sniff_meta",
 ]
 
 
