@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "2"  # v2: + dd/tx/ivf sequential goldens over testdata
+GOLDEN_VERSION = "3"  # v3: + HLL sketch goldens (hll_users / hll_terms)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -485,6 +485,47 @@ def _seq_ivf_topk(
     )
 
 
+def _seq_hll_users(sf_dir: str) -> pa.Table:
+    """Sequential HLL golden: per-event_type approximate distinct users —
+    same register kernel (functions/hll.py), one driver-side pass with plain
+    dicts instead of the combiner + AggregateFn orchestration."""
+    from .functions import hll
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    users: dict[str, set] = {}
+    for et, uid in zip(
+        t["event_type"].to_pylist(), t["user_id"].to_pylist()
+    ):
+        users.setdefault(et, set()).add(uid)
+    rows = [
+        (et, hll.estimate(hll.sketch_of([str(u) for u in sorted(us)])))
+        for et, us in sorted(users.items())
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_users_est": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _seq_hll_terms(sf_dir: str) -> pa.Table:
+    """Sequential HLL golden: corpus-wide approximate distinct tokens."""
+    import re
+
+    from .functions import hll
+
+    token_re = re.compile(r"[a-z0-9]+")
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    toks: set[str] = set()
+    for text in t["text"].to_pylist():
+        toks.update(token_re.findall(text.lower()))
+    est = hll.estimate(hll.sketch_of(sorted(toks)))
+    return pa.table({"n_terms_est": pa.array([est], pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # idempotent writer + oracle SQL
 # ---------------------------------------------------------------------------
@@ -510,6 +551,8 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["dd_simhash"] = _seq_simhash_pairs(sf_dir)
         tables["fingerprints"] = _seq_fingerprints(sf_dir)
         tables["ivf_topk"] = _seq_ivf_topk(sf_dir)
+        tables["hll_users"] = _seq_hll_users(sf_dir)
+        tables["hll_terms"] = _seq_hll_terms(sf_dir)
 
     import shutil
 
@@ -613,6 +656,12 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_topk": f"""
             SELECT query_id, vec_id, rank FROM {_g('ivf_topk')}
+        """,
+        "sk_hll_users": f"""
+            SELECT event_type, n_users_est FROM {_g('hll_users')}
+        """,
+        "sk_hll_terms": f"""
+            SELECT n_terms_est FROM {_g('hll_terms')}
         """,
         # pure SQL (no golden needed): the deterministic fake video payload is
         # text-derived, so the frame-sample count is arithmetic on byte length

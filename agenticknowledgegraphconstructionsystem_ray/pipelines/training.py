@@ -357,6 +357,21 @@ def tx_fingerprints(sf_dir: str):
     )
 
 
+def sk_hll_users(sf_dir: str):
+    """HyperLogLog approximate distinct users per event_type (stages/sketch):
+    4 KiB register partials per block instead of shuffling the key set."""
+    from ..stages import sketch
+
+    return sketch.approx_distinct_users(sf_dir)
+
+
+def sk_hll_terms(sf_dir: str):
+    """Corpus-wide approximate distinct token count (open vocabulary)."""
+    from ..stages import sketch
+
+    return sketch.approx_distinct_terms(sf_dir)
+
+
 def ann_brute_topk(sf_dir: str):
     return similarity.brute_force_topk(sf_dir, query_ids=[0, 1, 2], k=10)
 
@@ -548,6 +563,8 @@ QUERIES = {
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
     "tx_fingerprints": tx_fingerprints,
+    "sk_hll_users": sk_hll_users,
+    "sk_hll_terms": sk_hll_terms,
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
 }

@@ -21,7 +21,18 @@ from ..sources.tables import read_table
 
 
 def _matrix(t: pa.Table) -> np.ndarray:
-    return np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    """list<float> column -> (rows, dim) float64 matrix without a Python
+    list round-trip: flatten the Arrow list values (offset-aware) and
+    reshape. Embeddings are fixed-dimension, which the reshape asserts."""
+    col = t["embedding"].combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    n = len(col)
+    if n == 0:
+        return flat.reshape(0, 0)
+    dim, rem = divmod(len(flat), n)
+    if rem:  # ragged lists — fall back to the slow exact path
+        return np.asarray(col.to_pylist(), dtype=np.float64)
+    return flat.reshape(n, dim)
 
 
 def brute_force_topk(
@@ -64,7 +75,7 @@ class PartialTopK:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         m = _matrix(t)
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         if not len(ids):
             return pa.table(
                 {
@@ -76,7 +87,7 @@ class PartialTopK:
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = m @ self.Q.T  # (rows, n_queries)
         buckets = (
-            np.asarray(t["bucket"].to_pylist(), dtype=np.int64)
+            t["bucket"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
             if self.probe is not None
             else None
         )

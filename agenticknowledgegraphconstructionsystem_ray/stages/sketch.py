@@ -1,0 +1,108 @@
+"""Distributed sketch aggregates (HyperLogLog approximate distinct count).
+
+The scale path for COUNT(DISTINCT): q10's exact dedup-then-count shuffles
+every distinct key; this stage ships ONE 4 KiB register array per (block,
+group) instead — the classic sketch trade (1.6 % standard error at p=12).
+
+Shape: map_batches combiner folds each block's keys into per-group register
+partials (functions/hll.py kernel), then a groupby with a custom AggregateFn
+whose merge is elementwise max — commutative/associative/idempotent, so
+block order and task retries cannot change the result. The estimate is
+computed once at finalize. Driver-verified against a sequential golden
+(same kernel, independent single-pass orchestration — goldens.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import AggregateFn
+
+from ..functions import hll
+from ..sources.tables import read_table
+
+
+def _merge_bytes(a: bytes, b: bytes) -> bytes:
+    return np.maximum(
+        np.frombuffer(a, np.uint8), np.frombuffer(b, np.uint8)
+    ).tobytes()
+
+
+def _accumulate_regs(state: bytes, block: pa.Table) -> bytes:
+    reg = np.frombuffer(state, np.uint8).copy()
+    for partial in block["regs"].to_pylist():
+        np.maximum(reg, np.frombuffer(partial, np.uint8), out=reg)
+    return reg.tobytes()
+
+
+def _hll_agg(alias: str) -> AggregateFn:
+    return AggregateFn(
+        init=lambda k: bytes(hll.REG_M),
+        merge=_merge_bytes,
+        accumulate_block=_accumulate_regs,
+        finalize=lambda s: hll.estimate(np.frombuffer(s, np.uint8)),
+        name=alias,
+    )
+
+
+def approx_distinct_users(sf_dir: str):
+    """Approximate distinct user_id per event_type. Output:
+    (event_type, n_users_est:int64)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("user_id", "distinct")])
+        types, regs = [], []
+        for et, users in zip(
+            g["event_type"].to_pylist(), g["user_id_distinct"].to_pylist()
+        ):
+            types.append(et)
+            regs.append(hll.sketch_of([str(u) for u in users]).tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "regs": pa.array(regs, pa.binary()),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(_hll_agg("n_users_est"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_users_est": pc.cast(t["n_users_est"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def approx_distinct_terms(sf_dir: str):
+    """Approximate distinct token count over the whole documents corpus
+    (open vocabulary — exactly where the exact variant's shuffle hurts).
+    Output: one row (n_terms_est:int64)."""
+    import re
+
+    token_re = re.compile(r"[a-z0-9]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: set[str] = set()
+        for text in t["text"].to_pylist():
+            toks.update(token_re.findall(text.lower()))
+        return pa.table(
+            {"regs": pa.array([hll.sketch_of(sorted(toks)).tobytes()], pa.binary())}
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        _hll_agg("n_terms_est")
+    )
+    return pa.table({"n_terms_est": pa.array([int(agg["n_terms_est"])], pa.int64())})

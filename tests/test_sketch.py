@@ -1,0 +1,72 @@
+"""HyperLogLog sketch: kernel accuracy, merge algebra, distributed parity."""
+
+import numpy as np
+
+from agenticknowledgegraphconstructionsystem_ray.functions import hll
+from agenticknowledgegraphconstructionsystem_ray.stages import sketch
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bit_length_exact():
+    vals = np.array(
+        [0, 1, 2, 3, 4, (1 << 52) - 1, 1 << 52, (1 << 62) - 1, 1 << 62],
+        dtype=np.uint64,
+    )
+    got = hll._bit_length(vals)
+    want = [int(v).bit_length() for v in vals.tolist()]
+    assert got.tolist() == want  # float log2 gets (1<<52)-1 wrong; this must not
+
+
+def test_small_range_is_linear_counting_accurate():
+    keys = [f"user-{i}" for i in range(150)]
+    est = hll.estimate(hll.sketch_of(keys))
+    assert abs(est - 150) <= 3  # LC regime: near-exact
+
+
+def test_large_range_error_within_bounds():
+    n = 100_000
+    keys = [f"key-{i}" for i in range(n)]
+    est = hll.estimate(hll.sketch_of(keys))
+    assert abs(est - n) / n < 0.05  # 3 sigma of 1.04/sqrt(4096)
+
+
+def test_merge_is_order_invariant_and_idempotent():
+    a = hll.sketch_of([f"a{i}" for i in range(5000)])
+    b = hll.sketch_of([f"b{i}" for i in range(5000)])
+    both = hll.sketch_of([f"a{i}" for i in range(5000)] + [f"b{i}" for i in range(5000)])
+    m1 = hll.merge(a, b)
+    m2 = hll.merge(b, a)
+    assert np.array_equal(m1, m2)
+    assert np.array_equal(m1, both)  # partition + merge == one-shot
+    assert np.array_equal(hll.merge(m1, a), m1)  # idempotent (retry-safe)
+
+
+def test_distributed_matches_sequential_and_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    out = sketch.approx_distinct_users(SF).to_pandas().set_index("event_type")
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    exact: dict[str, set] = {}
+    for et, u in zip(t["event_type"].to_pylist(), t["user_id"].to_pylist()):
+        exact.setdefault(et, set()).add(u)
+    for et, us in exact.items():
+        est = int(out.loc[et, "n_users_est"])
+        seq = hll.estimate(hll.sketch_of([str(u) for u in sorted(us)]))
+        assert est == seq  # distributed == sequential golden, bit-exact
+        assert abs(est - len(us)) / len(us) < 0.05
+
+
+def test_terms_estimate_close_to_exact(ray_session):
+    import re
+
+    import pyarrow.parquet as pq
+
+    est = int(sketch.approx_distinct_terms(SF)["n_terms_est"][0].as_py())
+    token_re = re.compile(r"[a-z0-9]+")
+    toks = set()
+    for text in pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist():
+        toks.update(token_re.findall(text.lower()))
+    assert abs(est - len(toks)) / len(toks) < 0.05
