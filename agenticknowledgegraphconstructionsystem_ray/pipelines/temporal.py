@@ -232,6 +232,56 @@ def q37_event_pivot(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# q38: stratified deterministic sample (per-group rates)
+# ---------------------------------------------------------------------------
+
+# per-stratum admission: md5 last hex digit of event_id in the first
+# rate_hex characters of "0123456789abcdef" (purchase kept whole, clicks
+# half, everything else a quarter) — membership depends only on the key
+# (stable split family, like q32, but with PER-GROUP rates: the balanced /
+# class-rebalancing sample a training-data pipeline draws)
+STRATA_RATE_HEX = {"purchase": 16, "click": 8}
+DEFAULT_RATE_HEX = 4
+_HEX = "0123456789abcdef"
+
+
+def q38_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample of events: per-event_type admission
+    rates keyed on md5(event_id) — no RNG state, no partition dependence —
+    then per-stratum count + cents total of the admitted rows."""
+    import hashlib
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_pylist()
+        types = t["event_type"].to_pylist()
+        keep = pa.array(
+            [
+                _HEX.index(hashlib.md5(str(i).encode()).hexdigest()[-1])
+                < STRATA_RATE_HEX.get(et, DEFAULT_RATE_HEX)
+                for i, et in zip(ids, types)
+            ]
+        )
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "event_type": f["event_type"],
+                "value_c": cents(f["value"]),
+            }
+        )
+
+    return (
+        ds.map_batches(sample, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_sampled"),
+            Sum("value_c", alias_name="total_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -287,6 +337,17 @@ ORACLE_SQL: dict[str, str] = {
                CAST(MAX(v) AS BIGINT) AS max_c
         FROM r GROUP BY event_type
     """,
+    "q38_stratified_sample": """
+        SELECT event_type, COUNT(*) AS n_sampled,
+               CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+                   AS total_c
+        FROM events
+        WHERE strpos('0123456789abcdef',
+                     substr(md5(CAST(event_id AS VARCHAR)), 32, 1)) - 1
+              < CASE event_type WHEN 'purchase' THEN 16
+                                WHEN 'click' THEN 8 ELSE 4 END
+        GROUP BY event_type
+    """,
     "q37_event_pivot": """
         SELECT user_id,
                CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -304,4 +365,5 @@ QUERIES = {
     "q35_window_cumsum": q35_window_cumsum,
     "q36_grouped_quantiles": q36_grouped_quantiles,
     "q37_event_pivot": q37_event_pivot,
+    "q38_stratified_sample": q38_stratified_sample,
 }

@@ -41,6 +41,7 @@ FAST_QUERIES = [
     "q35_window_cumsum",
     "q36_grouped_quantiles",
     "q37_event_pivot",
+    "q38_stratified_sample",
     "mm_decode_meta",
     "mm_sniff_meta",
 ]
