@@ -36,6 +36,19 @@ from ..sources.tables import read_table
 from .analytics import cents, cents_np
 
 
+def _np_i64(col) -> np.ndarray:
+    return col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _np_ts_us(col) -> np.ndarray:
+    return (
+        col.combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+
+
 # ---------------------------------------------------------------------------
 # q33: as-of join (clicks matched to the most recent prior purchase per user)
 # ---------------------------------------------------------------------------
@@ -64,9 +77,9 @@ def q33_asof_join(sf_dir: str):
         )
 
     def asof_group(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["event_id"].to_pylist(), dtype=np.int64)
-        ts = np.asarray(t["ts"].to_pylist(), dtype="datetime64[us]").astype(np.int64)
-        left = np.asarray(t["is_left"].to_pylist(), dtype=bool)
+        ids = _np_i64(t["event_id"])
+        ts = _np_ts_us(t["ts"])
+        left = t["is_left"].combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
 
         l_ids, l_ts = ids[left], ts[left]
         r_ids, r_ts = ids[~left], ts[~left]
@@ -119,7 +132,7 @@ def q34_range_join_bands(sf_dir: str):
     ds = read_table(sf_dir, "part", columns=["p_retailprice"])
 
     def partial(t: pa.Table) -> pa.Table:
-        p = np.asarray(t["p_retailprice"].to_pylist(), dtype=np.float64)
+        p = t["p_retailprice"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
         c = cents_np(p)
         band_ids, ns, sums = [], [], []
         for band_id, lo, hi in PRICE_BANDS:
@@ -156,9 +169,9 @@ def q35_window_cumsum(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
 
     def cum_group(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["event_id"].to_pylist(), dtype=np.int64)
-        ts = np.asarray(t["ts"].to_pylist(), dtype="datetime64[us]").astype(np.int64)
-        v_c = cents_np(np.asarray(t["value"].to_pylist(), dtype=np.float64))
+        ids = _np_i64(t["event_id"])
+        ts = _np_ts_us(t["ts"])
+        v_c = cents_np(t["value"].combine_chunks().to_numpy(zero_copy_only=False))
         order = np.lexsort((ids, ts))
         return pa.table(
             {
@@ -183,7 +196,7 @@ def q36_grouped_quantiles(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def q_group(t: pa.Table) -> pa.Table:
-        v = np.sort(cents_np(np.asarray(t["value"].to_pylist(), dtype=np.float64)))
+        v = np.sort(cents_np(t["value"].combine_chunks().to_numpy(zero_copy_only=False)))
         n = len(v)
         return pa.table(
             {

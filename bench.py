@@ -30,6 +30,44 @@ def _warm_cache(paths: list[str]) -> None:
                 pass
 
 
+def _calibrate(ray) -> dict:
+    """Cheap host probes appended to the bench record so wall-clock numbers
+    can be compared across sessions: this sandbox has shown 1.5x CPU drift
+    and 25x disk-bandwidth drift between sessions on identical code (see
+    BENCH/BASELINE.md 'environment drift'). Runs AFTER the timed
+    measurements so the probes never steal bandwidth from them."""
+    import time as _t
+
+    @ray.remote
+    def spin(n: int) -> float:
+        t0 = _t.perf_counter()
+        x = 0
+        for i in range(n):
+            x += i * i
+        return n / (_t.perf_counter() - t0)
+
+    n_tasks = int(ray.cluster_resources().get("CPU", 8))
+    rates = ray.get([spin.remote(10_000_000) for _ in range(n_tasks)])
+    spin_mops = sum(rates) / 1e6
+
+    os.sync()  # don't bill earlier writeback to the probe
+    path = "/tmp/agkg_disk_probe.bin"
+    buf = b"\0" * (8 << 20)
+    t0 = _t.perf_counter()
+    with open(path, "wb") as f:
+        for _ in range(8):  # 64 MB, fsynced
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    disk_mbps = 64 / (_t.perf_counter() - t0)
+    os.remove(path)
+    return {
+        "calib_spin_mops": round(spin_mops, 1),
+        "calib_spin_tasks": n_tasks,
+        "calib_disk_w_mbps": round(disk_mbps, 1),
+    }
+
+
 def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -100,6 +138,7 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         "n_pages": res["pages_processed"],
         "n_edges": res["n_edges"],
         "n_nodes": res["n_nodes"],
+        **_calibrate(ray),
     }
     ray.shutdown()
     return out
@@ -152,6 +191,8 @@ def run_scaling() -> dict:
         "total_sec_lo": r_lo["value"],
         "total_sec_hi": r_hi["value"],
         "scaling_efficiency": round(eff, 3),
+        "calib_lo": {k: r_lo[k] for k in r_lo if k.startswith("calib_")},
+        "calib_hi": {k: r_hi[k] for k in r_hi if k.startswith("calib_")},
     }
 
 
