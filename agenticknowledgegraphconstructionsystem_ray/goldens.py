@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "3"  # v3: + HLL sketch goldens (hll_users / hll_terms)
+GOLDEN_VERSION = "4"  # v4: + near-dup keep/cluster golden (dd_keep)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -485,6 +485,33 @@ def _seq_ivf_topk(
     )
 
 
+def _seq_minhash_keep(sf_dir: str, pairs: pa.Table) -> pa.Table:
+    """Sequential near-dup keep golden: same UnionFind kernel over the
+    sequential pair list, plain dict orchestration, full doc scan."""
+    from .state.unionfind import UnionFind
+
+    uf = UnionFind()
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        uf.add(a)
+        uf.add(b)
+        uf.union(a, b)
+    rep_of: dict[int, int] = {}
+    for members in uf.components().values():
+        rep = min(members)
+        for m in members:
+            rep_of[m] = rep
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ids = t["doc_id"].to_pylist()
+    reps = [rep_of.get(i, i) for i in ids]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "rep_id": pa.array(reps, pa.int64()),
+            "keep": pa.array([i == r for i, r in zip(ids, reps)], pa.bool_()),
+        }
+    )
+
+
 def _seq_hll_users(sf_dir: str) -> pa.Table:
     """Sequential HLL golden: per-event_type approximate distinct users —
     same register kernel (functions/hll.py), one driver-side pass with plain
@@ -548,6 +575,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
+        tables["dd_keep"] = _seq_minhash_keep(sf_dir, tables["dd_minhash"])
         tables["dd_simhash"] = _seq_simhash_pairs(sf_dir)
         tables["fingerprints"] = _seq_fingerprints(sf_dir)
         tables["ivf_topk"] = _seq_ivf_topk(sf_dir)
@@ -650,6 +678,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "dd_simhash_pairs": f"""
             SELECT doc_a, doc_b, hamming FROM {_g('dd_simhash')}
+        """,
+        "dd_minhash_keep": f"""
+            SELECT doc_id, rep_id, keep FROM {_g('dd_keep')}
         """,
         "tx_fingerprints": f"""
             SELECT doc_id, fp_min, n_fps FROM {_g('fingerprints')}

@@ -351,6 +351,12 @@ def dd_simhash_pairs(sf_dir: str):
     return dedup.simhash_near_dups(sf_dir, max_hamming=3)
 
 
+def dd_minhash_keep(sf_dir: str):
+    """Near-dup pairs -> connected components -> per-document keep verdict
+    (rep_id = min id of the component; the actual dedup decision table)."""
+    return dedup.near_dup_keep(sf_dir)
+
+
 def tx_fingerprints(sf_dir: str):
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         textstats.fingerprint_batch, batch_format="pyarrow"
@@ -562,6 +568,7 @@ QUERIES = {
     "mm_sniff_meta": mm_sniff_meta,
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
+    "dd_minhash_keep": dd_minhash_keep,
     "tx_fingerprints": tx_fingerprints,
     "sk_hll_users": sk_hll_users,
     "sk_hll_terms": sk_hll_terms,

@@ -585,3 +585,72 @@ def simhash_near_dups(sf_dir_or_ds, max_hamming: int = 3, table: str = "document
             "hamming": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components -> keep/representative
+# (the step that turns a pair list into an actual dedup decision)
+# ---------------------------------------------------------------------------
+
+def near_dup_keep(sf_dir_or_ds, pairs: pa.Table | None = None, table: str = "documents"):
+    """Near-dup pair list -> per-document dedup verdict.
+
+    Connected components run driver-side over the PAIR list only (union-find
+    bounded by the number of duplicate-involved docs — tiny vs the corpus;
+    same bound argument as phase B's alias union-find), then the
+    component->representative map is broadcast once and a distributed corpus
+    scan marks every document: rep_id = min doc_id of its component (itself
+    when not near-duplicated), keep = (doc_id == rep_id).
+
+    Returns a Dataset (doc_id, rep_id, keep) over ALL documents — the table
+    a training pipeline filters on.
+    """
+    import ray
+
+    from ..sources.tables import read_table
+    from ..state.unionfind import UnionFind
+
+    docs = (
+        sf_dir_or_ds
+        if isinstance(sf_dir_or_ds, rd.Dataset)
+        else read_table(sf_dir_or_ds, table, columns=["doc_id"])
+    )
+    if pairs is None:
+        pairs = minhash_near_dups(sf_dir_or_ds, table=table)
+
+    uf = UnionFind()
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        uf.add(a)
+        uf.add(b)
+        uf.union(a, b)
+    rep_of: dict[int, int] = {}
+    for members in uf.components().values():
+        rep = min(members)
+        for m in members:
+            rep_of[m] = rep
+    ref = ray.put(rep_of)
+
+    class MarkKeep:
+        def __init__(self, rep_ref) -> None:
+            rep = ray.get(rep_ref)
+            items = sorted(rep.items())
+            self.keys = pa.array([k for k, _ in items], pa.int64())
+            self.vals = pa.array([v for _, v in items], pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            hit = pc.take(self.vals, pc.index_in(t["doc_id"], value_set=self.keys))
+            rep = pc.coalesce(hit, t["doc_id"])
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "rep_id": rep,
+                    "keep": pc.equal(t["doc_id"], rep),
+                }
+            )
+
+    return docs.map_batches(
+        MarkKeep, fn_constructor_kwargs={"rep_ref": ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )

@@ -103,3 +103,24 @@ def test_degenerate_hot_bucket_no_quadratic_blowup():
     for a, b in pairs:
         parent[find(a)] = find(b)
     assert len({find(i) for i in range(n)}) == 1
+
+
+def test_near_dup_keep_clusters(planted_docs):
+    pairs = dedup.minhash_near_dups(planted_docs, threshold=0.7)
+    out = (
+        dedup.near_dup_keep(planted_docs, pairs=pairs)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # every document gets a verdict
+    assert len(out) == 13
+    # planted dup members collapse onto the min-id representative
+    assert out.loc[100, "rep_id"] == 0 and not out.loc[100, "keep"]
+    assert out.loc[101, "rep_id"] == 1 and not out.loc[101, "keep"]
+    assert out.loc[102, "rep_id"] == 2 and not out.loc[102, "keep"]
+    # representatives and untouched docs keep themselves
+    for i in range(10):
+        assert out.loc[i, "rep_id"] == i and out.loc[i, "keep"]
+    # exactly one kept doc per component
+    assert out.groupby(out["rep_id"])["keep"].sum().eq(1).all()
