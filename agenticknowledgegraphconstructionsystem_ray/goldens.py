@@ -670,6 +670,26 @@ def kg_oracle_sql() -> dict[str, str]:
             GROUP BY a.url, b.url
             ORDER BY n_shared DESC, url_a, url_b LIMIT 50
         """,
+        "kg_shared_entities_sampled": f"""
+            WITH rel AS (
+                SELECT url, norm_surface FROM {_g('mentions')}
+                WHERE score >= 0.4
+            ),
+            ranked AS (
+                SELECT url, norm_surface,
+                       row_number() OVER (
+                           PARTITION BY norm_surface
+                           ORDER BY md5(norm_surface || '|' || url), url
+                       ) AS rk
+                FROM rel
+            ),
+            kept AS (SELECT url, norm_surface FROM ranked WHERE rk <= 20)
+            SELECT a.url AS url_a, b.url AS url_b, COUNT(*) AS n_shared
+            FROM kept a
+            JOIN kept b ON a.norm_surface = b.norm_surface AND a.url < b.url
+            GROUP BY a.url, b.url
+            ORDER BY n_shared DESC, url_a, url_b LIMIT 50
+        """,
         "kg_docs_triples": f"""
             SELECT url, n_mentions, n_triples FROM {_g('docs_triples')}
         """,

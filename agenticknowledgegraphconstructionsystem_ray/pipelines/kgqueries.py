@@ -126,6 +126,60 @@ def kg_shared_entities(sf_dir: str, min_relevance: float = 0.4, top: int = 50):
     return pairs
 
 
+def kg_shared_entities_sampled(
+    sf_dir: str, min_relevance: float = 0.4, top: int = 50, max_degree: int = 20
+):
+    """Production head-entity handling for the shared-concepts self-join:
+    where ``kg_shared_entities`` EXCLUDES entities above the degree cap
+    (dropping all their co-occurrence signal), this variant deterministically
+    SAMPLES each entity's url list down to the cap by hash ranking — keep the
+    ``max_degree`` urls with the smallest ``md5(norm_surface|url)``. Every
+    entity contributes, the per-entity pair blowup stays hard-bounded at
+    cap^2, and the result is bit-exact reproducible (keyed hash, no RNG, no
+    partition dependence) — so it still carries a full value oracle."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    out = _ensure_run(sf_dir)
+    mentions = kg.mentions_dataset(out, columns=["url", "norm_surface", "score"])
+
+    def keep_relevant(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["score"], pa.scalar(min_relevance)))
+
+    def entity_pairs(g):
+        norm = g["norm_surface"].iloc[0]
+        urls = g["url"].tolist()
+        if len(urls) > max_degree:
+            ranked = sorted(
+                urls,
+                key=lambda u: (hashlib.md5(f"{norm}|{u}".encode()).hexdigest(), u),
+            )[:max_degree]
+            urls = ranked
+        urls = sorted(urls)
+        if len(urls) < 2:
+            return {
+                "url_a": np.array([], dtype=object),
+                "url_b": np.array([], dtype=object),
+            }
+        rows = [(a, b) for i, a in enumerate(urls) for b in urls[i + 1 :]]
+        arr = np.array(rows, dtype=object)
+        return {"url_a": arr[:, 0], "url_b": arr[:, 1]}
+
+    return (
+        mentions.map_batches(keep_relevant, batch_format="pyarrow")
+        .groupby("norm_surface")
+        .map_groups(entity_pairs, batch_format="pandas")
+        .groupby(["url_a", "url_b"])
+        .aggregate(Count(alias_name="n_shared"))
+        .sort(["n_shared", "url_a", "url_b"], descending=[True, False, False])
+        .limit(top)
+    )
+
+
 def kg_top_concepts(sf_dir: str, k: int = 10):
     """The reference's ``top_concepts`` view (``db_init.py:231-238``:
     ORDER BY mention_count DESC LIMIT 10) over our nodes table."""
