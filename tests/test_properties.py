@@ -109,3 +109,51 @@ def test_extraction_total_and_deterministic(text):
 def test_norm_surface_idempotent(s):
     once = norm_surface(s)
     assert norm_surface(once) == once or once == ""
+
+
+# -- media sniffers invert the builders for every valid dimension -----------
+
+from agenticknowledgegraphconstructionsystem_ray.functions import hll, mediasniff as _ms
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+    body=st.binary(min_size=0, max_size=64),
+)
+def test_media_builders_sniffers_roundtrip(w, h, body):
+    assert _ms.sniff(_ms.build_png(w, h, body)) == ("PNG", w, h, 33)
+    assert _ms.sniff(_ms.build_gif(w, h, body)) == ("GIF", w, h, 13)
+    assert _ms.sniff(_ms.build_bmp(w, h, body)) == ("BMP", w, h, 54)
+    assert _ms.sniff(_ms.build_jpeg(w, h, body)) == ("JPEG", w, h, 15)
+
+
+@settings(max_examples=20, deadline=None)
+@given(rate=st.integers(min_value=1, max_value=384000),
+       ch=st.integers(min_value=1, max_value=8),
+       body=st.binary(min_size=0, max_size=64))
+def test_wav_builder_sniffer_roundtrip(rate, ch, body):
+    assert _ms.sniff(_ms.build_wav(rate, ch, body)) == ("WAV", rate, ch, 44)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.binary(min_size=0, max_size=256))
+def test_sniff_never_raises_on_garbage(b):
+    _ms.sniff(b)  # may return None, must not raise
+
+
+# -- HLL: split-any-way + merge == one-shot; estimate within bounds ---------
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=3000),
+    cut=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_hll_partition_merge_equals_oneshot(n, cut):
+    keys = [f"k{i}" for i in range(n)]
+    k = int(n * cut)
+    merged = hll.merge(hll.sketch_of(keys[:k]), hll.sketch_of(keys[k:]))
+    assert np.array_equal(merged, hll.sketch_of(keys))
+    est = hll.estimate(merged)
+    assert abs(est - n) <= max(3, 0.05 * n)
