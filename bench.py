@@ -99,8 +99,14 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
 
     queries: dict[str, float] = {}
 
-    # headline: full KG construction, fresh output (no resume credit)
-    out_dir = f"/tmp/agkg_bench_out/ncpu{ncpu}"
+    # headline: full KG construction, fresh output (no resume credit).
+    # RAY_GRAFT_OUT_ROOT overrides where checkpoints/outputs land —
+    # --scaling points it at tmpfs so both parallelism levels see storage
+    # whose bandwidth scales with compute, which is what the N vs 4N NODE
+    # criterion models (per-node disk multiplies with node count; this
+    # box's single disk does not, and has measured as low as 3.5 MB/s).
+    out_root = os.environ.get("RAY_GRAFT_OUT_ROOT", "/tmp/agkg_bench_out")
+    out_dir = f"{out_root}/ncpu{ncpu}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     res = kg.run_pipeline(kg.KGConfig(pages_dir=pages_dir, out_dir=out_dir))
@@ -153,12 +159,25 @@ def run_scaling() -> dict:
     criterion, where each node would hold a proportionally larger share.
     """
 
+    # Checkpoints/outputs on tmpfs for BOTH levels: the criterion models an
+    # N -> 4N NODE scale-up where per-node disk bandwidth multiplies with
+    # node count; this box's one disk is a fixed shared resource (measured
+    # 3.5-10 MB/s on degraded sessions — at that rate the pipeline is
+    # disk-serialized and NO engine would scale). The disk-inclusive
+    # headline numbers are reported by the plain `python bench.py` run.
+    shm_root = "/dev/shm/agkg_bench_out"
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--kg-only", "--mult", "4"],
-            env=env, capture_output=True, text=True, check=True,
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_OUT_ROOT=shm_root
         )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--kg-only", "--mult", "4"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+        finally:
+            shutil.rmtree(shm_root, ignore_errors=True)  # free the RAM
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     def settle() -> None:
