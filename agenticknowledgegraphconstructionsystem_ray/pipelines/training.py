@@ -217,19 +217,31 @@ def q28_events_props_json(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q29_top_events_per_type(sf_dir: str):
-    """Top-3 events by value per event type — per-group sort + head inside
-    ``groupby().map_groups`` (O5; relationship-discovery-agent.ts:134-139)."""
+    """Top-3 events by value per event type (O5;
+    relationship-discovery-agent.ts:134-139) via the grouped-top-k combiner
+    (stages/topk.py): each block pre-truncates to k rows per group before
+    the shuffle, so giant groups never ship whole."""
+    from ..stages.topk import grouped_topk
+
     ds = read_table(sf_dir, "events", columns=["event_type", "event_id", "value"])
 
-    def head3(g):
-        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
-        return {
-            "event_type": g["event_type"].to_numpy(),
-            "event_id": g["event_id"].to_numpy(),
-            "value_c": cents_np(g["value"].to_numpy()),
-        }
+    # cents BEFORE the top-k so map_groups is the terminal stage (Ray emits
+    # schema-less empty pandas blocks from map_groups for empty partitions;
+    # a downstream pyarrow stage can choke on them)
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "value_c": cents(t["value"]),
+            }
+        )
 
-    return ds.groupby("event_type").map_groups(head3, batch_format="pandas")
+    return grouped_topk(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        group_key="event_type",
+        by=["value_c", "event_id"], descending=[True, False], k=3,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -478,12 +490,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
     "q29_top_events_per_type": """
-        SELECT event_type, event_id,
-               CAST(round(value*100, 0) AS BIGINT) AS value_c
+        SELECT event_type, event_id, value_c
         FROM (
-            SELECT event_type, event_id, value,
+            SELECT event_type, event_id,
+                   CAST(round(value*100, 0) AS BIGINT) AS value_c,
                    row_number() OVER (PARTITION BY event_type
-                                      ORDER BY value DESC, event_id) AS rn
+                                      ORDER BY CAST(round(value*100, 0) AS BIGINT) DESC,
+                                               event_id) AS rn
             FROM events)
         WHERE rn <= 3
     """,

@@ -88,3 +88,38 @@ def test_list_column_ops(kg_out):
     assert pc.min(lengths).as_py() >= 1
     first_two = pc.list_slice(aliases, 0, 2)
     assert pc.max(pc.list_value_length(first_two)).as_py() <= 2
+
+
+def test_grouped_topk_matches_bruteforce(ray_session):
+    """Combiner pre-truncation must not change the per-group top-k result,
+    whatever the block layout."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from agenticknowledgegraphconstructionsystem_ray.stages.topk import grouped_topk
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 7, size=n),
+            "uid": np.arange(n),
+            "score": rng.integers(0, 50, size=n),  # heavy ties on purpose
+        }
+    )
+    ds = rd.from_pandas(df).repartition(13)  # force many blocks
+    got = (
+        grouped_topk(ds, "g", by=["score", "uid"], descending=[True, False], k=5)
+        .to_pandas()
+        .sort_values(["g", "score", "uid"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["score", "uid"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(5)
+        .sort_values(["g", "score", "uid"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "uid", "score"]], want)

@@ -34,6 +34,7 @@ FAST_QUERIES = [
     "q26_quality",
     "q27_token_classes",
     "q28_events_props_json",
+    "q29_top_events_per_type",
     "q30_user_sessions",
     "q32_stable_split",
     "q33_asof_join",
