@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "4"  # v4: + near-dup keep/cluster golden (dd_keep)
+GOLDEN_VERSION = "5"  # v5: + simhash keep golden (dd_keep_simhash)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -485,9 +485,10 @@ def _seq_ivf_topk(
     )
 
 
-def _seq_minhash_keep(sf_dir: str, pairs: pa.Table) -> pa.Table:
-    """Sequential near-dup keep golden: same UnionFind kernel over the
-    sequential pair list, plain dict orchestration, full doc scan."""
+def _seq_pairs_keep(sf_dir: str, pairs: pa.Table) -> pa.Table:
+    """Sequential near-dup keep golden: same UnionFind kernel over a
+    sequential pair list (any source), plain dict orchestration, full doc
+    scan."""
     from .state.unionfind import UnionFind
 
     uf = UnionFind()
@@ -575,8 +576,9 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
-        tables["dd_keep"] = _seq_minhash_keep(sf_dir, tables["dd_minhash"])
+        tables["dd_keep"] = _seq_pairs_keep(sf_dir, tables["dd_minhash"])
         tables["dd_simhash"] = _seq_simhash_pairs(sf_dir)
+        tables["dd_keep_simhash"] = _seq_pairs_keep(sf_dir, tables["dd_simhash"])
         tables["fingerprints"] = _seq_fingerprints(sf_dir)
         tables["ivf_topk"] = _seq_ivf_topk(sf_dir)
         tables["hll_users"] = _seq_hll_users(sf_dir)
@@ -701,6 +703,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "dd_minhash_keep": f"""
             SELECT doc_id, rep_id, keep FROM {_g('dd_keep')}
+        """,
+        "dd_simhash_keep": f"""
+            SELECT doc_id, rep_id, keep FROM {_g('dd_keep_simhash')}
         """,
         "tx_fingerprints": f"""
             SELECT doc_id, fp_min, n_fps FROM {_g('fingerprints')}

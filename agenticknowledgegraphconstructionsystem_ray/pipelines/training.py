@@ -369,6 +369,14 @@ def dd_minhash_keep(sf_dir: str):
     return dedup.near_dup_keep(sf_dir)
 
 
+def dd_simhash_keep(sf_dir: str):
+    """Same clustering/keep operator driven by the SimHash pair source —
+    near_dup_keep composes over any (doc_a, doc_b) pair table."""
+    return dedup.near_dup_keep(
+        sf_dir, pairs=dedup.simhash_near_dups(sf_dir, max_hamming=3)
+    )
+
+
 def tx_fingerprints(sf_dir: str):
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         textstats.fingerprint_batch, batch_format="pyarrow"
@@ -582,6 +590,7 @@ QUERIES = {
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_minhash_keep": dd_minhash_keep,
+    "dd_simhash_keep": dd_simhash_keep,
     "tx_fingerprints": tx_fingerprints,
     "sk_hll_users": sk_hll_users,
     "sk_hll_terms": sk_hll_terms,
