@@ -295,6 +295,60 @@ def q38_stratified_sample(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# q39: watermark + tumbling window (the batch analog of late-data handling)
+# ---------------------------------------------------------------------------
+
+WATERMARK_DELAY_US = 3600 * 1_000_000  # 1 hour
+
+
+def q39_watermark_window(sf_dir: str):
+    """Event-time watermark + tumbling hourly window: only events at or
+    before (max event time - 1h) are counted — the batch expression of
+    streaming late-data cutoff. Two-pass shape: a tiny global max aggregate
+    reaches the driver, is broadcast as a filter constant, then the q12-style
+    windowed rollup runs over the admitted rows."""
+    import ray
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    max_ts = ds.max("ts")  # one scalar to the driver
+    cutoff = (
+        np.datetime64(max_ts, "us").astype(np.int64) - WATERMARK_DELAY_US
+    )
+    cut_ref = ray.put(cutoff)
+
+    class AdmitAndBucket:
+        def __init__(self, ref) -> None:
+            self.cut = pa.scalar(
+                np.int64(ray.get(ref)).item() , pa.timestamp("us")
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less_equal(t["ts"], self.cut))
+            return pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                }
+            )
+
+    return (
+        ds.map_batches(
+            AdmitAndBucket, fn_constructor_kwargs={"ref": cut_ref},
+            batch_format="pyarrow", concurrency=(1, 2),
+        )
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("hour"), "hour",
+                pc.cast(t["hour"], pa.timestamp("us")),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -350,6 +404,13 @@ ORACLE_SQL: dict[str, str] = {
                CAST(MAX(v) AS BIGINT) AS max_c
         FROM r GROUP BY event_type
     """,
+    "q39_watermark_window": """
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        FROM events
+        WHERE epoch_us(ts) <= (SELECT MAX(epoch_us(ts)) FROM events)
+                              - 3600000000
+        GROUP BY event_type, date_trunc('hour', ts)
+    """,
     "q38_stratified_sample": """
         SELECT event_type, COUNT(*) AS n_sampled,
                CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
@@ -379,4 +440,5 @@ QUERIES = {
     "q36_grouped_quantiles": q36_grouped_quantiles,
     "q37_event_pivot": q37_event_pivot,
     "q38_stratified_sample": q38_stratified_sample,
+    "q39_watermark_window": q39_watermark_window,
 }

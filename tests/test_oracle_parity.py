@@ -43,6 +43,7 @@ FAST_QUERIES = [
     "q36_grouped_quantiles",
     "q37_event_pivot",
     "q38_stratified_sample",
+    "q39_watermark_window",
     "mm_decode_meta",
     "mm_sniff_meta",
 ]
