@@ -38,23 +38,37 @@ def sniff_png(b: bytes):
 
 def sniff_gif(b: bytes):
     """GIF87a/89a: 6-byte signature + logical screen descriptor
-    (width, height little-endian u16, flags, bg, aspect = 7 bytes)."""
+    (width, height little-endian u16, flags, bg, aspect = 7 bytes), plus the
+    Global Color Table when the flags bit says one follows — real files
+    usually carry one, and it belongs to the header, not the body."""
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w, h = struct.unpack("<HH", b[6:10])
-    return ("GIF", w, h, 13)
+    flags = b[10]
+    hdr = 13
+    if flags & 0x80:  # GCT present: 3 * 2^(N+1) palette bytes
+        hdr += 3 * (2 << (flags & 0x07))
+        if hdr > len(b):
+            return None
+    return ("GIF", w, h, hdr)
 
 
 def sniff_bmp(b: bytes):
-    """BMP: 14-byte file header + BITMAPINFOHEADER (size 40, width/height
-    little-endian i32; height may be negative = top-down)."""
+    """BMP: 14-byte file header + BITMAPINFOHEADER-or-later (size >= 40,
+    width/height little-endian i32; height may be negative = top-down).
+    header_len comes from the file header's pixel-data offset field
+    (bytes 10-13) — V4/V5 info headers are longer than 40 bytes, so a fixed
+    54 would count header bytes as body."""
     if len(b) < 54 or b[:2] != b"BM":
         return None
     hdr_size = struct.unpack("<I", b[14:18])[0]
     if hdr_size < 40:
         return None
+    off = struct.unpack("<I", b[10:14])[0]
+    if off < 14 + hdr_size or off > len(b):
+        return None
     w, h = struct.unpack("<ii", b[18:26])
-    return ("BMP", w, abs(h), 54)
+    return ("BMP", w, abs(h), off)
 
 
 def sniff_jpeg(b: bytes):
@@ -111,9 +125,11 @@ def sniff_wav(b: bytes):
                 return None
             return ("WAV", rate, channels, i + 8)
         i += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None:
-        return None
-    return ("WAV", rate, channels, i)
+        if i > n:
+            return None  # chunk declares more bytes than the buffer holds
+    # no 'data' chunk found: not a playable WAV — reject rather than guess
+    # a header_len that could exceed the buffer (negative body downstream)
+    return None
 
 
 _SNIFFERS = (sniff_png, sniff_gif, sniff_bmp, sniff_jpeg, sniff_wav)
@@ -172,7 +188,3 @@ def build_wav(rate: int, channels: int, body: bytes) -> bytes:
         + b"data" + struct.pack("<I", len(body))
         + body
     )
-
-
-# header lengths the builders produce (used by the SQL oracle derivation)
-BUILT_HEADER_LEN = {"PNG": 33, "GIF": 13, "BMP": 54, "JPEG": 15, "WAV": 44}

@@ -489,8 +489,6 @@ def _seq_pairs_keep(sf_dir: str, pairs: pa.Table) -> pa.Table:
     """Sequential near-dup keep golden: same UnionFind kernel over a
     sequential pair list (any source), plain dict orchestration, full doc
     scan."""
-    from .state.unionfind import UnionFind
-
     uf = UnionFind()
     for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
         uf.add(a)

@@ -23,16 +23,22 @@ from ..sources.tables import read_table
 def _matrix(t: pa.Table) -> np.ndarray:
     """list<float> column -> (rows, dim) float64 matrix without a Python
     list round-trip: flatten the Arrow list values (offset-aware) and
-    reshape. Embeddings are fixed-dimension, which the reshape asserts."""
+    reshape. Requires non-null fixed-dimension embeddings and FAILS LOUDLY
+    otherwise — a null/ragged column whose total length happens to divide
+    the row count would otherwise silently misalign every subsequent row."""
     col = t["embedding"].combine_chunks()
-    flat = np.asarray(col.flatten(), dtype=np.float64)
     n = len(col)
     if n == 0:
-        return flat.reshape(0, 0)
-    dim, rem = divmod(len(flat), n)
-    if rem:  # ragged lists — fall back to the slow exact path
-        return np.asarray(col.to_pylist(), dtype=np.float64)
-    return flat.reshape(n, dim)
+        return np.zeros((0, 0), dtype=np.float64)
+    if col.null_count:
+        raise ValueError("embedding column contains nulls")
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if lengths.min() != lengths.max():
+        raise ValueError(
+            f"ragged embedding lists (dims {lengths.min()}..{lengths.max()})"
+        )
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(n, int(lengths[0]))
 
 
 def brute_force_topk(

@@ -89,14 +89,12 @@ def approx_distinct_terms(sf_dir: str):
     """Approximate distinct token count over the whole documents corpus
     (open vocabulary — exactly where the exact variant's shuffle hurts).
     Output: one row (n_terms_est:int64)."""
-    import re
-
-    token_re = re.compile(r"[a-z0-9]+")
+    from .textstats import _TOKEN_RE  # THE token definition (q14/q27 family)
 
     def partial(t: pa.Table) -> pa.Table:
         toks: set[str] = set()
         for text in t["text"].to_pylist():
-            toks.update(token_re.findall(text.lower()))
+            toks.update(_TOKEN_RE.findall(text.lower()))
         return pa.table(
             {"regs": pa.array([hll.sketch_of(sorted(toks)).tobytes()], pa.binary())}
         )

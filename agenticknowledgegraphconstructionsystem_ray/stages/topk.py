@@ -20,7 +20,9 @@ import pandas as pd
 def _head_per_group(df: pd.DataFrame, group_key: str, by: list[str],
                     ascending: list[bool], k: int) -> pd.DataFrame:
     out = df.sort_values(by, ascending=ascending, kind="mergesort")
-    return out.groupby(group_key, sort=False).head(k)
+    # dropna=False: null group keys must survive the combiner, or the final
+    # per-group head would silently lose the null group entirely
+    return out.groupby(group_key, sort=False, dropna=False).head(k)
 
 
 def grouped_topk(ds, group_key: str, by: list[str], descending: list[bool], k: int):

@@ -121,3 +121,27 @@ def test_sniff_meta_pipeline(ray_session):
     for _, r in out.head(10).iterrows():
         if r["media_id"] % 5 == 3:
             assert r["format"] == "JPEG"
+
+
+def test_sniff_real_world_header_variants():
+    import struct
+
+    # BMP with a 124-byte V5 info header: header_len must follow the
+    # pixel-data offset field, not a hardcoded 54
+    off = 14 + 124
+    v5 = (b"BM" + struct.pack("<IHHI", off + 8, 0, 0, off)
+          + struct.pack("<Iii", 124, 10, 10) + b"\x00" * (124 - 12)
+          + b"12345678")
+    assert ms.sniff(v5) == ("BMP", 10, 10, off)
+    # GIF with a global color table: 2-entry-exponent palette is header
+    flags = 0x80 | 0x01  # GCT present, size N=1 -> 3 * 2^2 = 12 bytes
+    gif = b"GIF89a" + struct.pack("<HH", 5, 7) + bytes([flags, 0, 0]) + b"\x00" * 12 + b"body"
+    assert ms.sniff(gif) == ("GIF", 5, 7, 13 + 12)
+    # WAV whose trailing chunk declares more bytes than the buffer: reject
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    bogus = b"LIST" + struct.pack("<I", 1000) + b"IN"
+    wav = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + fmt + bogus
+    assert ms.sniff(wav) is None
+    # WAV with no data chunk at all: reject (not playable, no body bound)
+    wav2 = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + fmt
+    assert ms.sniff(wav2) is None

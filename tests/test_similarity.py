@@ -69,3 +69,17 @@ def test_kmeans_lite_deterministic(n, k):
     c1 = similarity._kmeans_lite(x, k)
     c2 = similarity._kmeans_lite(x, k)
     assert np.array_equal(c1, c2)
+
+
+def test_matrix_rejects_nulls_and_ragged():
+    import pyarrow as pa
+    import pytest as _pt
+
+    from agenticknowledgegraphconstructionsystem_ray.stages.similarity import _matrix
+
+    with _pt.raises(ValueError, match="null"):
+        _matrix(pa.table({"embedding": pa.array([[1.0, 2.0], None, [3.0, 4.0]])}))
+    with _pt.raises(ValueError, match="ragged"):
+        _matrix(pa.table({"embedding": pa.array([[1.0, 2.0], [3.0, 4.0, 5.0, 6.0]])}))
+    m = _matrix(pa.table({"embedding": pa.array([[1.0, 2.0], [3.0, 4.0]])}))
+    assert m.shape == (2, 2) and m[1, 0] == 3.0
