@@ -26,3 +26,18 @@ from .pipelines.kg import (  # noqa: E402,F401
     run_pipeline,
 )
 from .synth import alias_dict, ensure_pages, write_pages  # noqa: E402,F401
+
+# reusable distributed building blocks (each has its own driver query +
+# oracle; see COVERAGE.md):
+from .functions.mediasniff import sniff as sniff_media  # noqa: E402,F401
+from .stages.dedup import (  # noqa: E402,F401
+    minhash_near_dups,
+    near_dup_keep,
+    simhash_near_dups,
+)
+from .stages.sketch import (  # noqa: E402,F401
+    approx_distinct_terms,
+    approx_distinct_users,
+)
+from .stages.similarity import brute_force_topk, ivf_topk  # noqa: E402,F401
+from .stages.topk import grouped_topk  # noqa: E402,F401
