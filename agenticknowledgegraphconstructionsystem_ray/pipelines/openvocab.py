@@ -201,7 +201,17 @@ def build_nodes_openvocab(
 # across LOOKUP_SALTS coarse groups, so no single reducer receives a hot
 # key's full row set.
 LOOKUP_SALTS = 8
-LOOKUP_GROUPS = 64
+LOOKUP_GROUPS_MIN = 64
+
+
+def _lookup_groups() -> int:
+    """Coarse shuffle-group count: scales with the cluster so each CPU gets
+    ~2 resolve groups; floor of 64 keeps small clusters well-mixed. Routing
+    only affects partitioning — results are identical for any group count
+    (and the final edges are re-sorted downstream anyway)."""
+    from ..runtime import cluster_cpus
+
+    return max(LOOKUP_GROUPS_MIN, 2 * cluster_cpus())
 
 
 def _crc_i64(values: list[str]) -> "np.ndarray":
@@ -229,6 +239,9 @@ def lookup_join(
 
     row_cols = [n for n, _ in row_fields]
     row_types = dict(row_fields)
+    # computed ONCE and captured by both routing closures — rows and mapping
+    # MUST agree on the group count or matching keys land in different groups
+    n_groups = _lookup_groups()
 
     # both sides of the union carry the SAME column set (row cols + mapping
     # cols), null-padded — Ray's union/shuffle needs consistent block schemas
@@ -236,7 +249,7 @@ def lookup_join(
         keys = t[key_col].to_pylist()
         h = _crc_i64(keys)
         salt = np.arange(len(keys), dtype=np.int64) % LOOKUP_SALTS
-        coarse = (h + salt) % LOOKUP_GROUPS
+        coarse = (h + salt) % n_groups
         arrays = [t[c] for c in row_cols]
         arrays += [
             pa.array(coarse, pa.int32()),
@@ -253,7 +266,7 @@ def lookup_join(
         h = _crc_i64(norms)
         idx = np.repeat(np.arange(t.num_rows), LOOKUP_SALTS)
         salts = np.tile(np.arange(LOOKUP_SALTS, dtype=np.int64), t.num_rows)
-        coarse = (h[idx] + salts) % LOOKUP_GROUPS
+        coarse = (h[idx] + salts) % n_groups
         rep = t.take(pa.array(idx))
         arrays = [pa.nulls(rep.num_rows, row_types[c]) for c in row_cols]
         arrays += [
@@ -302,7 +315,7 @@ def apply_ids_join(
     lookup join (unknown norms keep -1/norm like the broadcast path).
     Output columns match stages/canonicalize.ApplyEntityIds.
     ``num_partitions`` is accepted for API compatibility; routing uses
-    LOOKUP_GROUPS coarse groups."""
+    cluster-scaled coarse groups (``_lookup_groups``)."""
     triple_fields = [
         ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
         ("subj", pa.string()), ("subj_norm", pa.string()),
