@@ -349,6 +349,56 @@ def q39_watermark_window(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# q40: large x large shuffle anti-join (cogroup form)
+# ---------------------------------------------------------------------------
+
+def q40_orders_no_returns(sf_dir: str):
+    """Orders with NO returned ('R') lineitem — the anti-join where BOTH
+    sides are big, so the broadcast-keyset form (q07) doesn't apply: tag the
+    two sides, ONE hash shuffle on the key, keep keys whose group holds no
+    right-side row. Per-key groups are order-sized (1 + its lineitems), so
+    no group can blow up."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": t["o_orderkey"],
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    def returned_keys(t: pa.Table) -> pa.Table:
+        # combiner: dedupe per block — the shuffle carries distinct keys per
+        # block, not one row per matching lineitem
+        ks = pc.unique(
+            t.filter(pc.equal(t["l_returnflag"], "R"))["l_orderkey"]
+        )
+        return pa.table(
+            {"k": ks, "side": pa.array(np.ones(len(ks), np.int8))}
+        )
+
+    returned = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(returned_keys, batch_format="pyarrow")
+
+    # anti-join as a vectorized aggregate: a key survives iff its group's
+    # MAX(side) == 0 (left present by construction — every order key has its
+    # left row; right-only keys cannot exist since lineitems reference
+    # orders). No per-group Python, just one shuffle aggregate + a filter.
+    from ray.data.aggregate import Max
+
+    agg = orders.union(returned).groupby("k").aggregate(
+        Max("side", alias_name="mx")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t.filter(pc.equal(t["mx"], 0))["k"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -404,6 +454,12 @@ ORACLE_SQL: dict[str, str] = {
                CAST(MAX(v) AS BIGINT) AS max_c
         FROM r GROUP BY event_type
     """,
+    "q40_orders_no_returns": """
+        SELECT o_orderkey FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+    """,
     "q39_watermark_window": """
         SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
         FROM events
@@ -441,4 +497,5 @@ QUERIES = {
     "q37_event_pivot": q37_event_pivot,
     "q38_stratified_sample": q38_stratified_sample,
     "q39_watermark_window": q39_watermark_window,
+    "q40_orders_no_returns": q40_orders_no_returns,
 }

@@ -44,6 +44,7 @@ FAST_QUERIES = [
     "q37_event_pivot",
     "q38_stratified_sample",
     "q39_watermark_window",
+    "q40_orders_no_returns",
     "mm_decode_meta",
     "mm_sniff_meta",
 ]
