@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..sources.tables import read_table
 from .analytics import cents, cents_np
@@ -385,8 +385,6 @@ def q40_orders_no_returns(sf_dir: str):
     # MAX(side) == 0 (left present by construction — every order key has its
     # left row; right-only keys cannot exist since lineitems reference
     # orders). No per-group Python, just one shuffle aggregate + a filter.
-    from ray.data.aggregate import Max
-
     agg = orders.union(returned).groupby("k").aggregate(
         Max("side", alias_name="mx")
     )
