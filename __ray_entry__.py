@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
         kgqueries,
+        scoring,
         temporal,
         training,
     )
@@ -35,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = dict(analytics.QUERIES)
     q.update(training.QUERIES)
     q.update(temporal.QUERIES)
+    q.update(scoring.QUERIES)
     q.update(
         {
             "kg_edges": kgqueries.kg_edges,
@@ -64,6 +66,7 @@ def oracle_sql() -> dict[str, str]:
     from agenticknowledgegraphconstructionsystem_ray import goldens
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
+        scoring,
         temporal,
         training,
     )
@@ -73,5 +76,6 @@ def oracle_sql() -> dict[str, str]:
         **analytics.ORACLE_SQL,
         **training.ORACLE_SQL,
         **temporal.ORACLE_SQL,
+        **scoring.ORACLE_SQL,
         **goldens.kg_oracle_sql(),
     }

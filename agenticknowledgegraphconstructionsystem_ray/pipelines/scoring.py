@@ -1,0 +1,442 @@
+"""Corpus-level text scoring / indexing operators over the documents table.
+
+The training-data operators a web-scale corpus pipeline needs beyond
+near-dup and per-doc stats (SURVEY §2.8 text family; reference analog: the
+tsvector search path it declares out of scope, `db_init.py:214-229`,
+re-expressed as distributed batch operators):
+
+- q41 TF-IDF top terms   per-document top-k terms by df-normalized term
+                         relevance — the relevance kernel behind the
+                         reference's concept search, without the Postgres
+                         tsvector dependency.
+- q42 inverted index     term -> (df, bounded posting list). The combiner
+                         caps per-(block, term) postings at k smallest
+                         doc_ids, so the shuffle carries O(k) per term per
+                         block, never a hot term's full posting list.
+- q43 grouped centering  per-doc deviation from the per-language mean,
+                         integer-scaled (dev = n_chars*n_lang - sum_lang)
+                         so the output is bit-exact across engines — the
+                         two-pass normalize pattern (tiny grouped aggregate
+                         broadcast back over the corpus).
+- sk_heavy_hitters       Misra-Gries sketch + exact recount of the
+                         candidate set, with a soundness certificate. The
+                         scale path for global top-k terms when the
+                         vocabulary is open (per-block state capped at C
+                         regardless of vocabulary size, unlike q14's
+                         per-block partial-count dict which is
+                         vocab-in-block-sized).
+
+Determinism contract: every emitted column is integer or string; float
+ranking scores (tf/df) are a SINGLE IEEE-754 division of two small exact
+integers, identical bit-for-bit in numpy and DuckDB, with total ordering
+enforced by a string tiebreak (NOTES.md invariants 2-3).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Sum
+
+from ..sources.tables import read_table
+from ..stages.topk import grouped_topk
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+# ---------------------------------------------------------------------------
+# shared tokenization stage
+# ---------------------------------------------------------------------------
+
+def _tf_pairs(sf_dir: str):
+    """(doc_id, term, tf) rows — one per distinct (document, term).
+
+    Per-block Python loop over document strings is the tokenizer itself
+    (regex over text); the emitted table is columnar from there on.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        doc_ids, terms, tfs = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in _TOKEN_RE.findall(text.lower()):
+                counts[w] = counts.get(w, 0) + 1
+            doc_ids.extend([doc_id] * len(counts))
+            terms.extend(counts.keys())
+            tfs.extend(counts.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tok, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# q41: per-document top-3 terms by tf/df relevance
+# ---------------------------------------------------------------------------
+
+def q41_tfidf_top_terms(sf_dir: str):
+    """Top-3 terms per document ranked by tf/df (term frequency divided by
+    document frequency — idf-monotone relevance), ties broken by term.
+
+    Shape: tokenize -> shuffle 1 on ``term`` (df computed INSIDE each group:
+    the group's row count IS the term's document frequency, no join needed)
+    -> shuffle 2 on ``doc_id`` via the grouped top-k combiner (at most 3
+    rows per (block, doc) survive to the shuffle). Hot-term groups are
+    O(group-size) appends, not pairwise."""
+
+    def add_df(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["df"] = np.int64(len(df))
+        return out
+
+    pairs = _tf_pairs(sf_dir).groupby("term").map_groups(
+        add_df, batch_format="pandas"
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        dfv = t["df"].combine_chunks().to_numpy(zero_copy_only=False)
+        # one IEEE division of exact small ints: bit-identical in DuckDB
+        return t.append_column(
+            "score", pa.array(tf.astype(np.float64) / dfv, pa.float64())
+        )
+
+    top = grouped_topk(
+        pairs.map_batches(score, batch_format="pyarrow"),
+        group_key="doc_id",
+        by=["score", "term"],
+        descending=[True, False],
+        k=3,
+    )
+    return top.select_columns(["doc_id", "term", "tf", "df"]).sort(
+        ["doc_id", "term"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42: inverted index with bounded posting lists
+# ---------------------------------------------------------------------------
+
+_POSTINGS_K = 20
+
+
+def q42_inverted_index(sf_dir: str):
+    """term -> document frequency + comma-joined posting list of the
+    ``_POSTINGS_K`` smallest doc_ids.
+
+    Combiner: per (block, term) emit (partial df, min-k doc_ids). Each
+    block's min-k suffices for the global min-k (min-k is a semilattice), so
+    the ``term`` shuffle moves at most k ids + one count per term per block
+    — a hot stopword's postings never travel in full."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        terms: dict[str, list] = {}
+        for doc_id, term in zip(
+            t["doc_id"].to_pylist(), t["term"].to_pylist()
+        ):
+            terms.setdefault(term, []).append(doc_id)
+        names, n_p, posts = [], [], []
+        for term, ids in terms.items():
+            names.append(term)
+            n_p.append(len(ids))
+            posts.append(sorted(ids)[:_POSTINGS_K])
+        return pa.table(
+            {
+                "term": pa.array(names, pa.string()),
+                "n_p": pa.array(n_p, pa.int64()),
+                "post_p": pa.array(posts, pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        for part in df["post_p"]:
+            ids.extend(part)
+        ids = sorted(set(ids))[:_POSTINGS_K]
+        return pd.DataFrame(
+            {
+                "term": [df["term"].iloc[0]],
+                "df": np.array([df["n_p"].sum()], np.int64),
+                "postings": [",".join(str(i) for i in ids)],
+            }
+        )
+
+    return (
+        _tf_pairs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(merge, batch_format="pandas")
+        .sort("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43: per-document deviation from the per-language mean (integer-scaled)
+# ---------------------------------------------------------------------------
+
+def q43_doc_dev(sf_dir: str):
+    """dev = n_chars * n_docs(lang) - sum_chars(lang): the mean-centered
+    deviation scaled by the group size so it stays in exact int64 — the
+    broadcast two-pass normalization pattern (tiny per-group aggregate
+    shipped once via ray.put, applied vectorized per batch). dev/n_docs
+    would be the float deviation; consumers divide if they want floats."""
+    import ray
+
+    stats = (
+        read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    ).take_all()  # one row per language: genuinely tiny
+    by_lang = {r["lang"]: (r["n_docs"], r["sum_chars"]) for r in stats}
+    ref = ray.put(by_lang)
+
+    def apply(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        langs = t["lang"].to_pylist()
+        n = np.array([m[x][0] for x in langs], np.int64)
+        s = np.array([m[x][1] for x in langs], np.int64)
+        chars = t["n_chars"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_docs": pa.array(n, pa.int64()),
+                "dev": pa.array(chars.astype(np.int64) * n - s, pa.int64()),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+        .map_batches(apply, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sk_heavy_hitters: Misra-Gries sketch + exact candidate recount
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 4096
+_HH_K = 20
+_HH_CANDIDATES = 256
+
+
+def _mg_add(counters: dict[str, int], term: str) -> None:
+    """Misra-Gries update (unit weight): admit, or decrement-all at
+    capacity. Every counter stays >= 1, so the decrement is always 1."""
+    if term in counters:
+        counters[term] += 1
+        return
+    if len(counters) < MG_CAPACITY:
+        counters[term] = 1
+        return
+    dead = []
+    for k in counters:
+        counters[k] -= 1
+        if counters[k] == 0:
+            dead.append(k)
+    for k in dead:
+        del counters[k]
+
+
+def sk_heavy_hitters(sf_dir: str):
+    """Global top-20 terms with exact counts, found via a two-pass
+    sketch-then-recount (the open-vocabulary scale path for q14-style
+    global term ranking):
+
+    pass 1: per-block Misra-Gries partials (state capped at ``MG_CAPACITY``
+            per block, independent of vocabulary size) -> one shuffle of
+            <= capacity rows per block -> approximate global counts with
+            undercount <= n_tokens/capacity -> top ``_HH_CANDIDATES``
+            candidate terms to the driver (bounded).
+    pass 2: exact recount of candidates only (broadcast candidate set,
+            per-block filtered counts, tiny shuffle) -> exact top-20.
+
+    Soundness certificate (checked at runtime): any non-candidate term's
+    true count is < approx(candidate cutoff) + n/capacity; if the exact
+    20th count clears that bound, the top-20 is provably complete. If the
+    certificate ever fails (adversarial flat distributions), fall back to
+    the exact full groupby.
+    """
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        counters: dict[str, int] = {}
+        n_tok = 0
+        for text in t["text"].to_pylist():
+            for w in _TOKEN_RE.findall(text.lower()):
+                n_tok += 1
+                _mg_add(counters, w)
+        out = pa.table(
+            {
+                "term": pa.array(list(counters.keys()), pa.string()),
+                "n_a": pa.array(list(counters.values()), pa.int64()),
+                "n_tok": pa.array([0] * len(counters), pa.int64()),
+            }
+        )
+        # carry the block's token count on one row (for the n/C error bound)
+        if len(counters) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([""], pa.string()),
+                    "n_a": pa.array([0], pa.int64()),
+                    "n_tok": pa.array([n_tok], pa.int64()),
+                }
+            )
+        col = pa.array([n_tok] + [0] * (len(counters) - 1), pa.int64())
+        return out.set_column(2, "n_tok", col)
+
+    approx = (
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_a", alias_name="approx"), Sum("n_tok", alias_name="n_tok"))
+    ).materialize()  # <= MG_CAPACITY rows per input block: the small side
+    # candidate cutoff: top _HH_CANDIDATES by (approx desc, term) — small
+    head = approx.sort(["approx", "term"], descending=[True, False]).limit(
+        _HH_CANDIDATES + 1
+    ).take_all()
+    n_total = int(approx.aggregate(Sum("n_tok", alias_name="t"))["t"])
+    cand = [r["term"] for r in head[:_HH_CANDIDATES] if r["term"]]
+    cutoff_approx = int(head[_HH_CANDIDATES]["approx"]) if len(head) > _HH_CANDIDATES else 0
+    cand_ref = ray.put(frozenset(cand))
+
+    def recount(t: pa.Table) -> pa.Table:
+        want = ray.get(cand_ref)
+        counts: dict[str, int] = {}
+        for text in t["text"].to_pylist():
+            for w in _TOKEN_RE.findall(text.lower()):
+                if w in want:
+                    counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n_p": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(_HH_K)
+    ).take_all()  # k rows — the result itself
+    kth = rows[-1]["n"] if len(rows) >= _HH_K else 0
+    err = n_total // MG_CAPACITY
+    if kth <= cutoff_approx + err:
+        # certificate failed: a non-candidate could outrank the 20th.
+        # Exact fallback (full partial-count groupby, q14 shape).
+        def full_partial(t: pa.Table) -> pa.Table:
+            counts: dict[str, int] = {}
+            for text in t["text"].to_pylist():
+                for w in _TOKEN_RE.findall(text.lower()):
+                    counts[w] = counts.get(w, 0) + 1
+            return pa.table(
+                {
+                    "term": pa.array(list(counts.keys()), pa.string()),
+                    "n_p": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(full_partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("n_p", alias_name="n"))
+            .sort(["n", "term"], descending=[True, False])
+            .limit(_HH_K)
+        )
+    return pa.table(
+        {
+            "term": pa.array([r["term"] for r in rows], pa.string()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver registration
+# ---------------------------------------------------------------------------
+
+_TOK_SQL = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '')) AS term FROM documents"
+)
+
+QUERIES = {
+    "q41_tfidf_top_terms": q41_tfidf_top_terms,
+    "q42_inverted_index": q42_inverted_index,
+    "q43_doc_dev": q43_doc_dev,
+    "sk_heavy_hitters": sk_heavy_hitters,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q41_tfidf_top_terms": f"""
+        WITH tok AS ({_TOK_SQL}),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ),
+        ranked AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term
+                   ) AS rk
+            FROM tf JOIN df USING (term)
+        )
+        SELECT doc_id, term, tf, df FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, term
+    """,
+    "q42_inverted_index": f"""
+        WITH tok AS ({_TOK_SQL}),
+        pairs AS (SELECT DISTINCT doc_id, term FROM tok),
+        df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM pairs GROUP BY term
+        ),
+        top AS (
+            SELECT term, doc_id,
+                   row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+            FROM pairs
+        )
+        SELECT t.term, df.df,
+               string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id)
+                   AS postings
+        FROM top t JOIN df USING (term)
+        WHERE t.rk <= {_POSTINGS_K}
+        GROUP BY t.term, df.df
+        ORDER BY t.term
+    """,
+    "q43_doc_dev": """
+        SELECT doc_id, lang,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_docs,
+               CAST(n_chars * COUNT(*) OVER (PARTITION BY lang)
+                    - SUM(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS dev
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "sk_heavy_hitters": f"""
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+            FROM documents)
+        GROUP BY term ORDER BY n DESC, term LIMIT {_HH_K}
+    """,
+}

@@ -45,6 +45,10 @@ FAST_QUERIES = [
     "q38_stratified_sample",
     "q39_watermark_window",
     "q40_orders_no_returns",
+    "q41_tfidf_top_terms",
+    "q42_inverted_index",
+    "q43_doc_dev",
+    "sk_heavy_hitters",
     "mm_decode_meta",
     "mm_sniff_meta",
 ]

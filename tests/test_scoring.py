@@ -1,0 +1,135 @@
+"""Unit tests for the corpus scoring/indexing operators (pipelines/scoring.py):
+Misra-Gries sketch algebra, bounded-postings combiner, certificate fallback,
+integer-exact grouped centering. The end-to-end SQL parity of q41-q43 and
+sk_heavy_hitters is covered by test_oracle_parity.py."""
+
+import collections
+
+import numpy as np
+
+from agenticknowledgegraphconstructionsystem_ray.arrowcmp import to_arrow
+from agenticknowledgegraphconstructionsystem_ray.pipelines import scoring
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestMisraGries:
+    def test_small_stream_exact(self):
+        # below capacity MG is exact counting
+        counters: dict[str, int] = {}
+        stream = ["a", "b", "a", "c", "a", "b"]
+        for t in stream:
+            scoring._mg_add(counters, t)
+        assert counters == {"a": 3, "b": 2, "c": 1}
+
+    def test_undercount_bound(self):
+        # adversarial stream larger than capacity: MG guarantees
+        # count(t) - n/C <= counter(t) <= count(t)
+        rng = np.random.default_rng(7)
+        zipf = rng.zipf(1.3, size=200_000)
+        stream = [f"t{v}" for v in zipf]
+        truth = collections.Counter(stream)
+        counters: dict[str, int] = {}
+        for t in stream:
+            scoring._mg_add(counters, t)
+        err = len(stream) // scoring.MG_CAPACITY
+        assert len(counters) <= scoring.MG_CAPACITY
+        for term, est in counters.items():
+            assert est <= truth[term]
+            assert est >= truth[term] - err
+        # heavy terms must survive
+        for term, n in truth.most_common(20):
+            assert n <= err or term in counters
+
+    def test_capacity_never_exceeded(self):
+        counters: dict[str, int] = {}
+        for i in range(scoring.MG_CAPACITY * 3):
+            scoring._mg_add(counters, f"u{i}")
+            assert len(counters) <= scoring.MG_CAPACITY
+
+
+class TestHeavyHitters:
+    def test_matches_exact_topk(self, ray_session):
+        got = scoring.sk_heavy_hitters(SF)
+        t = to_arrow(got)
+        # independent exact recount
+        import duckdb
+
+        exact = duckdb.sql(
+            scoring.ORACLE_SQL["sk_heavy_hitters"].replace(
+                "documents", f"read_parquet('{SF}/documents.parquet')"
+            )
+        ).arrow()
+        assert t.column("term").to_pylist() == exact.column("term").to_pylist()
+        assert t.column("n").to_pylist() == exact.column("n").to_pylist()
+
+    def test_fallback_on_failed_certificate(self, ray_session, monkeypatch):
+        # force the certificate to fail: zero candidates allowed
+        monkeypatch.setattr(scoring, "_HH_CANDIDATES", 1)
+        got = scoring.sk_heavy_hitters(SF)
+        t = to_arrow(got)
+        # fallback path must still produce the exact top-20
+        import duckdb
+
+        exact = duckdb.sql(
+            scoring.ORACLE_SQL["sk_heavy_hitters"].replace(
+                "documents", f"read_parquet('{SF}/documents.parquet')"
+            )
+        ).arrow()
+        assert t.column("term").to_pylist() == exact.column("term").to_pylist()
+
+
+class TestInvertedIndex:
+    def test_postings_bounded_and_sorted(self, ray_session):
+        t = scoring.q42_inverted_index(SF).take_all()
+        assert len(t) > 0
+        for r in t:
+            ids = [int(x) for x in r["postings"].split(",")]
+            assert ids == sorted(ids)
+            assert len(ids) <= scoring._POSTINGS_K
+            assert len(ids) == min(r["df"], scoring._POSTINGS_K)
+
+    def test_block_mink_is_global_mink(self):
+        # the combiner's per-block min-k union reproduces the global min-k
+        all_ids = list(range(100))
+        rng = np.random.default_rng(3)
+        rng.shuffle(all_ids)
+        blocks = [all_ids[i::7] for i in range(7)]
+        k = scoring._POSTINGS_K
+        partial = [sorted(b)[:k] for b in blocks]
+        merged = sorted({x for p in partial for x in p})[:k]
+        assert merged == sorted(all_ids)[:k]
+
+
+class TestDocDev:
+    def test_dev_sums_to_zero_per_lang(self, ray_session):
+        t = scoring.q43_doc_dev(SF).to_pandas()
+        for _, g in t.groupby("lang"):
+            assert int(g["dev"].sum()) == 0
+
+    def test_integer_identity(self, ray_session):
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        ).to_pandas()
+        t = scoring.q43_doc_dev(SF).to_pandas().set_index("doc_id")
+        stats = docs.groupby("lang")["n_chars"].agg(["count", "sum"])
+        for _, row in docs.sample(50, random_state=0).iterrows():
+            n, s = stats.loc[row["lang"]]
+            assert (
+                t.loc[row["doc_id"], "dev"]
+                == row["n_chars"] * int(n) - int(s)
+            )
+
+
+class TestTfidf:
+    def test_topk_shape_and_df_consistency(self, ray_session):
+        t = scoring.q41_tfidf_top_terms(SF).to_pandas()
+        # at most 3 rows per doc
+        assert t.groupby("doc_id").size().max() <= 3
+        # df must be consistent per term across documents
+        df_per_term = t.groupby("term")["df"].nunique()
+        assert (df_per_term == 1).all()
+        # tf >= 1, df >= 1
+        assert (t["tf"] >= 1).all() and (t["df"] >= 1).all()
