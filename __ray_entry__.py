@@ -27,6 +27,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
+        graphalgo,
         kgqueries,
         scoring,
         temporal,
@@ -50,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_concept_summary": kgqueries.kg_concept_summary,
             "kg_docs_triples": kgqueries.kg_docs_triples,
             "kg_validation_issues": kgqueries.kg_validation_issues,
+            "kg_pagerank": graphalgo.kg_pagerank,
+            "kg_degree_stats": graphalgo.kg_degree_stats,
         }
     )
     return q

@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "5"  # v5: + simhash keep golden (dd_keep_simhash)
+GOLDEN_VERSION = "6"  # v6: + fixed-point PageRank golden (kg_pagerank)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -511,6 +511,49 @@ def _seq_pairs_keep(sf_dir: str, pairs: pa.Table) -> pa.Table:
     )
 
 
+def _seq_pagerank(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
+    """Sequential fixed-point PageRank golden — same integer semantics as
+    :func:`..pipelines.graphalgo.pagerank` (distinct linked (subj, obj)
+    pairs, damping 85/100 by floor division, dangling mass dropped, fixed
+    iteration count), plain dict orchestration."""
+    from .pipelines.graphalgo import (
+        PR_BASE,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        PR_TOP,
+    )
+
+    node_ids = nodes_t["entity_id"].to_pylist()
+    pairs = {
+        (s, o)
+        for s, o in zip(
+            edges_t["subj_id"].to_pylist(), edges_t["obj_id"].to_pylist()
+        )
+        if s >= 0 and o >= 0
+    }
+    succ: dict[int, list[int]] = {}
+    for s, o in pairs:
+        succ.setdefault(s, []).append(o)
+
+    rank = {v: PR_SCALE for v in node_ids}
+    for _ in range(PR_ITERS):
+        nxt = {v: PR_BASE for v in node_ids}
+        for s, outs in succ.items():
+            share = (rank[s] * PR_DAMP_NUM // PR_DAMP_DEN) // len(outs)
+            for o in outs:
+                nxt[o] += share
+        rank = nxt
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:PR_TOP]
+    return pa.table(
+        {
+            "entity_id": pa.array([k for k, _ in top], pa.int64()),
+            "rank_fp": pa.array([v for _, v in top], pa.int64()),
+        }
+    )
+
+
 def _seq_hll_users(sf_dir: str) -> pa.Table:
     """Sequential HLL golden: per-event_type approximate distinct users —
     same register kernel (functions/hll.py), one driver-side pass with plain
@@ -571,6 +614,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     pages_dir = synth.ensure_pages(sf, seed=seed)
     alias = synth.alias_dict()
     tables = _compute_kg_golden(pages_dir, alias)
+    tables["pagerank"] = _seq_pagerank(tables["nodes"], tables["edges"])
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
@@ -692,6 +736,30 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "kg_docs_triples": f"""
             SELECT url, n_mentions, n_triples FROM {_g('docs_triples')}
+        """,
+        "kg_pagerank": f"""
+            SELECT entity_id, rank_fp FROM {_g('pagerank')}
+        """,
+        "kg_degree_stats": f"""
+            WITH pairs AS (
+                SELECT DISTINCT subj_id, obj_id FROM {_g('edges')}
+                WHERE subj_id >= 0 AND obj_id >= 0
+            ),
+            outd AS (
+                SELECT subj_id AS entity_id, CAST(COUNT(*) AS BIGINT) AS out_deg
+                FROM pairs GROUP BY subj_id
+            ),
+            ind AS (
+                SELECT obj_id AS entity_id, CAST(COUNT(*) AS BIGINT) AS in_deg
+                FROM pairs GROUP BY obj_id
+            )
+            SELECT COALESCE(outd.entity_id, ind.entity_id) AS entity_id,
+                   CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+                   CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+                   CAST(COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS BIGINT)
+                       AS total_deg
+            FROM outd FULL OUTER JOIN ind USING (entity_id)
+            ORDER BY total_deg DESC, entity_id LIMIT 20
         """,
         "dd_minhash_pairs": f"""
             SELECT doc_a, doc_b, jaccard_ppm FROM {_g('dd_minhash')}
