@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "6"  # v6: + fixed-point PageRank golden (kg_pagerank)
+GOLDEN_VERSION = "7"  # v7: + real-codec media goldens (mm_decode/mm_resize)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -554,6 +554,77 @@ def _seq_pagerank(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
     )
 
 
+def _doc_ids(sf_dir: str) -> list[int]:
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return t["doc_id"].to_pylist()
+
+
+def _seq_media_decode(sf_dir: str) -> pa.Table:
+    """Sequential golden for mm_decode_pixels: features computed DIRECTLY
+    from the synthesis formula (stages/multimodal.synth_pixels/samples) —
+    the pipeline path additionally round-trips through the real PNG/BMP/WAV
+    codecs, so parity proves encode/decode inversion, not just plumbing."""
+    import numpy as np
+
+    from .stages.multimodal import synth_pixels, synth_samples
+
+    rows = []
+    for doc_id in _doc_ids(sf_dir):
+        k = doc_id % 3
+        if k in (0, 1):
+            arr = synth_pixels(doc_id).astype(np.int64)
+            fmt = "PNG" if k == 0 else "BMP"
+            w, h = arr.shape[1], arr.shape[0]
+        else:
+            rate, samples = synth_samples(doc_id)
+            arr = samples.astype(np.int64)
+            fmt, w, h = "WAV", rate, samples.shape[1]
+        rows.append(
+            (doc_id, fmt, w, h, int(arr.size), int(arr.sum()),
+             int(arr.min()), int(arr.max()))
+        )
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.int64()),
+            "format": pa.array(cols[1], pa.string()),
+            "width": pa.array(cols[2], pa.int64()),
+            "height": pa.array(cols[3], pa.int64()),
+            "n_values": pa.array(cols[4], pa.int64()),
+            "sum_values": pa.array(cols[5], pa.int64()),
+            "min_value": pa.array(cols[6], pa.int64()),
+            "max_value": pa.array(cols[7], pa.int64()),
+        }
+    )
+
+
+def _seq_media_resize(sf_dir: str) -> pa.Table:
+    """Sequential golden for mm_resize_stats: exact 2x2 integer box
+    downsample straight from the formula pixels."""
+    import numpy as np
+
+    from .stages.multimodal import synth_pixels
+
+    rows = []
+    for doc_id in _doc_ids(sf_dir):
+        if doc_id % 3 == 2:
+            continue
+        arr = synth_pixels(doc_id)
+        h2, w2 = arr.shape[0] // 2, arr.shape[1] // 2
+        a = arr[: h2 * 2, : w2 * 2].astype(np.int64)
+        small = a.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
+        rows.append((doc_id, w2, h2, int(small.sum())))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.int64()),
+            "resized_w": pa.array(cols[1], pa.int64()),
+            "resized_h": pa.array(cols[2], pa.int64()),
+            "sum_resized": pa.array(cols[3], pa.int64()),
+        }
+    )
+
+
 def _seq_hll_users(sf_dir: str) -> pa.Table:
     """Sequential HLL golden: per-event_type approximate distinct users —
     same register kernel (functions/hll.py), one driver-side pass with plain
@@ -625,6 +696,8 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["ivf_topk"] = _seq_ivf_topk(sf_dir)
         tables["hll_users"] = _seq_hll_users(sf_dir)
         tables["hll_terms"] = _seq_hll_terms(sf_dir)
+        tables["mm_decode"] = _seq_media_decode(sf_dir)
+        tables["mm_resize"] = _seq_media_resize(sf_dir)
 
     import shutil
 
@@ -784,6 +857,15 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "sk_hll_terms": f"""
             SELECT n_terms_est FROM {_g('hll_terms')}
+        """,
+        "mm_decode_pixels": f"""
+            SELECT media_id, format, width, height, n_values, sum_values,
+                   min_value, max_value
+            FROM {_g('mm_decode')}
+        """,
+        "mm_resize_stats": f"""
+            SELECT media_id, resized_w, resized_h, sum_resized
+            FROM {_g('mm_resize')}
         """,
         # pure SQL (no golden needed): the deterministic fake video payload is
         # text-derived, so the frame-sample count is arithmetic on byte length

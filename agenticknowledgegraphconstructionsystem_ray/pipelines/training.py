@@ -351,6 +351,19 @@ def mm_sniff_meta(sf_dir: str):
     return multimodal.sniff_meta(sf_dir)
 
 
+def mm_decode_pixels(sf_dir: str):
+    """REAL pixel/sample decode: formula corpus encoded into valid PNG (all
+    five scanline filters) / 24-bit BMP / PCM16 WAV files, decoded back by
+    the actual codecs (functions/mediadecode.py) in an actor pool; golden
+    oracle computes features formula-direct, so parity proves the codecs."""
+    return multimodal.decode_pixels(sf_dir)
+
+
+def mm_resize_stats(sf_dir: str):
+    """REAL decode + exact integer 2x2 box downsample over the image subset."""
+    return multimodal.resize_stats(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # rows-only (hash/approximate) operators
 # ---------------------------------------------------------------------------
@@ -587,6 +600,8 @@ QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_sampled_frames": mm_sampled_frames,
     "mm_sniff_meta": mm_sniff_meta,
+    "mm_decode_pixels": mm_decode_pixels,
+    "mm_resize_stats": mm_resize_stats,
     "dd_minhash_pairs": dd_minhash_pairs,
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_minhash_keep": dd_minhash_keep,

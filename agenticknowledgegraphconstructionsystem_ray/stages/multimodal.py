@@ -5,10 +5,12 @@ Two layers:
   BMP / JPEG / WAV header sniffers (marker-segment walk for JPEG, chunk walk
   for WAV) — the production path for extracting media metadata without
   decoding, exercised end-to-end by ``sniff_meta``/``mm_sniff_meta``.
-- The container has no image/audio libraries, so PIXEL/SAMPLE DECODE is
-  stubbed (the real-decoder path raises ``NotImplementedError``) while the
-  Ray-side plumbing — binary Arrow schema, actor-pool stage, batch sizing,
-  output layout — is real and tested.
+- REAL pixel/sample decode (``functions/mediadecode.py``): actual PNG
+  (zlib inflate + all-five-filter unfiltering, CRC-checked), 24-bit BMP and
+  PCM16 WAV codecs — stdlib + numpy, no image/audio libraries needed.
+  ``DecodePixels``/``ResizePixels`` run them in actor pools and are
+  driver-verified against formula-direct golden oracles. Only JPEG/GIF
+  pixel decode remains stubbed (entropy coding needs a codec library).
 
 Payload format (deterministic fake, built from the documents table so a SQL
 oracle can validate the plumbing end-to-end):
@@ -67,8 +69,10 @@ class DecodeMedia:
     def __init__(self, real_decode: bool = False) -> None:
         if real_decode:
             raise NotImplementedError(
-                "real image/audio decode requires PIL/torchaudio, absent in "
-                "this container; stub header decode is active instead"
+                "this stage handles the IMG1/AUD1/VID1 fake-header corpus; "
+                "REAL PNG/BMP/WAV pixel decode lives in DecodePixels "
+                "(functions/mediadecode.py); JPEG/GIF pixel decode would "
+                "need a codec library absent from this container"
             )
         self.real = False
 
@@ -226,6 +230,180 @@ def decode_meta(sf_dir: str):
     documents.n_chars."""
     return media_dataset(sf_dir).map_batches(
         DecodeMedia, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel/sample decode (round 2): PNG / BMP / WAV codecs from
+# functions/mediadecode.py. The corpus is synthesized from a pure arithmetic
+# formula (below); the pipeline path goes formula -> ENCODE -> Ray ->
+# DECODE -> features, while the golden oracle computes features straight
+# from the formula — so driver parity proves real codec inversion.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def synth_pixels(doc_id: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 image for a doc_id — pure arithmetic,
+    vectorized, no RNG (resume/golden safety)."""
+    h = 16 + doc_id % 33
+    w = 16 + doc_id % 49
+    y = np.arange(h, dtype=np.int64)[:, None, None] * 3
+    x = np.arange(w, dtype=np.int64)[None, :, None] * 7
+    c = np.arange(3, dtype=np.int64)[None, None, :] * 11
+    return ((doc_id + y + x + c) % 256).astype(np.uint8)
+
+
+def synth_samples(doc_id: int) -> tuple[int, np.ndarray]:
+    """Deterministic (rate, (n_frames, channels) int16) audio for a doc_id."""
+    channels = 1 + doc_id % 2
+    n = 256 + doc_id % 512
+    i = np.arange(n, dtype=np.int64)[:, None] * 17
+    ch = np.arange(channels, dtype=np.int64)[None, :] * 29
+    samples = (((doc_id * 13 + i + ch) % 65536) - 32768).astype(np.int16)
+    return 8000 + (doc_id % 8) * 1000, samples
+
+
+def build_decodable_media_batch(t: pa.Table) -> pa.Table:
+    """documents -> real ENCODED media files: doc_id % 3 selects PNG / BMP /
+    WAV; the payload is a fully valid file of that format holding the
+    formula-synthesized pixels/samples."""
+    from ..functions import mediadecode as md
+
+    ids = t["doc_id"].to_pylist()
+    payloads = []
+    for doc_id in ids:
+        k = doc_id % 3
+        if k == 0:
+            payloads.append(md.encode_png(synth_pixels(doc_id)))
+        elif k == 1:
+            payloads.append(md.encode_bmp(synth_pixels(doc_id)))
+        else:
+            rate, samples = synth_samples(doc_id)
+            payloads.append(md.encode_wav(rate, samples))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class DecodePixels:
+    """Actor-pool REAL decode stage: sniff the container, run the actual
+    codec (PNG unfilter+inflate / BMP / WAV PCM), emit integer-exact
+    features. For images width/height are pixel dims; for WAV width=sample
+    rate, height=channels (the mediasniff convention). All features are
+    int64 so driver value-hashes are dtype-stable."""
+
+    def __init__(self) -> None:
+        from ..functions import mediadecode as md
+
+        self.md = md
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        md = self.md
+        ids, fmts = [], []
+        widths, heights, n_values, sums, mins, maxs = [], [], [], [], [], []
+        for media_id, payload in zip(
+            t["media_id"].to_pylist(), t["payload"].to_pylist()
+        ):
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                arr = md.decode_png(payload).astype(np.int64)
+                fmt, w, h = "PNG", arr.shape[1], arr.shape[0]
+            elif payload[:2] == b"BM":
+                arr = md.decode_bmp(payload).astype(np.int64)
+                fmt, w, h = "BMP", arr.shape[1], arr.shape[0]
+            elif payload[:4] == b"RIFF":
+                rate, samples = md.decode_wav(payload)
+                arr = samples.astype(np.int64)
+                fmt, w, h = "WAV", rate, samples.shape[1]
+            else:
+                raise ValueError("unknown media container")
+            ids.append(media_id)
+            fmts.append(fmt)
+            widths.append(w)
+            heights.append(h)
+            n_values.append(int(arr.size))
+            sums.append(int(arr.sum()))
+            mins.append(int(arr.min()))
+            maxs.append(int(arr.max()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "format": pa.array(fmts, pa.string()),
+                "width": pa.array(widths, pa.int64()),
+                "height": pa.array(heights, pa.int64()),
+                "n_values": pa.array(n_values, pa.int64()),
+                "sum_values": pa.array(sums, pa.int64()),
+                "min_value": pa.array(mins, pa.int64()),
+                "max_value": pa.array(maxs, pa.int64()),
+            }
+        )
+
+
+class ResizePixels:
+    """Actor-pool resize stage over REAL decoded images: exact 2x2 box
+    downsample in integer arithmetic (sum of each 2x2 block // 4), the
+    thumbnail/training-resize primitive. Odd edges are cropped (standard
+    even-crop box filter). Audio rows are passed over."""
+
+    def __init__(self) -> None:
+        from ..functions import mediadecode as md
+
+        self.md = md
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        md = self.md
+        ids, rws, rhs, sums = [], [], [], []
+        for media_id, payload in zip(
+            t["media_id"].to_pylist(), t["payload"].to_pylist()
+        ):
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                arr = md.decode_png(payload)
+            elif payload[:2] == b"BM":
+                arr = md.decode_bmp(payload)
+            else:
+                continue
+            h2, w2 = arr.shape[0] // 2, arr.shape[1] // 2
+            a = arr[: h2 * 2, : w2 * 2].astype(np.int64)
+            small = a.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
+            ids.append(media_id)
+            rws.append(w2)
+            rhs.append(h2)
+            sums.append(int(small.sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "resized_w": pa.array(rws, pa.int64()),
+                "resized_h": pa.array(rhs, pa.int64()),
+                "sum_resized": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def decodable_media_dataset(sf_dir: str):
+    """documents -> real encoded PNG/BMP/WAV Dataset (binary payloads)."""
+    from ..sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return docs.map_batches(build_decodable_media_batch, batch_format="pyarrow")
+
+
+def decode_pixels(sf_dir: str):
+    """REAL decode end-to-end: encode the formula corpus into valid
+    PNG/BMP/WAV files, decode them back with the actual codecs in an actor
+    pool, emit integer-exact pixel/sample features."""
+    return decodable_media_dataset(sf_dir).map_batches(
+        DecodePixels, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
+def resize_stats(sf_dir: str):
+    """REAL decode + integer 2x2 box downsample over the image subset."""
+    return decodable_media_dataset(sf_dir).map_batches(
+        ResizePixels, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     )
 
 

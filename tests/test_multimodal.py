@@ -145,3 +145,144 @@ def test_sniff_real_world_header_variants():
     # WAV with no data chunk at all: reject (not playable, no body bound)
     wav2 = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + fmt
     assert ms.sniff(wav2) is None
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel/sample codecs (functions/mediadecode.py)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import struct
+import zlib
+
+from agenticknowledgegraphconstructionsystem_ray.functions import mediadecode as md
+
+
+def test_png_roundtrip_all_filters():
+    # >= 5 rows so encode's row%5 cycle exercises every filter type
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (5, 3), (7, 7), (33, 49), (64, 17)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(md.decode_png(md.encode_png(px)), px)
+
+
+def test_png_decode_hand_built_literal():
+    # hand-assembled 2x2 PNG: row 0 filter None, row 1 filter Up —
+    # NOT produced by our encoder, so a compensating encode/decode bug
+    # cannot hide. Expected recon computed by hand.
+    raw0 = bytes([10, 20, 30, 40, 50, 60])
+    up_delta = bytes([1, 2, 3, 4, 5, 6])
+    stream = b"\x00" + raw0 + b"\x02" + up_delta
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(stream)) + chunk(b"IEND", b""))
+    out = md.decode_png(png)
+    assert out.shape == (2, 2, 3)
+    assert out[0].ravel().tolist() == [10, 20, 30, 40, 50, 60]
+    assert out[1].ravel().tolist() == [11, 22, 33, 44, 55, 66]
+
+
+def test_png_decode_sub_filter_literal():
+    # single row, filter Sub: recon is the cumulative sum per channel
+    stream = b"\x01" + bytes([100, 0, 0, 50, 1, 0, 200, 2, 0])
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 2, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(stream)) + chunk(b"IEND", b""))
+    out = md.decode_png(png)
+    # channel 0: 100, 150, 350%256=94; ch1: 0, 1, 3; ch2: 0
+    assert out[0, :, 0].tolist() == [100, 150, 94]
+    assert out[0, :, 1].tolist() == [0, 1, 3]
+    assert out[0, :, 2].tolist() == [0, 0, 0]
+
+
+def test_png_decode_rejects_bad_crc():
+    px = np.zeros((2, 2, 3), np.uint8)
+    b = bytearray(md.encode_png(px))
+    b[-5] ^= 0xFF  # corrupt IEND CRC
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="CRC"):
+        md.decode_png(bytes(b))
+
+
+def test_bmp_roundtrip_and_padding():
+    rng = np.random.default_rng(1)
+    # widths chosen so 3*w % 4 covers all residues (stride padding paths)
+    for w in (1, 2, 3, 4, 5):
+        px = rng.integers(0, 256, (3, w, 3), dtype=np.uint8)
+        b = md.encode_bmp(px)
+        stride = (w * 3 + 3) & ~3
+        assert len(b) == 54 + 3 * stride
+        assert np.array_equal(md.decode_bmp(b), px)
+
+
+def test_bmp_decode_top_down_literal():
+    # hand-built 1x2 top-down (negative height) BMP, BGR order
+    pixel_row = bytes([255, 0, 0, 0, 0, 255]) + b"\x00\x00"  # blue px, red px + pad
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 24, 0, len(pixel_row), 0, 0, 0, 0)
+    b = b"BM" + struct.pack("<IHHI", 54 + len(pixel_row), 0, 0, 54) + info + pixel_row
+    out = md.decode_bmp(b)
+    assert out.shape == (1, 2, 3)
+    assert out[0, 0].tolist() == [0, 0, 255]   # BGR 255,0,0 -> RGB blue
+    assert out[0, 1].tolist() == [255, 0, 0]
+
+
+def test_wav_roundtrip_mono_stereo():
+    for channels in (1, 2):
+        s = (np.arange(400, dtype=np.int64).reshape(-1, channels) * 37 % 65536 - 32768).astype(np.int16)
+        rate, out = md.decode_wav(md.encode_wav(22050, s))
+        assert rate == 22050
+        assert np.array_equal(out, s)
+
+
+def test_wav_decode_literal_with_list_chunk():
+    samples = struct.pack("<4h", -1, 2, -3, 4)
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    b = (b"RIFF" + struct.pack("<I", 1000) + b"WAVE" + lst + fmt
+         + b"data" + struct.pack("<I", len(samples)) + samples)
+    rate, out = md.decode_wav(b)
+    assert rate == 8000 and out.shape == (2, 2)
+    assert out.ravel().tolist() == [-1, 2, -3, 4]
+
+
+def test_decode_pixels_pipeline_matches_formula(ray_session):
+    out = multimodal.decode_pixels(SF).to_pandas().set_index("media_id")
+    assert len(out) == 500
+    for doc_id in (0, 1, 2, 30, 31, 32):
+        r = out.loc[doc_id]
+        k = doc_id % 3
+        if k in (0, 1):
+            arr = multimodal.synth_pixels(doc_id).astype(np.int64)
+            assert r["format"] == ("PNG" if k == 0 else "BMP")
+            assert (r["width"], r["height"]) == (arr.shape[1], arr.shape[0])
+        else:
+            rate, s = multimodal.synth_samples(doc_id)
+            arr = s.astype(np.int64)
+            assert r["format"] == "WAV"
+            assert (r["width"], r["height"]) == (rate, s.shape[1])
+        assert r["n_values"] == arr.size
+        assert r["sum_values"] == arr.sum()
+        assert r["min_value"] == arr.min()
+        assert r["max_value"] == arr.max()
+
+
+def test_resize_stats_pipeline(ray_session):
+    out = multimodal.resize_stats(SF).to_pandas().set_index("media_id")
+    # only image docs (doc_id % 3 != 2)
+    assert set(out.index) == {i for i in range(500) if i % 3 != 2}
+    for doc_id in (0, 1, 3, 4):
+        arr = multimodal.synth_pixels(doc_id)
+        h2, w2 = arr.shape[0] // 2, arr.shape[1] // 2
+        a = arr[: h2 * 2, : w2 * 2].astype(np.int64)
+        small = a.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
+        r = out.loc[doc_id]
+        assert (r["resized_w"], r["resized_h"]) == (w2, h2)
+        assert r["sum_resized"] == small.sum()
