@@ -27,6 +27,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
+        assembly,
         graphalgo,
         kgqueries,
         scoring,
@@ -38,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(training.QUERIES)
     q.update(temporal.QUERIES)
     q.update(scoring.QUERIES)
+    q.update(assembly.QUERIES)
     q.update(
         {
             "kg_edges": kgqueries.kg_edges,
@@ -69,6 +71,7 @@ def oracle_sql() -> dict[str, str]:
     from agenticknowledgegraphconstructionsystem_ray import goldens
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
+        assembly,
         scoring,
         temporal,
         training,
@@ -80,5 +83,6 @@ def oracle_sql() -> dict[str, str]:
         **training.ORACLE_SQL,
         **temporal.ORACLE_SQL,
         **scoring.ORACLE_SQL,
+        **assembly.ORACLE_SQL,
         **goldens.kg_oracle_sql(),
     }

@@ -1,0 +1,544 @@
+"""Training-data assembly operators: the last mile between a cleaned corpus
+and an LLM training run.
+
+The reference stops at a validated knowledge graph; a web-scale training
+pipeline additionally has to turn the surviving documents into model-ready
+shards. This module adds that family, each op SQL-oracle-exact:
+
+- dd_decontaminate   benchmark decontamination: flag every training document
+                     sharing any 8-token n-gram with the (small) eval set —
+                     the standard guard against test-set leakage. Eval grams
+                     are broadcast ONCE (``ray.put``, fetched per actor),
+                     never shipped per batch; the corpus side streams.
+- q44 shard assignment  deterministic global shuffle: md5-keyed total order
+                     -> global position via per-block offsets (one integer
+                     per block to the driver) -> position within shard by
+                     subtracting broadcast shard starts. No RNG state, no
+                     partition-count dependence; re-runs bit-identical.
+- q45 pack offsets   concat-and-chunk sequence packing (the GPT-style
+                     pretraining layout): documents concatenated in doc_id
+                     order, chunked into fixed SEQLEN-token sequences; emits
+                     each document's global token offset and the sequence
+                     range it lands in. The global running sum is a
+                     distributed prefix scan: per-block partial sums ->
+                     driver exclusive prefix (one int per block) ->
+                     per-block cumsum + offset.
+- q46 pack sequences per-sequence rollup of q45: how many documents touch
+                     each sequence and how many tokens each holds (the last
+                     sequence may be partial) — the shard-manifest view a
+                     data loader reads.
+- q47 quality classifier  linear-model inference shape: an integer weight
+                     vector broadcast to every worker, a per-document
+                     feature matrix built vectorized per batch, one integer
+                     matmul -> score + keep label. Integer weights keep the
+                     scores bit-exact across engines (NOTES.md invariant 2).
+
+Tokenization matches ``scoring._TOKEN_RE`` ([a-z0-9]+ over lower(text)) on
+both the Ray and DuckDB sides.
+
+Scale notes (100 TB): the eval-gram set is benchmark-sized (MBs) and
+broadcast; shard assignment and packing each use ONE corpus sort (the same
+dense-rank machinery as ``openvocab``'s id assignment) plus O(blocks)
+driver integers; nothing corpus-sized reaches the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..sources.tables import read_table
+from .scoring import _TOKEN_RE
+
+# ---------------------------------------------------------------------------
+# dd_decontaminate: 8-gram overlap vs a small eval set
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 8
+EVAL_MOD = 97  # doc_id % 97 == 0 -> "benchmark" membership (~1% of docs)
+
+
+def _doc_grams(text: str) -> list[str]:
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < NGRAM_N:
+        return []
+    return [
+        " ".join(toks[i : i + NGRAM_N]) for i in range(len(toks) - NGRAM_N + 1)
+    ]
+
+
+def eval_gram_set(sf_dir: str) -> frozenset[str]:
+    """Distinct 8-grams of the eval subset. The eval side of decontamination
+    is benchmark-sized by nature (a few MB of text against a 100 TB corpus),
+    so reducing its distinct grams to the driver — via a Ray aggregation,
+    not a corpus materialization — is the broadcast-small-side pattern."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if doc_id % EVAL_MOD == 0:
+                out.update(_doc_grams(text))
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    uniq = docs.map_batches(grams, batch_format="pyarrow").unique("gram")
+    return frozenset(uniq)
+
+
+class _CountHits:
+    """Actor-pool stage: per document, count token positions whose 8-gram is
+    in the broadcast eval set. The object-store ref is fetched ONCE per
+    actor (``__init__``), not per batch."""
+
+    def __init__(self, ref: "ray.ObjectRef") -> None:
+        self.grams: frozenset[str] = ray.get(ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        g = self.grams
+        ids = t["doc_id"].to_pylist()
+        hits = [
+            sum(1 for gr in _doc_grams(text) if gr in g)
+            for text in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "is_eval": pa.array(
+                    [int(i % EVAL_MOD == 0) for i in ids], pa.int64()
+                ),
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(
+                    [int(h > 0) for h in hits], pa.int64()
+                ),
+            }
+        )
+
+
+def dd_decontaminate(sf_dir: str):
+    """Per-document benchmark-contamination verdict (see module docstring)."""
+    ref = ray.put(eval_gram_set(sf_dir))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        _CountHits,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# shared machinery: global positions after a sort (one int per block)
+# ---------------------------------------------------------------------------
+
+def _with_global_positions(sorted_ds, col_name: str):
+    """Append ``col_name`` = 0-based global row position to an already-sorted
+    (hence block-ordered) materialized Dataset. Driver traffic is one integer
+    per block — the openvocab dense-rank pattern (openvocab.py:126-153)."""
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _with_pos(t: pa.Table, offset: int, schema: pa.Schema) -> pa.Table:
+        if not t.num_rows:
+            return schema.empty_table()
+        return t.append_column(
+            col_name,
+            pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64)),
+        )
+
+    sizes = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]) if sizes else []
+    schema = sorted_ds.schema().base_schema.append(
+        pa.field(col_name, pa.int64())
+    )
+    return rd.from_arrow_refs(
+        [_with_pos.remote(r, int(off), schema) for r, off in zip(refs, offsets)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44: deterministic shard assignment (md5-keyed global shuffle)
+# ---------------------------------------------------------------------------
+
+NSHARDS = 8
+
+
+def q44_shard_assignment(sf_dir: str):
+    """(doc_id, shard, pos): shard from the md5 key's first hex char, pos =
+    rank within the shard under (md5 hex, doc_id) order. One corpus sort;
+    shard start offsets (NSHARDS integers) are computed from per-shard
+    counts and subtracted vectorized."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hexes = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shard": pa.array(
+                    [ord(h[0]) % NSHARDS for h in hexes], pa.int64()
+                ),
+                "h": pa.array(hexes, pa.string()),
+            }
+        )
+
+    keyed = docs.map_batches(key, batch_format="pyarrow")
+    ordered = keyed.sort(["shard", "h", "doc_id"]).materialize()
+    pos = _with_global_positions(ordered, "gpos")
+
+    # shard start = exclusive prefix over per-shard counts (NSHARDS ints)
+    counts = {
+        r["shard"]: r["count()"]
+        for r in ordered.groupby("shard").count().take_all()
+    }
+    starts = np.zeros(NSHARDS, dtype=np.int64)
+    acc = 0
+    for s in range(NSHARDS):
+        starts[s] = acc
+        acc += counts.get(s, 0)
+
+    def localize(t: pa.Table) -> pa.Table:
+        st = starts  # NSHARDS ints — ships in the task closure, no broadcast
+        shard = t["shard"].combine_chunks().to_numpy(zero_copy_only=False)
+        gpos = t["gpos"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shard": t["shard"],
+                "pos": pa.array(gpos - st[shard], pa.int64()),
+            }
+        )
+
+    return pos.map_batches(localize, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q45/q46: concat-and-chunk sequence packing
+# ---------------------------------------------------------------------------
+
+SEQLEN = 256
+
+
+def _token_counts(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(
+                    [
+                        len(_TOKEN_RE.findall(x.lower()))
+                        for x in t["text"].to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(count, batch_format="pyarrow")
+
+
+def _pack_table(sf_dir: str):
+    """Per-doc packing offsets as a block-ordered Dataset (distributed
+    prefix scan: per-block sums -> driver exclusive prefix -> block-local
+    cumsum + offset)."""
+    ordered = _token_counts(sf_dir).sort("doc_id").materialize()
+    refs = ordered.to_arrow_refs()
+
+    @ray.remote
+    def _blocksum(t: pa.Table) -> int:
+        # empty sort partitions can lose their schema entirely
+        if not t.num_rows or "n_tokens" not in t.column_names:
+            return 0
+        return int(pa.compute.sum(t["n_tokens"]).as_py() or 0)
+
+    @ray.remote
+    def _offsets(t: pa.Table, base: int) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("tok_start", pa.int64()),
+                    ("seq_first", pa.int64()),
+                    ("seq_last", pa.int64()),
+                ]
+            ).empty_table()
+        n = t["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        start = base + np.cumsum(n) - n
+        first = start // SEQLEN
+        last = np.where(n > 0, (start + n - 1) // SEQLEN, first)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "tok_start": pa.array(start, pa.int64()),
+                "seq_first": pa.array(first, pa.int64()),
+                "seq_last": pa.array(last, pa.int64()),
+            }
+        )
+
+    sums = ray.get([_blocksum.remote(r) for r in refs])
+    bases = np.concatenate([[0], np.cumsum(sums)[:-1]]) if sums else []
+    return rd.from_arrow_refs(
+        [_offsets.remote(r, int(b)) for r, b in zip(refs, bases)]
+    )
+
+
+def q45_pack_offsets(sf_dir: str):
+    """Each document's global token offset and sequence span under
+    concat-and-chunk packing at SEQLEN tokens."""
+    return _pack_table(sf_dir).sort("doc_id")
+
+
+def q46_pack_sequences(sf_dir: str):
+    """Sequence manifest: for every SEQLEN-token training sequence, the
+    number of documents that contribute to it and its token fill (the final
+    sequence may be partial). Expansion is bounded: a document spans
+    ceil(n_tokens/SEQLEN)+1 sequences, so np.repeat per batch stays small;
+    the rollup is a pre-combined groupby on seq_id."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        start = t["tok_start"].combine_chunks().to_numpy(zero_copy_only=False)
+        first = t["seq_first"].combine_chunks().to_numpy(zero_copy_only=False)
+        last = t["seq_last"].combine_chunks().to_numpy(zero_copy_only=False)
+        mask = n > 0
+        n, start, first, last = n[mask], start[mask], first[mask], last[mask]
+        spans = (last - first + 1).astype(np.int64)
+        if not len(spans):
+            return pa.table(
+                {
+                    "seq_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        seq = np.repeat(first, spans) + _ranges(spans)
+        end = start + n  # exclusive
+        tok_in_seq = np.minimum(np.repeat(end, spans), (seq + 1) * SEQLEN) - \
+            np.maximum(np.repeat(start, spans), seq * SEQLEN)
+        ones = np.ones(len(seq), dtype=np.int64)
+        return pa.table(
+            {
+                "seq_id": pa.array(seq, pa.int64()),
+                "n_docs": pa.array(ones, pa.int64()),
+                "n_tokens": pa.array(tok_in_seq, pa.int64()),
+            }
+        )
+
+    return (
+        _pack_table(sf_dir)
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby("seq_id")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .sort("seq_id")
+    )
+
+
+def _ranges(spans: np.ndarray) -> np.ndarray:
+    """[0..s0), [0..s1), ... concatenated — vectorized per-row arange."""
+    total = int(spans.sum())
+    idx = np.arange(total, dtype=np.int64)
+    row_start = np.repeat(np.cumsum(spans) - spans, spans)
+    return idx - row_start
+
+
+# ---------------------------------------------------------------------------
+# q47: linear-model quality classifier (broadcast integer weights)
+# ---------------------------------------------------------------------------
+
+# weights over (n_tokens, n_uniq_terms, n_chars, n_long_tokens); integer so
+# the score is bit-exact across engines (NOTES.md invariant 2)
+QUALITY_W = np.array([5, 3, 1, -4], dtype=np.int64)
+QUALITY_THRESHOLD = 600
+
+
+class _ScoreDocs:
+    """Actor-pool inference stage: weights fetched once per actor, features
+    built per batch, one integer matmul."""
+
+    def __init__(self, w_ref: "ray.ObjectRef") -> None:
+        self.w: np.ndarray = ray.get(w_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        toks = [_TOKEN_RE.findall(x.lower()) for x in texts]
+        feats = np.array(
+            [
+                (
+                    len(ts),
+                    len(set(ts)),
+                    len(x),
+                    sum(1 for w in ts if len(w) >= 6),
+                )
+                for ts, x in zip(toks, texts)
+            ],
+            dtype=np.int64,
+        ).reshape(len(texts), 4)
+        score = feats @ self.w
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "score": pa.array(score, pa.int64()),
+                "keep": pa.array(
+                    (score >= QUALITY_THRESHOLD).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
+def q47_quality_classifier(sf_dir: str):
+    """Integer linear-model quality score + keep verdict per document."""
+    w_ref = ray.put(QUALITY_W)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        _ScoreDocs,
+        fn_constructor_kwargs={"w_ref": w_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# driver registration
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "dd_decontaminate": dd_decontaminate,
+    "q44_shard_assignment": q44_shard_assignment,
+    "q45_pack_offsets": q45_pack_offsets,
+    "q46_pack_sequences": q46_pack_sequences,
+    "q47_quality_classifier": q47_quality_classifier,
+}
+
+_TOKS_SQL = (
+    "SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '') AS ts FROM documents"
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "dd_decontaminate": f"""
+        WITH toks AS ({_TOKS_SQL}),
+        grams AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(ts, i, i + {NGRAM_N} - 1), ' ')
+                       AS gram
+            FROM (
+                SELECT doc_id, ts,
+                       unnest(range(1, len(ts) - {NGRAM_N} + 2)) AS i
+                FROM toks WHERE len(ts) >= {NGRAM_N}
+            )
+        ),
+        eval_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        hits AS (
+            SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM grams g JOIN eval_grams e USING (gram)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(d.doc_id % {EVAL_MOD} = 0 AS BIGINT) AS is_eval,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    "q44_shard_assignment": f"""
+        WITH keyed AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                        % {NSHARDS} AS BIGINT) AS shard
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT)
+                   AS pos
+        FROM keyed ORDER BY doc_id
+    """,
+    "q45_pack_offsets": f"""
+        WITH nt AS (
+            SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(
+                lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT)
+                AS n_tokens
+            FROM documents
+        ),
+        off AS (
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS BIGINT) AS tok_start
+            FROM nt
+        )
+        SELECT doc_id, n_tokens, tok_start,
+               CAST(tok_start // {SEQLEN} AS BIGINT) AS seq_first,
+               CAST(CASE WHEN n_tokens = 0 THEN tok_start // {SEQLEN}
+                    ELSE (tok_start + n_tokens - 1) // {SEQLEN} END
+                    AS BIGINT) AS seq_last
+        FROM off ORDER BY doc_id
+    """,
+    "q46_pack_sequences": f"""
+        WITH nt AS (
+            SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(
+                lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT)
+                AS n_tokens
+            FROM documents
+        ),
+        off AS (
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS BIGINT) AS tok_start
+            FROM nt WHERE n_tokens > 0
+        ),
+        spans AS (
+            SELECT doc_id, n_tokens, tok_start,
+                   unnest(range(tok_start // {SEQLEN},
+                                (tok_start + n_tokens - 1) // {SEQLEN} + 1))
+                       AS seq_id
+            FROM off
+        )
+        SELECT seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEAST(tok_start + n_tokens, (seq_id + 1) * {SEQLEN})
+                        - GREATEST(tok_start, seq_id * {SEQLEN}))
+                    AS BIGINT) AS n_tokens
+        FROM spans GROUP BY seq_id ORDER BY seq_id
+    """,
+    "q47_quality_classifier": f"""
+        WITH toks AS ({_TOKS_SQL}),
+        feats AS (
+            SELECT doc_id,
+                   CAST(len(ts) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(ts)) AS BIGINT) AS n_uniq,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(ts, x -> length(x) >= 6))
+                        AS BIGINT) AS n_long
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST({QUALITY_W[0]} * n_tokens + {QUALITY_W[1]} * n_uniq
+                    + {QUALITY_W[2]} * n_chars
+                    + {QUALITY_W[3]} * n_long AS BIGINT) AS score,
+               CAST(({QUALITY_W[0]} * n_tokens + {QUALITY_W[1]} * n_uniq
+                     + {QUALITY_W[2]} * n_chars + {QUALITY_W[3]} * n_long)
+                    >= {QUALITY_THRESHOLD} AS BIGINT) AS keep
+        FROM feats ORDER BY doc_id
+    """,
+}

@@ -51,6 +51,11 @@ FAST_QUERIES = [
     "sk_heavy_hitters",
     "mm_decode_meta",
     "mm_sniff_meta",
+    "dd_decontaminate",
+    "q44_shard_assignment",
+    "q45_pack_offsets",
+    "q46_pack_sequences",
+    "q47_quality_classifier",
 ]
 
 
