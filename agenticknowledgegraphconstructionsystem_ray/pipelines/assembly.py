@@ -415,6 +415,42 @@ def q47_quality_classifier(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# q48: repetition score (duplicated-bigram fraction, Gopher-style)
+# ---------------------------------------------------------------------------
+
+REP_SCALE = 1000  # permille, integer-exact
+
+
+def q48_repetition(sf_dir: str):
+    """Within-document repetition signal: the fraction of token bigrams that
+    are duplicates of an earlier bigram in the same document (Rae et al. 2021
+    'Gopher' repetition filters, the bigram instance). Pure per-batch map —
+    no shuffle at all — emitted integer-exact as permille."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        n_bi, n_dup, permille = [], [], []
+        for text in t["text"].to_pylist():
+            toks = _TOKEN_RE.findall(text.lower())
+            bigrams = list(zip(toks, toks[1:]))
+            nb = len(bigrams)
+            nd = nb - len(set(bigrams))
+            n_bi.append(nb)
+            n_dup.append(nd)
+            permille.append((nd * REP_SCALE) // nb if nb else 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(n_bi, pa.int64()),
+                "n_dup_bigrams": pa.array(n_dup, pa.int64()),
+                "rep_permille": pa.array(permille, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(rep, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # driver registration
 # ---------------------------------------------------------------------------
 
@@ -424,6 +460,7 @@ QUERIES = {
     "q45_pack_offsets": q45_pack_offsets,
     "q46_pack_sequences": q46_pack_sequences,
     "q47_quality_classifier": q47_quality_classifier,
+    "q48_repetition": q48_repetition,
 }
 
 _TOKS_SQL = (
@@ -520,6 +557,32 @@ ORACLE_SQL: dict[str, str] = {
                         - GREATEST(tok_start, seq_id * {SEQLEN}))
                     AS BIGINT) AS n_tokens
         FROM spans GROUP BY seq_id ORDER BY seq_id
+    """,
+    "q48_repetition": f"""
+        WITH toks AS ({_TOKS_SQL}),
+        bi AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(ts, i, i + 1), ' ') AS bigram
+            FROM (
+                SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+                FROM toks WHERE len(ts) >= 2
+            )
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(COUNT(*) - COUNT(DISTINCT bigram) AS BIGINT)
+                       AS n_dup_bigrams
+            FROM bi GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(a.n_dup_bigrams, 0) AS BIGINT) AS n_dup_bigrams,
+               CAST(CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
+                    ELSE (a.n_dup_bigrams * {REP_SCALE}) // a.n_bigrams END
+                    AS BIGINT) AS rep_permille
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
     """,
     "q47_quality_classifier": f"""
         WITH toks AS ({_TOKS_SQL}),

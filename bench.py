@@ -86,6 +86,7 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
     from agenticknowledgegraphconstructionsystem_ray import synth
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
+        assembly,
         kg,
         kgqueries,
         training,
@@ -130,6 +131,7 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         timed("q22_orders_lineitem_join", training.q22_orders_lineitem_join)
         timed("ann_brute_topk", training.ann_brute_topk)
         timed("dd_minhash_pairs", training.dd_minhash_pairs)
+        timed("dd_decontaminate", assembly.dd_decontaminate)
 
     total = round(sum(queries.values()), 3)
     out = {

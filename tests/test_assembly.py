@@ -135,6 +135,34 @@ class TestShardAssignment:
         assert a.equals(b)
 
 
+class TestRepetition:
+    def test_planted_values(self, ray_session, planted_dir):
+        t = to_arrow(assembly.q48_repetition(planted_dir)).sort_by("doc_id")
+        rows = {r["doc_id"]: r for r in t.to_pylist()}
+        # doc 0: 9 distinct bigrams, none repeated
+        assert rows[0]["n_bigrams"] == 9 and rows[0]["n_dup_bigrams"] == 0
+        assert rows[0]["rep_permille"] == 0
+        # empty doc: zero bigrams, defined as 0 permille
+        assert rows[4]["n_bigrams"] == 0 and rows[4]["rep_permille"] == 0
+
+    def test_fully_repetitive_doc(self, ray_session, tmp_path):
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["spam spam spam spam spam"], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+                "source": pa.array(["src0"], pa.string()),
+                "n_chars": pa.array([24], pa.int64()),
+            }
+        )
+        pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
+        t = to_arrow(assembly.q48_repetition(str(tmp_path)))
+        r = t.to_pylist()[0]
+        # 4 bigrams, 1 distinct -> 3 duplicates -> 750 permille
+        assert r["n_bigrams"] == 4 and r["n_dup_bigrams"] == 3
+        assert r["rep_permille"] == 750
+
+
 class TestQualityClassifier:
     def test_scores_match_manual(self, ray_session, planted_dir):
         t = to_arrow(assembly.q47_quality_classifier(planted_dir)).sort_by(

@@ -56,6 +56,7 @@ FAST_QUERIES = [
     "q45_pack_offsets",
     "q46_pack_sequences",
     "q47_quality_classifier",
+    "q48_repetition",
 ]
 
 
