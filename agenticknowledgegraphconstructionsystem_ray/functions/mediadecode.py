@@ -250,3 +250,214 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
             return rate, samples
         i += 8 + size + (size & 1)
     raise ValueError("WAV missing data chunk")
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a, single image, global 256-color table, LZW)
+# ---------------------------------------------------------------------------
+# LZW is lossless entropy coding implementable in pure Python (unlike JPEG's
+# Huffman+DCT, which stays the one stub): variable-width codes 9->12 bits
+# packed LSB-first into <=255-byte sub-blocks, CLEAR/END control codes,
+# dictionary reset at 4096 entries, and the KwKwK just-defined-code case.
+# Width bookkeeping pairing (the classic off-by-one): the DECODER grows its
+# table one code behind the encoder, so the encoder widens at
+# next_code == (1 << width) + 1 while the decoder widens at
+# next_code == (1 << width); both stop adding entries at 4096 and resync on
+# the encoder's CLEAR.
+
+_GIF_MIN_CODE = 8  # 256-color images: roots 0..255, CLEAR=256, END=257
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF appendix F)."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """LSB-first bit unpacker."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("GIF LZW stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        code = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return code
+
+
+def _lzw_encode(data, min_code: int) -> bytes:
+    clear = 1 << min_code
+    end = clear + 1
+    w = _BitWriter()
+    table: dict = {}
+    width = min_code + 1
+    next_code = end + 1
+    w.write(clear, width)
+    it = iter(data)
+    try:
+        cur = int(next(it))
+    except StopIteration:
+        w.write(end, width)
+        return w.done()
+    for k in it:
+        k = int(k)
+        key = (cur, k)
+        found = table.get(key)
+        if found is not None:
+            cur = found
+            continue
+        w.write(cur, width)
+        if next_code < 4096:
+            table[key] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            w.write(clear, width)
+            table = {}
+            width = min_code + 1
+            next_code = end + 1
+        cur = k
+    w.write(cur, width)
+    w.write(end, width)
+    return w.done()
+
+
+def _lzw_decode(data: bytes, min_code: int) -> bytes:
+    clear = 1 << min_code
+    end = clear + 1
+    r = _BitReader(data)
+    width = min_code + 1
+    roots = [bytes([i]) for i in range(clear)]
+    table: list = []
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = r.read(width)
+        if code == clear:
+            table = roots + [b"", b""]
+            width = min_code + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if not table:
+            raise ValueError("GIF LZW data before CLEAR code")
+        if code < next_code:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK: code defined by this very step
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 palette indices + (256, 3) uint8 palette -> GIF87a
+    bytes (global color table, single non-interlaced image, LZW body)."""
+    assert indices.dtype == np.uint8 and indices.ndim == 2
+    assert palette.shape == (256, 3) and palette.dtype == np.uint8
+    h, w = indices.shape
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 2^8 colors
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    body = _lzw_encode(indices.reshape(-1), _GIF_MIN_CODE)
+    blocks = bytearray()
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF87a"
+        + lsd
+        + palette.tobytes()
+        + desc
+        + bytes([_GIF_MIN_CODE])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """GIF bytes -> (h, w, 3) uint8 RGB: block walk (extensions skipped),
+    LZW decode, palette lookup. Interlace/local-color-table files are
+    rejected explicitly rather than mis-decoded."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("GIF truncated in screen descriptor")
+    packed = b[10]
+    if not packed & 0x80:
+        raise ValueError("GIF without global color table unsupported")
+    gct_size = 2 << (packed & 0x07)
+    i = 13
+    palette = np.frombuffer(
+        b, np.uint8, count=gct_size * 3, offset=i
+    ).reshape(gct_size, 3)
+    i += gct_size * 3
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:
+            left, top, w, h, ipacked = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+            if ipacked & 0xC0:
+                raise ValueError("local color table / interlace unsupported")
+            i += 10
+            min_code = b[i]
+            i += 1
+            body = bytearray()
+            while i < len(b) and b[i]:
+                n = b[i]
+                body += b[i + 1 : i + 1 + n]
+                i += 1 + n
+            i += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(body), min_code), np.uint8
+            )
+            if len(idx) != w * h:
+                raise ValueError("GIF pixel count mismatch")
+            return palette[idx.reshape(h, w)]
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF missing image descriptor")

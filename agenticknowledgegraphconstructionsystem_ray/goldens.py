@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "7"  # v7: + real-codec media goldens (mm_decode/mm_resize)
+GOLDEN_VERSION = "8"  # v8: GIF joins the real-codec corpus (doc_id % 4)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -566,19 +566,22 @@ def _seq_media_decode(sf_dir: str) -> pa.Table:
     codecs, so parity proves encode/decode inversion, not just plumbing."""
     import numpy as np
 
-    from .stages.multimodal import synth_pixels, synth_samples
+    from .stages.multimodal import synth_gif_rgb, synth_pixels, synth_samples
 
     rows = []
     for doc_id in _doc_ids(sf_dir):
-        k = doc_id % 3
+        k = doc_id % 4
         if k in (0, 1):
             arr = synth_pixels(doc_id).astype(np.int64)
             fmt = "PNG" if k == 0 else "BMP"
             w, h = arr.shape[1], arr.shape[0]
-        else:
+        elif k == 2:
             rate, samples = synth_samples(doc_id)
             arr = samples.astype(np.int64)
             fmt, w, h = "WAV", rate, samples.shape[1]
+        else:
+            arr = synth_gif_rgb(doc_id).astype(np.int64)
+            fmt, w, h = "GIF", arr.shape[1], arr.shape[0]
         rows.append(
             (doc_id, fmt, w, h, int(arr.size), int(arr.sum()),
              int(arr.min()), int(arr.max()))
@@ -603,13 +606,14 @@ def _seq_media_resize(sf_dir: str) -> pa.Table:
     downsample straight from the formula pixels."""
     import numpy as np
 
-    from .stages.multimodal import synth_pixels
+    from .stages.multimodal import synth_gif_rgb, synth_pixels
 
     rows = []
     for doc_id in _doc_ids(sf_dir):
-        if doc_id % 3 == 2:
+        k = doc_id % 4
+        if k == 2:  # WAV: no image to resize
             continue
-        arr = synth_pixels(doc_id)
+        arr = synth_gif_rgb(doc_id) if k == 3 else synth_pixels(doc_id)
         h2, w2 = arr.shape[0] // 2, arr.shape[1] // 2
         a = arr[: h2 * 2, : w2 * 2].astype(np.int64)
         small = a.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4

@@ -6,11 +6,12 @@ Two layers:
   for WAV) — the production path for extracting media metadata without
   decoding, exercised end-to-end by ``sniff_meta``/``mm_sniff_meta``.
 - REAL pixel/sample decode (``functions/mediadecode.py``): actual PNG
-  (zlib inflate + all-five-filter unfiltering, CRC-checked), 24-bit BMP and
-  PCM16 WAV codecs — stdlib + numpy, no image/audio libraries needed.
-  ``DecodePixels``/``ResizePixels`` run them in actor pools and are
-  driver-verified against formula-direct golden oracles. Only JPEG/GIF
-  pixel decode remains stubbed (entropy coding needs a codec library).
+  (zlib inflate + all-five-filter unfiltering, CRC-checked), 24-bit BMP,
+  PCM16 WAV and GIF (variable-width LZW + palette) codecs — stdlib + numpy,
+  no image/audio libraries needed. ``DecodePixels``/``ResizePixels`` run
+  them in actor pools and are driver-verified against formula-direct golden
+  oracles. Only JPEG pixel decode remains stubbed (lossy Huffman+DCT needs
+  a codec library).
 
 Payload format (deterministic fake, built from the documents table so a SQL
 oracle can validate the plumbing end-to-end):
@@ -70,8 +71,8 @@ class DecodeMedia:
         if real_decode:
             raise NotImplementedError(
                 "this stage handles the IMG1/AUD1/VID1 fake-header corpus; "
-                "REAL PNG/BMP/WAV pixel decode lives in DecodePixels "
-                "(functions/mediadecode.py); JPEG/GIF pixel decode would "
+                "REAL PNG/BMP/WAV/GIF pixel decode lives in DecodePixels "
+                "(functions/mediadecode.py); JPEG pixel decode would "
                 "need a codec library absent from this container"
             )
         self.real = False
@@ -234,7 +235,7 @@ def decode_meta(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# REAL pixel/sample decode (round 2): PNG / BMP / WAV codecs from
+# REAL pixel/sample decode (round 2): PNG / BMP / WAV / GIF codecs from
 # functions/mediadecode.py. The corpus is synthesized from a pure arithmetic
 # formula (below); the pipeline path goes formula -> ENCODE -> Ray ->
 # DECODE -> features, while the golden oracle computes features straight
@@ -265,23 +266,46 @@ def synth_samples(doc_id: int) -> tuple[int, np.ndarray]:
     return 8000 + (doc_id % 8) * 1000, samples
 
 
+def synth_indexed(doc_id: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic ((h, w) uint8 palette indices, (256, 3) uint8 palette)
+    for the GIF corpus — pure arithmetic, no RNG."""
+    h = 16 + doc_id % 33
+    w = 16 + doc_id % 49
+    y = np.arange(h, dtype=np.int64)[:, None] * 3
+    x = np.arange(w, dtype=np.int64)[None, :] * 7
+    idx = ((doc_id + y + x) % 256).astype(np.uint8)
+    i = np.arange(256, dtype=np.int64)[:, None]
+    m = np.array([7, 13, 29], dtype=np.int64)[None, :]
+    palette = ((doc_id + i * m) % 256).astype(np.uint8)
+    return idx, palette
+
+
+def synth_gif_rgb(doc_id: int) -> np.ndarray:
+    """The RGB image a decoded GIF must equal: palette lookup straight from
+    the synthesis formula (no codec involved)."""
+    idx, palette = synth_indexed(doc_id)
+    return palette[idx]
+
+
 def build_decodable_media_batch(t: pa.Table) -> pa.Table:
-    """documents -> real ENCODED media files: doc_id % 3 selects PNG / BMP /
-    WAV; the payload is a fully valid file of that format holding the
+    """documents -> real ENCODED media files: doc_id % 4 selects PNG / BMP /
+    WAV / GIF; the payload is a fully valid file of that format holding the
     formula-synthesized pixels/samples."""
     from ..functions import mediadecode as md
 
     ids = t["doc_id"].to_pylist()
     payloads = []
     for doc_id in ids:
-        k = doc_id % 3
+        k = doc_id % 4
         if k == 0:
             payloads.append(md.encode_png(synth_pixels(doc_id)))
         elif k == 1:
             payloads.append(md.encode_bmp(synth_pixels(doc_id)))
-        else:
+        elif k == 2:
             rate, samples = synth_samples(doc_id)
             payloads.append(md.encode_wav(rate, samples))
+        else:
+            payloads.append(md.encode_gif(*synth_indexed(doc_id)))
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
@@ -319,6 +343,9 @@ class DecodePixels:
                 rate, samples = md.decode_wav(payload)
                 arr = samples.astype(np.int64)
                 fmt, w, h = "WAV", rate, samples.shape[1]
+            elif payload[:4] == b"GIF8":
+                arr = md.decode_gif(payload).astype(np.int64)
+                fmt, w, h = "GIF", arr.shape[1], arr.shape[0]
             else:
                 raise ValueError("unknown media container")
             ids.append(media_id)
@@ -364,6 +391,8 @@ class ResizePixels:
                 arr = md.decode_png(payload)
             elif payload[:2] == b"BM":
                 arr = md.decode_bmp(payload)
+            elif payload[:4] == b"GIF8":
+                arr = md.decode_gif(payload)
             else:
                 continue
             h2, w2 = arr.shape[0] // 2, arr.shape[1] // 2
@@ -384,7 +413,7 @@ class ResizePixels:
 
 
 def decodable_media_dataset(sf_dir: str):
-    """documents -> real encoded PNG/BMP/WAV Dataset (binary payloads)."""
+    """documents -> real encoded PNG/BMP/WAV/GIF Dataset (binary payloads)."""
     from ..sources.tables import read_table
 
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
@@ -393,7 +422,7 @@ def decodable_media_dataset(sf_dir: str):
 
 def decode_pixels(sf_dir: str):
     """REAL decode end-to-end: encode the formula corpus into valid
-    PNG/BMP/WAV files, decode them back with the actual codecs in an actor
+    PNG/BMP/WAV/GIF files, decode them back with the actual codecs in an actor
     pool, emit integer-exact pixel/sample features."""
     return decodable_media_dataset(sf_dir).map_batches(
         DecodePixels, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)

@@ -253,21 +253,59 @@ def test_wav_decode_literal_with_list_chunk():
     assert out.ravel().tolist() == [-1, 2, -3, 4]
 
 
+def test_gif_roundtrip_shapes_and_palette():
+    rng = np.random.default_rng(2)
+    for shape in ((1, 1), (5, 7), (33, 49)):
+        idx = rng.integers(0, 256, shape, dtype=np.uint8)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        out = md.decode_gif(md.encode_gif(idx, pal))
+        assert np.array_equal(out, pal[idx])
+
+
+def test_gif_lzw_kwkwk_and_dict_reset():
+    pal = np.arange(768, dtype=np.int64).reshape(256, 3).astype(np.uint8)
+    # constant image: long runs force the KwKwK just-defined-code path
+    idx = np.full((40, 60), 7, np.uint8)
+    assert np.array_equal(md.decode_gif(md.encode_gif(idx, pal)), pal[idx])
+    # high-entropy image large enough to fill the 4096-entry dictionary and
+    # force a mid-stream CLEAR + reset
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 256, (256, 256), dtype=np.uint8)
+    assert np.array_equal(md.decode_gif(md.encode_gif(idx, pal)), pal[idx])
+
+
+def test_gif_decode_skips_extensions_and_rejects_truncation():
+    idx, pal = multimodal.synth_indexed(3)
+    b = md.encode_gif(idx, pal)
+    # splice a GIF89a graphics-control extension after the color table
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    cut = 13 + 768
+    spliced = b[:cut] + ext + b[cut:]
+    assert np.array_equal(md.decode_gif(spliced), pal[idx])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        md.decode_gif(b[: len(b) // 2])
+
+
 def test_decode_pixels_pipeline_matches_formula(ray_session):
     out = multimodal.decode_pixels(SF).to_pandas().set_index("media_id")
     assert len(out) == 500
-    for doc_id in (0, 1, 2, 30, 31, 32):
+    for doc_id in (0, 1, 2, 3, 30, 31, 32, 33):
         r = out.loc[doc_id]
-        k = doc_id % 3
+        k = doc_id % 4
         if k in (0, 1):
             arr = multimodal.synth_pixels(doc_id).astype(np.int64)
             assert r["format"] == ("PNG" if k == 0 else "BMP")
             assert (r["width"], r["height"]) == (arr.shape[1], arr.shape[0])
-        else:
+        elif k == 2:
             rate, s = multimodal.synth_samples(doc_id)
             arr = s.astype(np.int64)
             assert r["format"] == "WAV"
             assert (r["width"], r["height"]) == (rate, s.shape[1])
+        else:
+            arr = multimodal.synth_gif_rgb(doc_id).astype(np.int64)
+            assert r["format"] == "GIF"
+            assert (r["width"], r["height"]) == (arr.shape[1], arr.shape[0])
         assert r["n_values"] == arr.size
         assert r["sum_values"] == arr.sum()
         assert r["min_value"] == arr.min()
@@ -276,10 +314,14 @@ def test_decode_pixels_pipeline_matches_formula(ray_session):
 
 def test_resize_stats_pipeline(ray_session):
     out = multimodal.resize_stats(SF).to_pandas().set_index("media_id")
-    # only image docs (doc_id % 3 != 2)
-    assert set(out.index) == {i for i in range(500) if i % 3 != 2}
+    # every doc except WAVs (doc_id % 4 == 2) yields a resizable image
+    assert set(out.index) == {i for i in range(500) if i % 4 != 2}
     for doc_id in (0, 1, 3, 4):
-        arr = multimodal.synth_pixels(doc_id)
+        arr = (
+            multimodal.synth_gif_rgb(doc_id)
+            if doc_id % 4 == 3
+            else multimodal.synth_pixels(doc_id)
+        )
         h2, w2 = arr.shape[0] // 2, arr.shape[1] // 2
         a = arr[: h2 * 2, : w2 * 2].astype(np.int64)
         small = a.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
