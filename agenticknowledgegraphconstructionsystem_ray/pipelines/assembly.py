@@ -368,6 +368,20 @@ QUALITY_W = np.array([5, 3, 1, -4], dtype=np.int64)
 QUALITY_THRESHOLD = 600
 
 
+def doc_features(text: str) -> tuple[int, int, int, int]:
+    """Pure per-document feature kernel (shared by the pipeline AND the
+    sequential goldens — NOTES.md invariant 1):
+    (n_tokens, n_uniq_terms, n_chars, n_long_tokens)."""
+    ts = _TOKEN_RE.findall(text.lower())
+    return (len(ts), len(set(ts)), len(text), sum(1 for w in ts if len(w) >= 6))
+
+
+def quality_score(text: str) -> int:
+    """Pure scalar form of the q47 linear model."""
+    f = np.array(doc_features(text), dtype=np.int64)
+    return int(f @ QUALITY_W)
+
+
 class _ScoreDocs:
     """Actor-pool inference stage: weights fetched once per actor, features
     built per batch, one integer matmul."""
@@ -377,18 +391,8 @@ class _ScoreDocs:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
-        toks = [_TOKEN_RE.findall(x.lower()) for x in texts]
         feats = np.array(
-            [
-                (
-                    len(ts),
-                    len(set(ts)),
-                    len(x),
-                    sum(1 for w in ts if len(w) >= 6),
-                )
-                for ts, x in zip(toks, texts)
-            ],
-            dtype=np.int64,
+            [doc_features(x) for x in texts], dtype=np.int64
         ).reshape(len(texts), 4)
         score = feats @ self.w
         return pa.table(
@@ -451,6 +455,61 @@ def q48_repetition(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# dd_keep_best: near-dup dedup keeping the highest-quality doc per cluster
+# ---------------------------------------------------------------------------
+
+def _member_scores(sf_dir: str, members: set[int]) -> dict[int, int]:
+    """Quality scores for the pair-involved docs only: the member id set is
+    broadcast (small — bounded by duplicate count, not corpus size), the
+    corpus streams through a filtered scoring scan, and only |members| rows
+    reduce to the driver."""
+    ref = ray.put(pa.array(sorted(members), pa.int64()))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class ScoreMembers:
+        def __init__(self, keys_ref) -> None:
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            hit = pc.is_valid(pc.index_in(t["doc_id"], value_set=self.keys))
+            f = t.filter(hit)
+            return pa.table(
+                {
+                    "doc_id": f["doc_id"],
+                    "score": pa.array(
+                        [quality_score(x) for x in f["text"].to_pylist()],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    scored = docs.map_batches(
+        ScoreMembers, fn_constructor_kwargs={"keys_ref": ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    return {r["doc_id"]: r["score"] for r in scored.take_all()}
+
+
+def dd_keep_best(sf_dir: str):
+    """MinHash near-dup clusters -> keep the member with the highest q47
+    quality score (ties by min doc_id). Composes the near-dup pair source,
+    the broadcast-keyset member scoring scan, and the clustering/marking
+    machinery of ``stages.dedup.near_dup_keep``."""
+    from ..stages import dedup
+
+    pairs = dedup.minhash_near_dups(sf_dir)
+    members = {
+        d
+        for col in ("doc_a", "doc_b")
+        for d in pairs[col].to_pylist()
+    }
+    score_of = _member_scores(sf_dir, members) if members else {}
+    return dedup.near_dup_keep(sf_dir, pairs=pairs, score_of=score_of)
+
+
+# ---------------------------------------------------------------------------
 # driver registration
 # ---------------------------------------------------------------------------
 
@@ -461,6 +520,7 @@ QUERIES = {
     "q46_pack_sequences": q46_pack_sequences,
     "q47_quality_classifier": q47_quality_classifier,
     "q48_repetition": q48_repetition,
+    "dd_keep_best": dd_keep_best,
 }
 
 _TOKS_SQL = (

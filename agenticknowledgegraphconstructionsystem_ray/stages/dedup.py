@@ -592,8 +592,17 @@ def simhash_near_dups(sf_dir_or_ds, max_hamming: int = 3, table: str = "document
 # (the step that turns a pair list into an actual dedup decision)
 # ---------------------------------------------------------------------------
 
-def near_dup_keep(sf_dir_or_ds, pairs: pa.Table | None = None, table: str = "documents"):
+def near_dup_keep(
+    sf_dir_or_ds,
+    pairs: pa.Table | None = None,
+    table: str = "documents",
+    score_of: dict[int, int] | None = None,
+):
     """Near-dup pair list -> per-document dedup verdict.
+
+    ``score_of`` (doc_id -> integer score over the pair-involved docs only)
+    switches the representative rule from min-id to best-score (ties by min
+    id) — the keep-best-quality dedup a training pipeline actually wants.
 
     Connected components run driver-side over the PAIR list only (union-find
     bounded by the number of duplicate-involved docs — tiny vs the corpus;
@@ -625,7 +634,10 @@ def near_dup_keep(sf_dir_or_ds, pairs: pa.Table | None = None, table: str = "doc
         uf.union(a, b)
     rep_of: dict[int, int] = {}
     for members in uf.components().values():
-        rep = min(members)
+        if score_of is None:
+            rep = min(members)
+        else:
+            rep = max(members, key=lambda m: (score_of[m], -m))
         for m in members:
             rep_of[m] = rep
     ref = ray.put(rep_of)

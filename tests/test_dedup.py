@@ -124,3 +124,32 @@ def test_near_dup_keep_clusters(planted_docs):
         assert out.loc[i, "rep_id"] == i and out.loc[i, "keep"]
     # exactly one kept doc per component
     assert out.groupby(out["rep_id"])["keep"].sum().eq(1).all()
+
+
+def test_near_dup_keep_best_score(planted_docs):
+    """score_of flips the representative rule to best-score (ties min id):
+    doc 101 = doc 1 + an extra token scores higher on the q47 linear model
+    (more tokens/uniq/chars), so it must win its cluster over min-id doc 1."""
+    from agenticknowledgegraphconstructionsystem_ray.pipelines.assembly import (
+        quality_score,
+    )
+
+    pairs = dedup.minhash_near_dups(planted_docs, threshold=0.7)
+    texts = {
+        r["doc_id"]: r["text"] for r in planted_docs.take_all()
+    }
+    members = {d for c in ("doc_a", "doc_b") for d in pairs[c].to_pylist()}
+    score_of = {m: quality_score(texts[m]) for m in members}
+    assert score_of[101] > score_of[1]
+    out = (
+        dedup.near_dup_keep(planted_docs, pairs=pairs, score_of=score_of)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[101, "keep"] and out.loc[101, "rep_id"] == 101
+    assert not out.loc[1, "keep"] and out.loc[1, "rep_id"] == 101
+    # exact dup 102 == doc 2: equal scores, tie broken by min id
+    assert score_of[102] == score_of[2]
+    assert out.loc[2, "keep"] and out.loc[102, "rep_id"] == 2
+    assert out.groupby(out["rep_id"])["keep"].sum().eq(1).all()
