@@ -17,10 +17,15 @@ specs, not toy framings:
   interleaved channels — ``np.frombuffer`` + reshape.
 
 Encoders are the exact inverses (the PNG encoder cycles filter type
-``row % 5`` so the synthetic corpus exercises every unfilter path). JPEG and
-GIF remain header-sniff-only (``mediasniff.py``): their entropy coding
-(Huffman/arithmetic, LZW) genuinely needs a codec library this container
-does not have — that is now the ONLY stub boundary in the multimodal family.
+``row % 5`` so the synthetic corpus exercises every unfilter path). GIF
+(variable-width LZW) and baseline JPEG (grayscale JFIF: FDCT + quantize +
+zigzag + Annex-K Huffman entropy coding with byte stuffing) are implemented
+further down — no stub boundary remains in the multimodal decode family.
+JPEG is inherently lossy; the synthetic JPEG corpus is 8x8-block-constant
+mosaics, for which the round-trip is EXACT (a constant block has only a DC
+coefficient, which quantizes losslessly at Q=1), so formula-direct golden
+parity still proves full codec inversion. Color (multi-component) JPEG is
+rejected explicitly rather than mis-decoded.
 
 Used by ``stages/multimodal.py``'s ``DecodePixels`` actor stage; golden
 oracles recompute features straight from the synthesis formula WITHOUT going
@@ -461,3 +466,327 @@ def decode_gif(b: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     raise ValueError("GIF missing image descriptor")
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline JFIF, 8-bit grayscale, no subsampling)
+# ---------------------------------------------------------------------------
+# A real ITU-T T.81 baseline codec: 8x8 FDCT (orthonormal matrix form) ->
+# uniform quantization -> zigzag -> DC-difference / AC run-length Huffman
+# entropy coding with 0xFF00 byte stuffing, and the full inverse. Huffman
+# tables are the spec's Annex K.3 typical luminance tables on the encode
+# side; the DECODER builds its tables from the file's own DHT segments
+# (canonical code assignment per Annex C), so it reads any baseline
+# single-component scan, not just our own output. Color JPEG (multiple
+# components, subsampling, YCbCr convert) raises rather than mis-decoding.
+#
+# Lossiness boundary: quantization rounds real DCT coefficients, so
+# decode(encode(x)) == x is NOT generally true (that is JPEG, not a bug).
+# It IS exact for 8x8-block-constant images at quant table 1: such a block
+# has a single integer DC coefficient 8*(v-128) and zero ACs, both preserved
+# exactly. The synthetic corpus (stages/multimodal.synth_blocks) uses that.
+
+_ZIGZAG = []
+for _s in range(15):
+    _d = [(i, _s - i) for i in range(_s + 1) if i < 8 and _s - i < 8]
+    _ZIGZAG += _d[::-1] if _s % 2 == 0 else _d
+_ZZ_ROWS = np.array([i for i, _ in _ZIGZAG])
+_ZZ_COLS = np.array([j for _, j in _ZIGZAG])
+
+# Annex K.3 typical luminance Huffman tables: (bits[1..16], huffval)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Annex C canonical code assignment: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-at-a-time decoder."""
+    return {(l, c): s for s, (c, l) in _huff_codes(bits, vals).items()}
+
+
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _DCT[_u, _x] = np.sqrt((1 if _u else 0.5) / 4) * np.cos(
+            (2 * _x + 1) * _u * np.pi / 16
+        )
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF00 byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, width: int) -> None:
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def done(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """MSB-first bit unpacker that undoes 0xFF00 stuffing and stops at any
+    real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                else:
+                    raise ValueError("JPEG entropy stream hit a marker early")
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        value = (self.acc >> (self.nbits - width)) & ((1 << width) - 1)
+        self.nbits -= width
+        self.acc &= (1 << self.nbits) - 1
+        return value
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (category, category-bit pattern) per T.81 table F.1/F.2."""
+    s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _extend(bits: int, s: int) -> int:
+    """Received s category bits -> signed value (T.81 F.2.2.1 EXTEND)."""
+    return bits if s == 0 or bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def encode_jpeg_gray(pixels: np.ndarray, quant: int = 1) -> bytes:
+    """(h, w) uint8 grayscale -> baseline JFIF bytes. ``quant`` is a uniform
+    quantization divisor (1 = max quality; block-constant inputs round-trip
+    exactly). Dimensions not multiples of 8 are edge-replicated to the MCU
+    grid (the decoder crops back to the SOF dimensions, per spec)."""
+    assert pixels.ndim == 2 and pixels.dtype == np.uint8
+    h, w = pixels.shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    img = np.pad(pixels, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        img.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coeffs = _DCT @ (blocks.astype(np.float64) - 128.0) @ _DCT.T
+    q = np.rint(coeffs / quant).astype(np.int64)
+    zz = q[:, _ZZ_ROWS, _ZZ_COLS]  # (n_blocks, 64) in zigzag order
+
+    dc_code = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_code = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for blk in zz:
+        s, sbits = _magnitude(int(blk[0]) - prev_dc)
+        prev_dc = int(blk[0])
+        code, length = dc_code[s]
+        bw.write(code, length)
+        if s:
+            bw.write(sbits, s)
+        run = 0
+        last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_code[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            s, sbits = _magnitude(v)
+            code, length = ac_code[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(sbits, s)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_code[0x00]  # EOB
+            bw.write(code, length)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtab = np.zeros(64, np.uint8)
+    qtab[:] = quant
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, b"\x00" + qtab.tobytes())  # DQT: Pq=0, Tq=0
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
+        + seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC
+        + seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC
+        + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+        + bw.done()
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def decode_jpeg_gray(b: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w) uint8 grayscale. Real marker walk;
+    Huffman tables and the quant table are read from the file's own
+    DQT/DHT segments; multi-component (color) scans are rejected."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i, n = 2, len(b)
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    w = h = None
+    dc_map = ac_map = None
+    qt = None
+    scan_pos = None
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack(">H", b[i + 2 : i + 4])
+        payload = b[i + 4 : i + 2 + length]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(payload):
+                pq, tq = payload[j] >> 4, payload[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = np.frombuffer(
+                    payload, np.uint8, count=64, offset=j + 1
+                ).astype(np.int64)
+                j += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if ncomp != 1:
+                raise ValueError(
+                    "color (multi-component) JPEG unsupported — grayscale only"
+                )
+            comp_id, sampling, tq = payload[6], payload[7], payload[8]
+            if sampling != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+            qt = qtables.get(tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) JPEG supported")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            j = 0
+            while j < len(payload):
+                tc, th = payload[j] >> 4, payload[j] & 0x0F
+                bits = list(payload[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(payload[j + 17 : j + 17 + nv])
+                htables[(tc, th)] = _huff_decode_map(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            td, ta = payload[2] >> 4, payload[2] & 0x0F
+            dc_map = htables.get((0, td))
+            ac_map = htables.get((1, ta))
+            scan_pos = i + 2 + length
+            break
+        i += 2 + length
+    if w is None or qt is None or dc_map is None or ac_map is None or scan_pos is None:
+        raise ValueError("JPEG missing SOF0/DQT/DHT/SOS")
+
+    r = _JpegBitReader(b, scan_pos)
+
+    def read_symbol(table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | r.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG Huffman code not found")
+
+    bw_blocks = (w + 7) // 8
+    bh_blocks = (h + 7) // 8
+    n_blocks = bw_blocks * bh_blocks
+    zz = np.zeros((n_blocks, 64), np.int64)
+    prev_dc = 0
+    for bi in range(n_blocks):
+        s = read_symbol(dc_map)
+        diff = _extend(r.read(s), s) if s else 0
+        prev_dc += diff
+        zz[bi, 0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = read_symbol(ac_map)
+            run, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC coefficient index overflow")
+            zz[bi, k] = _extend(r.read(s), s)
+            k += 1
+    coeffs = np.zeros((n_blocks, 8, 8), np.int64)
+    coeffs[:, _ZZ_ROWS, _ZZ_COLS] = zz
+    coeffs = coeffs * qt.reshape(8, 8)[None]  # dequantize (natural order)
+    pix = _DCT.T @ coeffs.astype(np.float64) @ _DCT + 128.0
+    pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
+    img = (
+        pix.reshape(bh_blocks, bw_blocks, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh_blocks * 8, bw_blocks * 8)
+    )
+    return img[:h, :w].copy()

@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "8"  # v8: GIF joins the real-codec corpus (doc_id % 4)
+GOLDEN_VERSION = "10"  # v10: JPEG joins the real-codec corpus (doc_id % 5)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -485,10 +485,13 @@ def _seq_ivf_topk(
     )
 
 
-def _seq_pairs_keep(sf_dir: str, pairs: pa.Table) -> pa.Table:
+def _seq_pairs_keep(
+    sf_dir: str, pairs: pa.Table, score_of: dict[int, int] | None = None
+) -> pa.Table:
     """Sequential near-dup keep golden: same UnionFind kernel over a
     sequential pair list (any source), plain dict orchestration, full doc
-    scan."""
+    scan. ``score_of`` switches to the best-score representative rule
+    (mirrors stages.dedup.near_dup_keep)."""
     uf = UnionFind()
     for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
         uf.add(a)
@@ -496,7 +499,10 @@ def _seq_pairs_keep(sf_dir: str, pairs: pa.Table) -> pa.Table:
         uf.union(a, b)
     rep_of: dict[int, int] = {}
     for members in uf.components().values():
-        rep = min(members)
+        if score_of is None:
+            rep = min(members)
+        else:
+            rep = max(members, key=lambda m: (score_of[m], -m))
         for m in members:
             rep_of[m] = rep
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
@@ -509,6 +515,26 @@ def _seq_pairs_keep(sf_dir: str, pairs: pa.Table) -> pa.Table:
             "keep": pa.array([i == r for i, r in zip(ids, reps)], pa.bool_()),
         }
     )
+
+
+def _seq_keep_best(sf_dir: str, pairs: pa.Table) -> pa.Table:
+    """Sequential keep-best golden: same pure quality kernel
+    (assembly.quality_score) over the pair-involved docs, best-score
+    representative rule."""
+    from .pipelines.assembly import quality_score
+
+    members = {
+        d for col in ("doc_a", "doc_b") for d in pairs[col].to_pylist()
+    }
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    score_of = {
+        i: quality_score(x)
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        if i in members
+    }
+    return _seq_pairs_keep(sf_dir, pairs, score_of=score_of)
 
 
 def _seq_pagerank(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
@@ -566,11 +592,16 @@ def _seq_media_decode(sf_dir: str) -> pa.Table:
     codecs, so parity proves encode/decode inversion, not just plumbing."""
     import numpy as np
 
-    from .stages.multimodal import synth_gif_rgb, synth_pixels, synth_samples
+    from .stages.multimodal import (
+        synth_blocks,
+        synth_gif_rgb,
+        synth_pixels,
+        synth_samples,
+    )
 
     rows = []
     for doc_id in _doc_ids(sf_dir):
-        k = doc_id % 4
+        k = doc_id % 5
         if k in (0, 1):
             arr = synth_pixels(doc_id).astype(np.int64)
             fmt = "PNG" if k == 0 else "BMP"
@@ -579,9 +610,12 @@ def _seq_media_decode(sf_dir: str) -> pa.Table:
             rate, samples = synth_samples(doc_id)
             arr = samples.astype(np.int64)
             fmt, w, h = "WAV", rate, samples.shape[1]
-        else:
+        elif k == 3:
             arr = synth_gif_rgb(doc_id).astype(np.int64)
             fmt, w, h = "GIF", arr.shape[1], arr.shape[0]
+        else:
+            arr = synth_blocks(doc_id).astype(np.int64)
+            fmt, w, h = "JPEG", arr.shape[1], arr.shape[0]
         rows.append(
             (doc_id, fmt, w, h, int(arr.size), int(arr.sum()),
              int(arr.min()), int(arr.max()))
@@ -606,17 +640,25 @@ def _seq_media_resize(sf_dir: str) -> pa.Table:
     downsample straight from the formula pixels."""
     import numpy as np
 
-    from .stages.multimodal import synth_gif_rgb, synth_pixels
+    from .stages.multimodal import synth_blocks, synth_gif_rgb, synth_pixels
 
     rows = []
     for doc_id in _doc_ids(sf_dir):
-        k = doc_id % 4
+        k = doc_id % 5
         if k == 2:  # WAV: no image to resize
             continue
-        arr = synth_gif_rgb(doc_id) if k == 3 else synth_pixels(doc_id)
+        if k == 3:
+            arr = synth_gif_rgb(doc_id)
+        elif k == 4:
+            arr = synth_blocks(doc_id)
+        else:
+            arr = synth_pixels(doc_id)
         h2, w2 = arr.shape[0] // 2, arr.shape[1] // 2
         a = arr[: h2 * 2, : w2 * 2].astype(np.int64)
-        small = a.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
+        if a.ndim == 2:  # grayscale (JPEG)
+            small = a.reshape(h2, 2, w2, 2).sum(axis=(1, 3)) // 4
+        else:
+            small = a.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
         rows.append((doc_id, w2, h2, int(small.sum())))
     cols = list(zip(*rows))
     return pa.table(
@@ -694,6 +736,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
         tables["dd_keep"] = _seq_pairs_keep(sf_dir, tables["dd_minhash"])
+        tables["dd_keep_best"] = _seq_keep_best(sf_dir, tables["dd_minhash"])
         tables["dd_simhash"] = _seq_simhash_pairs(sf_dir)
         tables["dd_keep_simhash"] = _seq_pairs_keep(sf_dir, tables["dd_simhash"])
         tables["fingerprints"] = _seq_fingerprints(sf_dir)
@@ -849,6 +892,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "dd_simhash_keep": f"""
             SELECT doc_id, rep_id, keep FROM {_g('dd_keep_simhash')}
+        """,
+        "dd_keep_best": f"""
+            SELECT doc_id, rep_id, keep FROM {_g('dd_keep_best')}
         """,
         "tx_fingerprints": f"""
             SELECT doc_id, fp_min, n_fps FROM {_g('fingerprints')}

@@ -7,11 +7,12 @@ Two layers:
   decoding, exercised end-to-end by ``sniff_meta``/``mm_sniff_meta``.
 - REAL pixel/sample decode (``functions/mediadecode.py``): actual PNG
   (zlib inflate + all-five-filter unfiltering, CRC-checked), 24-bit BMP,
-  PCM16 WAV and GIF (variable-width LZW + palette) codecs — stdlib + numpy,
-  no image/audio libraries needed. ``DecodePixels``/``ResizePixels`` run
+  PCM16 WAV, GIF (variable-width LZW + palette) and baseline grayscale JPEG
+  (FDCT + quantize + Huffman entropy coding) codecs — stdlib + numpy, no
+  image/audio libraries needed. ``DecodePixels``/``ResizePixels`` run
   them in actor pools and are driver-verified against formula-direct golden
-  oracles. Only JPEG pixel decode remains stubbed (lossy Huffman+DCT needs
-  a codec library).
+  oracles. No decode stub remains; the JPEG corpus is block-constant
+  mosaics, for which the lossy codec round-trips exactly.
 
 Payload format (deterministic fake, built from the documents table so a SQL
 oracle can validate the plumbing end-to-end):
@@ -71,9 +72,8 @@ class DecodeMedia:
         if real_decode:
             raise NotImplementedError(
                 "this stage handles the IMG1/AUD1/VID1 fake-header corpus; "
-                "REAL PNG/BMP/WAV/GIF pixel decode lives in DecodePixels "
-                "(functions/mediadecode.py); JPEG pixel decode would "
-                "need a codec library absent from this container"
+                "REAL PNG/BMP/WAV/GIF/JPEG pixel decode lives in "
+                "DecodePixels (functions/mediadecode.py)"
             )
         self.real = False
 
@@ -235,8 +235,8 @@ def decode_meta(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# REAL pixel/sample decode (round 2): PNG / BMP / WAV / GIF codecs from
-# functions/mediadecode.py. The corpus is synthesized from a pure arithmetic
+# REAL pixel/sample decode (round 2): PNG / BMP / WAV / GIF / JPEG codecs
+# from functions/mediadecode.py. The corpus is synthesized from a pure arithmetic
 # formula (below); the pipeline path goes formula -> ENCODE -> Ray ->
 # DECODE -> features, while the golden oracle computes features straight
 # from the formula — so driver parity proves real codec inversion.
@@ -287,16 +287,29 @@ def synth_gif_rgb(doc_id: int) -> np.ndarray:
     return palette[idx]
 
 
+def synth_blocks(doc_id: int) -> np.ndarray:
+    """Deterministic 8x8-block-constant grayscale mosaic for the JPEG corpus
+    — the one image family whose JPEG round-trip is EXACT (each block is a
+    lone DC coefficient; see functions/mediadecode.py), so the formula-direct
+    golden still proves full codec inversion despite JPEG's lossiness."""
+    bh = 2 + doc_id % 5
+    bw = 2 + doc_id % 7
+    by = np.arange(bh, dtype=np.int64)[:, None] * 5
+    bx = np.arange(bw, dtype=np.int64)[None, :] * 11
+    vals = ((doc_id + by + bx) % 256).astype(np.uint8)
+    return np.kron(vals, np.ones((8, 8), np.uint8))
+
+
 def build_decodable_media_batch(t: pa.Table) -> pa.Table:
-    """documents -> real ENCODED media files: doc_id % 4 selects PNG / BMP /
-    WAV / GIF; the payload is a fully valid file of that format holding the
-    formula-synthesized pixels/samples."""
+    """documents -> real ENCODED media files: doc_id % 5 selects PNG / BMP /
+    WAV / GIF / JPEG; the payload is a fully valid file of that format
+    holding the formula-synthesized pixels/samples."""
     from ..functions import mediadecode as md
 
     ids = t["doc_id"].to_pylist()
     payloads = []
     for doc_id in ids:
-        k = doc_id % 4
+        k = doc_id % 5
         if k == 0:
             payloads.append(md.encode_png(synth_pixels(doc_id)))
         elif k == 1:
@@ -304,8 +317,10 @@ def build_decodable_media_batch(t: pa.Table) -> pa.Table:
         elif k == 2:
             rate, samples = synth_samples(doc_id)
             payloads.append(md.encode_wav(rate, samples))
-        else:
+        elif k == 3:
             payloads.append(md.encode_gif(*synth_indexed(doc_id)))
+        else:
+            payloads.append(md.encode_jpeg_gray(synth_blocks(doc_id)))
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
@@ -346,6 +361,9 @@ class DecodePixels:
             elif payload[:4] == b"GIF8":
                 arr = md.decode_gif(payload).astype(np.int64)
                 fmt, w, h = "GIF", arr.shape[1], arr.shape[0]
+            elif payload[:2] == b"\xff\xd8":
+                arr = md.decode_jpeg_gray(payload).astype(np.int64)
+                fmt, w, h = "JPEG", arr.shape[1], arr.shape[0]
             else:
                 raise ValueError("unknown media container")
             ids.append(media_id)
@@ -393,11 +411,16 @@ class ResizePixels:
                 arr = md.decode_bmp(payload)
             elif payload[:4] == b"GIF8":
                 arr = md.decode_gif(payload)
+            elif payload[:2] == b"\xff\xd8":
+                arr = md.decode_jpeg_gray(payload)
             else:
                 continue
             h2, w2 = arr.shape[0] // 2, arr.shape[1] // 2
             a = arr[: h2 * 2, : w2 * 2].astype(np.int64)
-            small = a.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
+            if a.ndim == 2:  # grayscale (JPEG)
+                small = a.reshape(h2, 2, w2, 2).sum(axis=(1, 3)) // 4
+            else:
+                small = a.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
             ids.append(media_id)
             rws.append(w2)
             rhs.append(h2)
@@ -413,7 +436,8 @@ class ResizePixels:
 
 
 def decodable_media_dataset(sf_dir: str):
-    """documents -> real encoded PNG/BMP/WAV/GIF Dataset (binary payloads)."""
+    """documents -> real encoded PNG/BMP/WAV/GIF/JPEG Dataset (binary
+    payloads)."""
     from ..sources.tables import read_table
 
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
@@ -422,8 +446,8 @@ def decodable_media_dataset(sf_dir: str):
 
 def decode_pixels(sf_dir: str):
     """REAL decode end-to-end: encode the formula corpus into valid
-    PNG/BMP/WAV/GIF files, decode them back with the actual codecs in an actor
-    pool, emit integer-exact pixel/sample features."""
+    PNG/BMP/WAV/GIF/JPEG files, decode them back with the actual codecs in
+    an actor pool, emit integer-exact pixel/sample features."""
     return decodable_media_dataset(sf_dir).map_batches(
         DecodePixels, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     )

@@ -290,9 +290,9 @@ def test_gif_decode_skips_extensions_and_rejects_truncation():
 def test_decode_pixels_pipeline_matches_formula(ray_session):
     out = multimodal.decode_pixels(SF).to_pandas().set_index("media_id")
     assert len(out) == 500
-    for doc_id in (0, 1, 2, 3, 30, 31, 32, 33):
+    for doc_id in (0, 1, 2, 3, 4, 30, 31, 32, 33, 34):
         r = out.loc[doc_id]
-        k = doc_id % 4
+        k = doc_id % 5
         if k in (0, 1):
             arr = multimodal.synth_pixels(doc_id).astype(np.int64)
             assert r["format"] == ("PNG" if k == 0 else "BMP")
@@ -302,9 +302,13 @@ def test_decode_pixels_pipeline_matches_formula(ray_session):
             arr = s.astype(np.int64)
             assert r["format"] == "WAV"
             assert (r["width"], r["height"]) == (rate, s.shape[1])
-        else:
+        elif k == 3:
             arr = multimodal.synth_gif_rgb(doc_id).astype(np.int64)
             assert r["format"] == "GIF"
+            assert (r["width"], r["height"]) == (arr.shape[1], arr.shape[0])
+        else:
+            arr = multimodal.synth_blocks(doc_id).astype(np.int64)
+            assert r["format"] == "JPEG"
             assert (r["width"], r["height"]) == (arr.shape[1], arr.shape[0])
         assert r["n_values"] == arr.size
         assert r["sum_values"] == arr.sum()
@@ -314,17 +318,87 @@ def test_decode_pixels_pipeline_matches_formula(ray_session):
 
 def test_resize_stats_pipeline(ray_session):
     out = multimodal.resize_stats(SF).to_pandas().set_index("media_id")
-    # every doc except WAVs (doc_id % 4 == 2) yields a resizable image
-    assert set(out.index) == {i for i in range(500) if i % 4 != 2}
-    for doc_id in (0, 1, 3, 4):
-        arr = (
-            multimodal.synth_gif_rgb(doc_id)
-            if doc_id % 4 == 3
-            else multimodal.synth_pixels(doc_id)
-        )
+    # every doc except WAVs (doc_id % 5 == 2) yields a resizable image
+    assert set(out.index) == {i for i in range(500) if i % 5 != 2}
+    for doc_id in (0, 1, 3, 4, 5):
+        k = doc_id % 5
+        if k == 3:
+            arr = multimodal.synth_gif_rgb(doc_id)
+        elif k == 4:
+            arr = multimodal.synth_blocks(doc_id)
+        else:
+            arr = multimodal.synth_pixels(doc_id)
         h2, w2 = arr.shape[0] // 2, arr.shape[1] // 2
         a = arr[: h2 * 2, : w2 * 2].astype(np.int64)
-        small = a.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
+        if a.ndim == 2:
+            small = a.reshape(h2, 2, w2, 2).sum(axis=(1, 3)) // 4
+        else:
+            small = a.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4
         r = out.loc[doc_id]
         assert (r["resized_w"], r["resized_h"]) == (w2, h2)
         assert r["sum_resized"] == small.sum()
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec
+# ---------------------------------------------------------------------------
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """Block-constant mosaics round-trip EXACTLY (only DC coefficients, no
+    quantization loss at Q=1) — the invariant the golden corpus relies on."""
+    for doc_id in (4, 9, 14, 19, 104):
+        img = multimodal.synth_blocks(doc_id)
+        out = md.decode_jpeg_gray(md.encode_jpeg_gray(img))
+        assert np.array_equal(out, img)
+
+
+def test_jpeg_general_image_near_exact_and_odd_dims():
+    """Non-constant blocks exercise AC run-length coding (ZRL, EOB, all
+    magnitude categories); at Q=1 the only loss is DCT-coefficient rounding
+    (<= 1 gray level here). Odd dims exercise pad-to-MCU + crop."""
+    g = ((np.arange(24)[:, None] * 3 + np.arange(40)[None, :] * 7) % 256).astype(np.uint8)
+    o = md.decode_jpeg_gray(md.encode_jpeg_gray(g))
+    assert o.shape == g.shape
+    assert np.abs(o.astype(int) - g.astype(int)).max() <= 1
+    rng = np.random.default_rng(5)
+    r = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    o2 = md.decode_jpeg_gray(md.encode_jpeg_gray(r))
+    assert o2.shape == (13, 21)
+    assert np.abs(o2.astype(int) - r.astype(int)).max() <= 2
+
+
+def test_jpeg_quant_divisor_and_byte_stuffing():
+    """A coarser quant table still decodes (lossy but bounded by quant/2 per
+    coefficient); encoder must byte-stuff any 0xFF in the entropy stream."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    b = md.encode_jpeg_gray(img, quant=8)
+    out = md.decode_jpeg_gray(b)
+    assert out.shape == img.shape
+    # Parseval-ish bound: per-pixel error <= sum of 64 coeff errors / 8
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8 * 64 // 16
+
+
+def test_jpeg_rejects_color_progressive_and_garbage():
+    import pytest as _pytest
+
+    from agenticknowledgegraphconstructionsystem_ray.functions import mediasniff as ms
+
+    with _pytest.raises(ValueError):
+        md.decode_jpeg_gray(b"not a jpeg")
+    # the sniffer-corpus JPEG (header + raw text body) has no DHT/SOS scan
+    with _pytest.raises(ValueError):
+        md.decode_jpeg_gray(ms.build_jpeg(16, 16, b"x" * 64))
+    # color SOF0: 3 components
+    img = multimodal.synth_blocks(4)
+    b = md.encode_jpeg_gray(img)
+    i = b.find(b"\xff\xc0")
+    bad = bytearray(b)
+    bad[i + 9] = 3  # ncomp
+    with _pytest.raises(ValueError, match="color"):
+        md.decode_jpeg_gray(bytes(bad))
+    # progressive marker
+    bad2 = bytearray(b)
+    bad2[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        md.decode_jpeg_gray(bytes(bad2))
