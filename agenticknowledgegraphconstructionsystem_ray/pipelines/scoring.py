@@ -39,6 +39,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ray.data.aggregate import Count, Sum
 
@@ -369,6 +370,119 @@ def sk_heavy_hitters(sf_dir: str):
 # driver registration
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# q49: unigram-LM surprisal scoring (the perplexity-filter shape)
+# ---------------------------------------------------------------------------
+
+_LM_VOCAB = 2000  # broadcast top-V vocabulary; everything else scores as OOV
+
+
+def q49_lm_surprisal(sf_dir: str):
+    """Per-document unigram language-model surprisal — the integer-exact
+    shape of CCNet-style perplexity filtering (train a cheap LM on the
+    corpus, score every document, filter/bucket on the score).
+
+    Pass 1 (train): per-block partial term counts (combiner) -> one
+    vocab-keyed groupby sum -> exact top-``_LM_VOCAB`` vocabulary. The
+    top-V merge is scale-safe AND exact: after the groupby each term lives
+    in exactly one block, so block-local top-V (vectorized lexsort) -> a
+    driver merge of at most blocks x V rows, never vocabulary-sized. The
+    total token count is a Sum aggregate over the same counts dataset.
+
+    Pass 2 (score): the (term -> surprisal) table is broadcast ONCE via
+    ray.put (bounded by V, not the vocabulary) and fetched per actor; each
+    batch is one dict-lookup pass. Surprisal is integer-exact so driver
+    hashes are stable across engines: surprisal(t) = digits10(total //
+    count(t)), OOV = digits10(total) + 1 — a log10-quantized -log p(t),
+    monotone in rarity, reproducible bit-for-bit in SQL via
+    length(CAST(total // cnt AS VARCHAR)).
+    """
+    counts = (
+        _tf_pairs(sf_dir)
+        .map_batches(
+            lambda t: pa.table(
+                {"term": t["term"], "n_p": t["tf"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .materialize()  # vocab-sized, consumed twice (total + top-V)
+    )
+    total = int(counts.sum("n"))
+
+    def block_topv(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        keep = np.lexsort((terms, -n))[:_LM_VOCAB]
+        return pa.table(
+            {
+                "term": pa.array(terms[keep].tolist(), pa.string()),
+                "n": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    cand = counts.map_batches(block_topv, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["n"], r["term"]))
+    vocab = {
+        r["term"]: len(str(total // r["n"])) for r in cand[:_LM_VOCAB]
+    }
+    ref = ray.put((vocab, len(str(total)) + 1))
+
+    class ScoreLM:
+        def __init__(self, ref) -> None:
+            self.w, self.oov = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            w, oov = self.w, self.oov
+            n_tokens, scores = [], []
+            for text in t["text"].to_pylist():
+                toks = _TOKEN_RE.findall(text.lower())
+                n_tokens.append(len(toks))
+                scores.append(sum(w.get(tok, oov) for tok in toks))
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_tokens": pa.array(n_tokens, pa.int64()),
+                    "lm_score": pa.array(scores, pa.int64()),
+                }
+            )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        ScoreLM,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q50: per-source document cap (domain cap)
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 10
+
+
+def q50_source_cap(sf_dir: str):
+    """Per-domain document cap — keep only the ``_SOURCE_CAP`` longest
+    documents per source (ties by doc_id), the standard web-pipeline guard
+    against a single domain dominating the training mix. Routed through the
+    grouped top-k combiner so at most CAP rows per (block, source) reach the
+    shuffle — hot domains cost O(CAP) per block, not their full row count."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    top = grouped_topk(
+        docs,
+        group_key="source",
+        by=["n_chars", "doc_id"],
+        descending=[True, False],
+        k=_SOURCE_CAP,
+    )
+    return top.select_columns(["source", "doc_id", "n_chars"]).sort(
+        ["source", "doc_id"]
+    )
+
+
 _TOK_SQL = (
     "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
     "'[^a-z0-9]+'), x -> x <> '')) AS term FROM documents"
@@ -378,6 +492,8 @@ QUERIES = {
     "q41_tfidf_top_terms": q41_tfidf_top_terms,
     "q42_inverted_index": q42_inverted_index,
     "q43_doc_dev": q43_doc_dev,
+    "q49_lm_surprisal": q49_lm_surprisal,
+    "q50_source_cap": q50_source_cap,
     "sk_heavy_hitters": sk_heavy_hitters,
 }
 
@@ -430,6 +546,47 @@ ORACLE_SQL: dict[str, str] = {
                     - SUM(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS dev
         FROM documents
         ORDER BY doc_id
+    """,
+    "q49_lm_surprisal": f"""
+        WITH tok AS ({_TOK_SQL}),
+        cnt AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+        vocab AS (
+            SELECT term, cnt FROM (
+                SELECT term, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, term) AS rk
+                FROM cnt
+            ) WHERE rk <= {_LM_VOCAB}
+        ),
+        per_tok AS (
+            SELECT t.doc_id,
+                   CASE WHEN v.term IS NULL
+                        THEN length(CAST(tot.total AS VARCHAR)) + 1
+                        ELSE length(CAST((tot.total // v.cnt) AS VARCHAR))
+                   END AS s
+            FROM tok t CROSS JOIN tot LEFT JOIN vocab v USING (term)
+        ),
+        agg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(s) AS BIGINT) AS lm_score
+            FROM per_tok GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(a.lm_score, 0) AS BIGINT) AS lm_score
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    "q50_source_cap": f"""
+        SELECT source, doc_id, n_chars FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= {_SOURCE_CAP}
+        ORDER BY source, doc_id
     """,
     "sk_heavy_hitters": f"""
         SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM (

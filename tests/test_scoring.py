@@ -133,3 +133,61 @@ class TestTfidf:
         assert (df_per_term == 1).all()
         # tf >= 1, df >= 1
         assert (t["tf"] >= 1).all() and (t["df"] >= 1).all()
+
+
+class TestLMSurprisal:
+    def test_scores_monotone_in_rarity(self, ray_session):
+        out = scoring.q49_lm_surprisal(SF).to_pandas()
+        assert len(out) == 500
+        assert (out["lm_score"] >= out["n_tokens"]).all()  # >= 1 digit/token
+        # a doc's score per token is bounded by the OOV surprisal
+        import duckdb
+
+        total = duckdb.sql(
+            f"""SELECT COUNT(*) FROM (SELECT unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+            FROM read_parquet('{SF}/documents.parquet'))"""
+        ).fetchone()[0]
+        oov = len(str(total)) + 1
+        nz = out[out["n_tokens"] > 0]
+        assert (nz["lm_score"] <= nz["n_tokens"] * oov).all()
+
+    def test_vocab_rule_matches_definition(self, ray_session):
+        # hand-recount at tiny scale: every token of doc 0 scored per the
+        # digits10(total // count) rule over the exact top-V vocabulary
+        import collections
+        import re
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        tokre = re.compile(r"[a-z0-9]+")
+        cnt = collections.Counter(
+            w for x in t["text"].to_pylist() for w in tokre.findall(x.lower())
+        )
+        total = sum(cnt.values())
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: scoring._LM_VOCAB]
+        w = {k: len(str(total // v)) for k, v in top}
+        oov = len(str(total)) + 1
+        doc0 = t["text"][0].as_py()
+        expect = sum(w.get(tok, oov) for tok in tokre.findall(doc0.lower()))
+        out = scoring.q49_lm_surprisal(SF).to_pandas().set_index("doc_id")
+        assert out.loc[0, "lm_score"] == expect
+
+
+class TestSourceCap:
+    def test_cap_and_ordering(self, ray_session):
+        out = scoring.q50_source_cap(SF).to_pandas()
+        sizes = out.groupby("source").size()
+        assert (sizes <= scoring._SOURCE_CAP).all()
+        # kept docs per source are exactly the CAP longest (ties doc_id asc)
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        ).to_pandas()
+        for src, grp in docs.groupby("source"):
+            want = grp.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            want = set(want.head(scoring._SOURCE_CAP)["doc_id"])
+            got = set(out[out["source"] == src]["doc_id"])
+            assert got == want
