@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         scoring,
         temporal,
         training,
+        webclean,
     )
 
     q: dict[str, Callable[[str], Any]] = dict(analytics.QUERIES)
@@ -40,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(temporal.QUERIES)
     q.update(scoring.QUERIES)
     q.update(assembly.QUERIES)
+    q.update(webclean.QUERIES)
     q.update(
         {
             "kg_edges": kgqueries.kg_edges,
@@ -75,6 +77,7 @@ def oracle_sql() -> dict[str, str]:
         scoring,
         temporal,
         training,
+        webclean,
     )
 
     goldens.ensure_kg_golden()
@@ -84,5 +87,6 @@ def oracle_sql() -> dict[str, str]:
         **temporal.ORACLE_SQL,
         **scoring.ORACLE_SQL,
         **assembly.ORACLE_SQL,
+        **webclean.ORACLE_SQL,
         **goldens.kg_oracle_sql(),
     }

@@ -1,0 +1,288 @@
+"""Webtext cleaning operators: PII redaction and boilerplate n-gram removal.
+
+The two cleaning passes a Common-Crawl-style corpus needs between raw text
+and training-data assembly (reference analog: the entity/CSV cleaning family
+`src/kg/utils/validation.py` / SURVEY §2.8, generalized from field-level to
+corpus-level cleaning):
+
+- q51 PII redaction     email / URL / long-digit-run detection + masking.
+                        Fully vectorized: pyarrow.compute's RE2 kernels
+                        (count_substring_regex + replace_substring_regex)
+                        over the whole batch — no per-row Python. DuckDB is
+                        also RE2, so the SQL oracle runs the IDENTICAL
+                        pattern semantics (the same reason the extraction
+                        kernel shares one regex grammar, NOTES invariant 1).
+                        The synthetic corpus contains no PII, so the query
+                        augments each document with deterministically
+                        derived addresses/URLs/ids (text || formula(doc_id)
+                        — the same trick the media family uses to make real
+                        codecs driver-verifiable); the oracle constructs the
+                        identical augmented text in SQL.
+- q52 boilerplate       corpus-frequent 3-gram removal (RefinedWeb-style
+  n-gram removal         line dedup re-expressed for a corpus without line
+                        structure): any 3-gram appearing in >= ceil(1% of
+                        documents) distinct documents is boilerplate; every
+                        token covered by an occurrence of a frequent 3-gram
+                        is removed. Shape: distinct (doc, gram) explode ->
+                        one groupby count -> the frequent set (bounded by
+                        the relative-frequency threshold, NOT vocabulary-
+                        sized: at 1% it holds only grams repeated across
+                        >= n/100 docs) broadcast once via ray.put -> a
+                        second streaming pass marks covered token spans.
+                        Overlapping spans are unioned (position-set
+                        semantics), which the oracle mirrors with a
+                        DISTINCT position join.
+
+Both emit integer-only columns (counts and redacted lengths), keeping
+driver value-hashes dtype-stable (NOTES invariant 2).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ray.data.aggregate import Count
+
+from ..sources.tables import read_table
+
+# ---------------------------------------------------------------------------
+# q51: PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no backrefs/lookaround): identical semantics in
+# pyarrow.compute and DuckDB, both RE2-backed.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+NUM_RE = r"[0-9]{6,}"
+
+
+def _augment_sql_expr(col: str = "text") -> str:
+    """The SQL expression building the SAME augmented text as _augment()."""
+    return (
+        f"{col} || ' contact user' || doc_id || '@example.com or admin' || "
+        "doc_id || '@test.org see https://example.com/p/' || doc_id || "
+        "' ref ' || (1000000 + doc_id)"
+    )
+
+
+def _augment(t: pa.Table) -> pa.Table:
+    """Deterministically splice PII-shaped spans into each document (the
+    corpus itself has none): two emails, one URL, one >=7-digit id."""
+    ids = t["doc_id"]
+    ids_str = pc.cast(ids, pa.string())
+    aug = pc.binary_join_element_wise(
+        t["text"],
+        " contact user",
+        ids_str,
+        "@example.com or admin",
+        ids_str,
+        "@test.org see https://example.com/p/",
+        ids_str,
+        " ref ",
+        pc.cast(pc.add(ids, 1000000), pa.string()),
+        "",
+    )
+    return pa.table({"doc_id": ids, "text": aug})
+
+
+def redact_batch(t: pa.Table) -> pa.Table:
+    """One vectorized redaction pass: URL -> EMAIL -> NUM, counting matches
+    on the text as it stands at each step (so a digit run inside an
+    already-masked URL is never double-counted). Pure Arrow kernels."""
+    s = t["text"].combine_chunks()
+    n_urls = pc.count_substring_regex(s, URL_RE)
+    s = pc.replace_substring_regex(s, URL_RE, "<URL>")
+    n_emails = pc.count_substring_regex(s, EMAIL_RE)
+    s = pc.replace_substring_regex(s, EMAIL_RE, "<EMAIL>")
+    n_nums = pc.count_substring_regex(s, NUM_RE)
+    s = pc.replace_substring_regex(s, NUM_RE, "<NUM>")
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_urls": pc.cast(n_urls, pa.int64()),
+            "n_emails": pc.cast(n_emails, pa.int64()),
+            "n_nums": pc.cast(n_nums, pa.int64()),
+            "n_chars_clean": pc.cast(pc.utf8_length(s), pa.int64()),
+        }
+    )
+
+
+def q51_redact_pii(sf_dir: str):
+    """PII redaction over the augmented corpus; see module docstring."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        docs.map_batches(_augment, batch_format="pyarrow")
+        .map_batches(redact_batch, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52: corpus-frequent 3-gram boilerplate removal
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_GRAM_N = 3
+_REL_DF = 0.01  # boilerplate = 3-gram present in >= ceil(1% of docs) docs
+
+
+def _doc_grams(t: pa.Table) -> pa.Table:
+    """Distinct (doc_id, gram) rows per document (df semantics)."""
+    ids, grams = [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        ts = _TOKEN_RE.findall(text.lower())
+        seen = {
+            " ".join(ts[i : i + _GRAM_N])
+            for i in range(len(ts) - _GRAM_N + 1)
+        }
+        ids.extend([doc_id] * len(seen))
+        grams.extend(seen)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "gram": pa.array(grams, pa.string()),
+        }
+    )
+
+
+class _RemoveBoilerplate:
+    """Second pass: mark every token covered by a frequent-3-gram occurrence
+    (overlaps unioned), emit per-doc counts. The frequent set is fetched
+    once per actor from the object store."""
+
+    def __init__(self, freq_ref) -> None:
+        self.freq = ray.get(freq_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        freq = self.freq
+        n_tokens, n_removed = [], []
+        for text in t["text"].to_pylist():
+            ts = _TOKEN_RE.findall(text.lower())
+            covered = np.zeros(len(ts), dtype=bool)
+            for i in range(len(ts) - _GRAM_N + 1):
+                if " ".join(ts[i : i + _GRAM_N]) in freq:
+                    covered[i : i + _GRAM_N] = True
+            n_tokens.append(len(ts))
+            n_removed.append(int(covered.sum()))
+        n_tokens_a = pa.array(n_tokens, pa.int64())
+        n_removed_a = pa.array(n_removed, pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n_tokens_a,
+                "n_removed": n_removed_a,
+                "n_kept": pc.subtract(n_tokens_a, n_removed_a),
+            }
+        )
+
+
+def q52_boilerplate_ngrams(sf_dir: str):
+    """Corpus-frequent 3-gram removal; see module docstring. Two corpus
+    passes + one gram-keyed groupby; the only driver-side state is the
+    frequent set itself, bounded by the relative-df threshold."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    thresh = max(2, math.ceil(_REL_DF * docs.count()))
+    freq_rows = (
+        docs.map_batches(_doc_grams, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Count(alias_name="df"))
+        .filter(expr=f"df >= {thresh}")
+        .take_all()
+    )
+    freq_ref = ray.put(frozenset(r["gram"] for r in freq_rows))
+    return docs.map_batches(
+        _RemoveBoilerplate,
+        fn_constructor_kwargs={"freq_ref": freq_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# driver registration
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q51_redact_pii": q51_redact_pii,
+    "q52_boilerplate_ngrams": q52_boilerplate_ngrams,
+}
+
+_AUG_SQL = _augment_sql_expr()
+
+ORACLE_SQL: dict[str, str] = {
+    "q51_redact_pii": f"""
+        WITH aug AS (SELECT doc_id, {_AUG_SQL} AS text FROM documents),
+        s1 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{URL_RE}')) AS BIGINT)
+                       AS n_urls,
+                   regexp_replace(text, '{URL_RE}', '<URL>', 'g') AS text
+            FROM aug
+        ),
+        s2 AS (
+            SELECT doc_id, n_urls,
+                   CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+                       AS n_emails,
+                   regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS text
+            FROM s1
+        ),
+        s3 AS (
+            SELECT doc_id, n_urls, n_emails,
+                   CAST(len(regexp_extract_all(text, '{NUM_RE}')) AS BIGINT)
+                       AS n_nums,
+                   regexp_replace(text, '{NUM_RE}', '<NUM>', 'g') AS text
+            FROM s2
+        )
+        SELECT doc_id, n_urls, n_emails, n_nums,
+               CAST(length(text) AS BIGINT) AS n_chars_clean
+        FROM s3 ORDER BY doc_id
+    """,
+    "q52_boilerplate_ngrams": f"""
+        WITH tok AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '') AS ts
+            FROM documents
+        ),
+        th AS (
+            SELECT GREATEST(CAST(ceil({_REL_DF} * COUNT(*)) AS BIGINT), 2)
+                AS thresh
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i,
+                   array_to_string(list_slice(ts, i, i + {_GRAM_N} - 1), ' ')
+                       AS g
+            FROM (
+                SELECT doc_id, ts,
+                       unnest(range(1, len(ts) - {_GRAM_N} + 2)) AS i
+                FROM tok WHERE len(ts) >= {_GRAM_N}
+            )
+        ),
+        freq AS (
+            SELECT g FROM grams CROSS JOIN th
+            GROUP BY g, th.thresh
+            HAVING COUNT(DISTINCT doc_id) >= th.thresh
+        ),
+        hitpos AS (
+            SELECT DISTINCT gr.doc_id, gr.i + d.d AS pos
+            FROM grams gr
+            JOIN freq USING (g)
+            CROSS JOIN (VALUES (0), (1), (2)) AS d(d)
+        ),
+        cov AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+            FROM hitpos GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed,
+               CAST(len(t.ts) - COALESCE(c.n_removed, 0) AS BIGINT) AS n_kept
+        FROM tok t LEFT JOIN cov c USING (doc_id)
+        ORDER BY t.doc_id
+    """,
+}

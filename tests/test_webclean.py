@@ -1,0 +1,105 @@
+"""Unit tests for the webtext cleaning operators (pipelines/webclean.py).
+End-to-end SQL parity of q51/q52 is covered by tools/check_oracles.py and
+the driver; these tests pin the kernel semantics on crafted inputs."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from agenticknowledgegraphconstructionsystem_ray.pipelines import webclean
+
+
+def _redact_one(text: str) -> dict:
+    t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": [text]})
+    out = webclean.redact_batch(t)
+    return {k: out[k][0].as_py() for k in out.column_names}
+
+
+class TestRedact:
+    def test_counts_and_masking(self):
+        r = _redact_one(
+            "mail a@b.com and c.d+x@e.org, see https://x.y/z?q=1 id 1234567"
+        )
+        assert r["n_emails"] == 2
+        assert r["n_urls"] == 1
+        assert r["n_nums"] == 1
+        clean = "mail <EMAIL> and <EMAIL>, see <URL> id <NUM>"
+        assert r["n_chars_clean"] == len(clean)
+
+    def test_url_swallows_embedded_email_and_digits(self):
+        # URL is redacted first and [^\s]+ runs to whitespace, so an email
+        # or long digit run inside the URL is masked with it, not
+        # double-counted afterwards.
+        r = _redact_one("go https://x.y/a@b.com/1234567890 now")
+        assert r["n_urls"] == 1
+        assert r["n_emails"] == 0
+        assert r["n_nums"] == 0
+
+    def test_short_digit_runs_kept(self):
+        r = _redact_one("version 12345 is fine but 123456 is an id")
+        assert r["n_nums"] == 1
+
+    def test_no_pii_passthrough(self):
+        r = _redact_one("plain words only")
+        assert (r["n_urls"], r["n_emails"], r["n_nums"]) == (0, 0, 0)
+        assert r["n_chars_clean"] == len("plain words only")
+
+
+class TestBoilerplate:
+    def _run(self, texts):
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        ds = rd.from_arrow(t)
+        # mirror q52's wiring on an in-memory dataset
+        import math
+
+        from ray.data.aggregate import Count
+
+        thresh = max(2, math.ceil(webclean._REL_DF * ds.count()))
+        freq_rows = (
+            ds.map_batches(webclean._doc_grams, batch_format="pyarrow")
+            .groupby("gram")
+            .aggregate(Count(alias_name="df"))
+            .filter(expr=f"df >= {thresh}")
+            .take_all()
+        )
+        freq_ref = ray.put(frozenset(r["gram"] for r in freq_rows))
+        out = (
+            ds.map_batches(
+                webclean._RemoveBoilerplate,
+                fn_constructor_kwargs={"freq_ref": freq_ref},
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+            .sort("doc_id")
+            .to_pandas()
+        )
+        return out.set_index("doc_id")
+
+    def test_frequent_gram_removed_everywhere(self, ray_session):
+        boiler = "click here now"
+        texts = [f"{boiler} unique{i} tail{i}" for i in range(10)]
+        texts.append("totally different words altogether")
+        out = self._run(texts)
+        for i in range(10):
+            assert out.loc[i, "n_removed"] == 3  # the planted 3-gram
+            assert out.loc[i, "n_kept"] == 2
+        assert out.loc[10, "n_removed"] == 0
+
+    def test_overlapping_spans_unioned(self, ray_session):
+        # "a b c" and "b c d" both frequent -> positions {0,1,2,3} covered
+        # in "a b c d x": 4 removed, not 6.
+        texts = [f"a b c d x{i}" for i in range(10)]
+        out = self._run(texts)
+        assert (out["n_removed"] == 4).all()
+        assert (out["n_kept"] == 1).all()
+
+    def test_short_docs_untouched(self, ray_session):
+        texts = ["xx yy" for _ in range(5)] + [f"p q r s{i}" for i in range(5)]
+        out = self._run(texts)
+        assert (out.loc[:4, "n_removed"] == 0).all()
