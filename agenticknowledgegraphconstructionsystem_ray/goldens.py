@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "10"  # v10: JPEG joins the real-codec corpus (doc_id % 5)
+GOLDEN_VERSION = "11"  # v11: + integer-exact k-means golden (ml_kmeans)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -537,6 +537,41 @@ def _seq_keep_best(sf_dir: str, pairs: pa.Table) -> pa.Table:
     return _seq_pairs_keep(sf_dir, pairs, score_of=score_of)
 
 
+def _seq_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
+    """Sequential Lloyd's k-means golden: one numpy process, plain loop —
+    same pure kernels (km_quantize / km_assign, stages/similarity.py) and
+    the identical integer floor-mean update, independent orchestration.
+    Exact agreement with the distributed path is guaranteed by the int64
+    fixed-point contract (block order cannot change integer sums)."""
+    import numpy as np
+
+    from .stages.similarity import km_assign, km_quantize
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    order = pa.compute.sort_indices(t["vec_id"])
+    vec_ids = pa.compute.take(t["vec_id"], order).to_numpy()
+    mat = np.array(pa.compute.take(t["embedding"], order).to_pylist(), np.float64)
+    q = km_quantize(mat)
+    cent = q[:k].copy()  # vec_ids are 0..n-1 sorted, so seeds = ids < k
+    for _ in range(iters):
+        cl, _ = km_assign(q, cent)
+        cent = cent.copy()
+        for j in range(k):
+            sel = q[cl == j]
+            if len(sel):
+                cent[j] = sel.sum(axis=0) // len(sel)
+    cl, d = km_assign(q, cent)
+    return pa.table(
+        {
+            "vec_id": pa.array(vec_ids, pa.int64()),
+            "cluster": pa.array(cl, pa.int64()),
+            "dist2": pa.array(d, pa.int64()),
+        }
+    )
+
+
 def _seq_pagerank(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
     """Sequential fixed-point PageRank golden — same integer semantics as
     :func:`..pipelines.graphalgo.pagerank` (distinct linked (subj, obj)
@@ -745,6 +780,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["hll_terms"] = _seq_hll_terms(sf_dir)
         tables["mm_decode"] = _seq_media_decode(sf_dir)
         tables["mm_resize"] = _seq_media_resize(sf_dir)
+        tables["kmeans"] = _seq_kmeans(sf_dir)
 
     import shutil
 
@@ -895,6 +931,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "dd_keep_best": f"""
             SELECT doc_id, rep_id, keep FROM {_g('dd_keep_best')}
+        """,
+        "ml_kmeans": f"""
+            SELECT vec_id, cluster, dist2 FROM {_g('kmeans')}
         """,
         "tx_fingerprints": f"""
             SELECT doc_id, fp_min, n_fps FROM {_g('fingerprints')}

@@ -415,6 +415,15 @@ def ann_brute_topk(sf_dir: str):
     return similarity.brute_force_topk(sf_dir, query_ids=[0, 1, 2], k=10)
 
 
+def ml_kmeans(sf_dir: str):
+    """Distributed integer-exact Lloyd's k-means over the embeddings table
+    (stages/similarity.kmeans_assign); golden-file oracle goldens._seq_kmeans
+    proves bit-exact parity with a sequential recomputation."""
+    from ..stages.similarity import kmeans_assign
+
+    return kmeans_assign(sf_dir)
+
+
 def ann_ivf_topk(sf_dir: str):
     return similarity.ivf_topk(sf_dir, query_ids=[0, 1, 2], k=10)
 
@@ -611,4 +620,5 @@ QUERIES = {
     "sk_hll_terms": sk_hll_terms,
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ml_kmeans": ml_kmeans,
 }

@@ -240,3 +240,97 @@ def ivf_topk(
         .take_all()
     )
     return _merge_partials(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means (integer-exact)
+# ---------------------------------------------------------------------------
+# Unlike _kmeans_lite (a driver-side sample trainer for IVF), this is FULL
+# Lloyd's over the whole corpus: each iteration is one streaming pass —
+# broadcast centroids via ray.put, per-block int64 partial (count, sum)
+# combiner, then a driver merge of (blocks x K) tiny rows. No corpus-sized
+# driver state; the corpus is read, never materialized.
+#
+# Determinism contract (NOTES invariant 2): embeddings are quantized to
+# int64 at _KM_QUANT, so distances, partial sums and floor-divided centroid
+# updates are exact integers — the result is bit-identical regardless of
+# block order or parallelism, which float accumulation cannot promise, and
+# the sequential golden (goldens._seq_kmeans) reproduces it exactly.
+
+_KM_QUANT = 1 << 20
+
+
+def km_quantize(mat: np.ndarray) -> np.ndarray:
+    """float embedding matrix -> int64 fixed-point (shared with the golden)."""
+    return np.rint(mat * _KM_QUANT).astype(np.int64)
+
+
+def km_assign(q: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(rows, dim) int64 x (K, dim) int64 -> (cluster ids, squared dists),
+    ties to the smallest cluster id (np.argmin order). Exact int64: the
+    expansion ||q||^2 - 2 q.c + ||c||^2 stays within ~2^43 for unit-norm-ish
+    embeddings at _KM_QUANT."""
+    qq = np.einsum("ij,ij->i", q, q)
+    cc = np.einsum("ij,ij->i", cent, cent)
+    d = qq[:, None] - 2 * (q @ cent.T) + cc[None, :]
+    cl = np.argmin(d, axis=1)
+    return cl, d[np.arange(len(q)), cl]
+
+
+def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd's k-means over the embeddings table: K deterministic
+    seeds (the K smallest vec_ids), ``iters`` full passes, then a final
+    assignment pass emitting (vec_id, cluster, dist2). Empty clusters keep
+    their previous centroid (deterministic, no re-seeding RNG)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    seeds = ds.filter(expr=f"vec_id < {k}").take_all()
+    seeds.sort(key=lambda r: r["vec_id"])
+    cent = km_quantize(np.array([r["embedding"] for r in seeds], np.float64))
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            q = km_quantize(_matrix(t))
+            cl, _ = km_assign(q, c)
+            rows_c, rows_n, rows_s = [], [], []
+            for j in np.unique(cl):
+                sel = q[cl == j]
+                rows_c.append(int(j))
+                rows_n.append(len(sel))
+                rows_s.append(sel.sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "cluster": pa.array(rows_c, pa.int64()),
+                    "n": pa.array(rows_n, pa.int64()),
+                    "s": pa.array(rows_s, pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        counts = np.zeros(k, np.int64)
+        sums = np.zeros_like(cent)
+        for r in parts:
+            counts[r["cluster"]] += r["n"]
+            sums[r["cluster"]] += np.asarray(r["s"], np.int64)
+        nz = counts > 0
+        cent = cent.copy()
+        cent[nz] = sums[nz] // counts[nz, None]  # exact floor mean
+
+    ref = ray.put(cent)
+
+    def assign(t: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        q = km_quantize(_matrix(t))
+        cl, d = km_assign(q, c)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(cl, pa.int64()),
+                "dist2": pa.array(d, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("vec_id")

@@ -83,3 +83,39 @@ def test_matrix_rejects_nulls_and_ragged():
         _matrix(pa.table({"embedding": pa.array([[1.0, 2.0], [3.0, 4.0, 5.0, 6.0]])}))
     m = _matrix(pa.table({"embedding": pa.array([[1.0, 2.0], [3.0, 4.0]])}))
     assert m.shape == (2, 2) and m[1, 0] == 3.0
+
+
+class TestKMeans:
+    def test_assignment_properties(self, ray_session):
+        import numpy as np
+
+        from agenticknowledgegraphconstructionsystem_ray.stages import similarity as sim
+
+        out = sim.kmeans_assign("/root/testdata/sf0.001", k=8, iters=3).to_pandas()
+        assert len(out) == 500
+        assert set(out["cluster"]) <= set(range(8))
+        assert (out["dist2"] >= 0).all()
+        # multiple clusters actually used on random data
+        assert out["cluster"].nunique() > 1
+
+    def test_integer_kernel_deterministic_under_blocking(self):
+        import numpy as np
+
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            km_assign,
+            km_quantize,
+        )
+
+        rng = np.random.default_rng(3)
+        m = rng.normal(0, 0.3, (200, 16))
+        q = km_quantize(m)
+        cent = q[:4].copy()
+        # summing per-cluster in any block split gives identical int sums
+        cl, _ = km_assign(q, cent)
+        full = np.stack([q[cl == j].sum(axis=0) for j in range(4)])
+        split = np.zeros_like(full)
+        for lo, hi in ((0, 67), (67, 131), (131, 200)):
+            cls, _ = km_assign(q[lo:hi], cent)
+            for j in range(4):
+                split[j] += q[lo:hi][cls == j].sum(axis=0)
+        assert np.array_equal(full, split)
