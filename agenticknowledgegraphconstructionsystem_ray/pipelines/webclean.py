@@ -205,12 +205,137 @@ def q52_boilerplate_ngrams(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# q53: cross-document duplicated-span detection (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8  # Lee et al. 2022 "Deduplicating Training Data ..." uses 50-token
+# windows on BPE tokens; 8 words is the same mechanism scaled to this
+# corpus's ~25-100-token documents.
+
+
+def _doc_windows(t: pa.Table) -> pa.Table:
+    """All overlapping _SPAN_W-token windows: (doc_id, pos, gram)."""
+    ids, poss, grams = [], [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        ts = _TOKEN_RE.findall(text.lower())
+        for i in range(len(ts) - _SPAN_W + 1):
+            ids.append(doc_id)
+            poss.append(i)
+            grams.append(" ".join(ts[i : i + _SPAN_W]))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "gram": pa.array(grams, pa.string()),
+        }
+    )
+
+
+def q53_dup_spans(sf_dir: str):
+    """Exact cross-document duplicated-span detection — the detection half
+    of suffix-array substring dedup (Lee et al. 2022), with NO broadcast
+    assumption (unlike q52, whose frequent set must fit in the object
+    store): window explode -> ONE shuffle on a coarse content-hash bucket
+    of the gram -> vectorized within-bucket groupby-nunique flags every
+    occurrence of any gram spanning >= 2 distinct docs -> per-doc
+    interval-union coverage.
+
+    Per-doc output: n_tokens, n_dup_windows, n_covered (union of [pos,
+    pos+W) spans; overlaps merged: W for the first window plus
+    min(gap, W) per successive window). Docs with no duplication emit
+    zeros via the tag-union pattern (same trick as q40's anti-join) —
+    no driver-side state at any point; shuffle keys are hash buckets and
+    doc ids, never corpus-sized sets.
+    Degenerate hot grams (site boilerplate) are q52's job — run it first."""
+    from ..runtime import cluster_cpus
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    wins = docs.map_batches(_doc_windows, batch_format="pyarrow")
+
+    # Coarse-bucket self-"join": shuffle once on hash(gram) % (cpus * 8)
+    # instead of on the gram itself, then run a VECTORIZED pandas
+    # groupby-nunique inside each bucket. Same result as a per-gram group
+    # pass, but groups number in the hundreds (no million-tiny-group
+    # map_groups overhead) and no Dataset.join (whose hash aggregators
+    # lose the schema on empty partitions as of Ray 2.49). The bucket key
+    # is a stable content hash, so placement is deterministic and
+    # co-location of equal grams is guaranteed.
+    n_buckets = max(4, cluster_cpus() * 8)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        b = [
+            int.from_bytes(
+                hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+            )
+            % n_buckets
+            for g in t["gram"].to_pylist()
+        ]
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def emit_dups(df):
+        nun = df.groupby("gram")["doc_id"].transform("nunique")
+        return df.loc[nun >= 2, ["doc_id", "pos"]]
+
+    hits = (
+        wins.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit_dups, batch_format="pandas")
+    )
+
+    def coverage(df):
+        p = np.sort(df["pos"].to_numpy())
+        covered = _SPAN_W + np.minimum(np.diff(p), _SPAN_W).sum() if len(p) else 0
+        # emit an Arrow block so the union with `base` is block-type-uniform
+        return pa.table(
+            {
+                "doc_id": pa.array([int(df["doc_id"].iloc[0])], pa.int64()),
+                "n_tokens": pa.array([0], pa.int64()),
+                "n_dup_windows": pa.array([len(p)], pa.int64()),
+                "n_covered": pa.array([int(covered)], pa.int64()),
+            }
+        )
+
+    cov = hits.groupby("doc_id").map_groups(coverage, batch_format="pandas")
+
+    def base(t: pa.Table) -> pa.Table:
+        n_tok = [
+            len(_TOKEN_RE.findall(x.lower())) for x in t["text"].to_pylist()
+        ]
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_dup_windows": z,
+                "n_covered": z,
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        docs.map_batches(base, batch_format="pyarrow")
+        .union(cov)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_dup_windows", alias_name="n_dup_windows"),
+            Sum("n_covered", alias_name="n_covered"),
+        )
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver registration
 # ---------------------------------------------------------------------------
 
 QUERIES = {
     "q51_redact_pii": q51_redact_pii,
     "q52_boilerplate_ngrams": q52_boilerplate_ngrams,
+    "q53_dup_spans": q53_dup_spans,
 }
 
 _AUG_SQL = _augment_sql_expr()
@@ -242,6 +367,45 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, n_urls, n_emails, n_nums,
                CAST(length(text) AS BIGINT) AS n_chars_clean
         FROM s3 ORDER BY doc_id
+    """,
+    "q53_dup_spans": f"""
+        WITH tok AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '') AS ts
+            FROM documents
+        ),
+        win AS (
+            SELECT doc_id, i,
+                   array_to_string(list_slice(ts, i, i + {_SPAN_W} - 1), ' ')
+                       AS g
+            FROM (
+                SELECT doc_id, ts,
+                       unnest(range(1, len(ts) - {_SPAN_W} + 2)) AS i
+                FROM tok WHERE len(ts) >= {_SPAN_W}
+            )
+        ),
+        dup AS (
+            SELECT g FROM win GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        hit AS (SELECT w.doc_id, w.i FROM win w JOIN dup USING (g)),
+        marks AS (
+            SELECT doc_id, i,
+                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM hit
+        ),
+        cov AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+                   CAST(SUM(CASE WHEN prev IS NULL THEN {_SPAN_W}
+                                 ELSE LEAST(i - prev, {_SPAN_W}) END)
+                        AS BIGINT) AS n_covered
+            FROM marks GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered
+        FROM tok t LEFT JOIN cov c USING (doc_id)
+        ORDER BY t.doc_id
     """,
     "q52_boilerplate_ngrams": f"""
         WITH tok AS (

@@ -103,3 +103,62 @@ class TestBoilerplate:
         texts = ["xx yy" for _ in range(5)] + [f"p q r s{i}" for i in range(5)]
         out = self._run(texts)
         assert (out.loc[:4, "n_removed"] == 0).all()
+
+
+class TestDupSpans:
+    def test_planted_duplicate_span(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        texts = [
+            f"one two {span} three four",          # doc 0: dup at pos 2
+            f"{span} five six seven eight",        # doc 1: dup at pos 0
+            "nine ten eleven twelve thirteen fourteen fifteen sixteen",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = (
+            webclean.q53_dup_spans(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "n_dup_windows"] == 1
+        assert out.loc[0, "n_covered"] == 8
+        assert out.loc[0, "n_tokens"] == 12
+        assert out.loc[1, "n_dup_windows"] == 1
+        assert out.loc[1, "n_covered"] == 8
+        assert out.loc[2, "n_dup_windows"] == 0
+        assert out.loc[2, "n_covered"] == 0
+
+    def test_overlap_union_interval_math(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        # doc 0 and doc 1 share a 9-token run -> two overlapping 8-windows
+        # in each: coverage = 8 + min(1, 8) = 9, not 16
+        run = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+        texts = [f"x {run} y", f"{run} z w"]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(2), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 2),
+                "source": pa.array(["s"] * 2),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = (
+            webclean.q53_dup_spans(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert (out["n_dup_windows"] == 2).all()
+        assert (out["n_covered"] == 9).all()
