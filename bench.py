@@ -132,6 +132,10 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         timed("ann_brute_topk", training.ann_brute_topk)
         timed("dd_minhash_pairs", training.dd_minhash_pairs)
         timed("dd_decontaminate", assembly.dd_decontaminate)
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import scoring, webclean
+
+        timed("q49_lm_surprisal", scoring.q49_lm_surprisal)
+        timed("q53_dup_spans", webclean.q53_dup_spans)
 
     total = round(sum(queries.values()), 3)
     out = {
