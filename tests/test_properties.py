@@ -6,6 +6,8 @@ identical final counts to the unsalted oracle; property-test with
 Zipf-distributed synthetic surfaces".
 """
 
+import struct
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -157,3 +159,51 @@ def test_hll_partition_merge_equals_oneshot(n, cut):
     assert np.array_equal(merged, hll.sketch_of(keys))
     est = hll.estimate(merged)
     assert abs(est - n) <= max(3, 0.05 * n)
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec properties
+# ---------------------------------------------------------------------------
+
+from agenticknowledgegraphconstructionsystem_ray.functions import mediadecode as _md
+
+
+@given(
+    bh=st.integers(1, 4),
+    bw=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_block_constant_roundtrip_property(bh, bw, seed):
+    """ANY block-constant mosaic round-trips exactly (DC-only blocks are
+    lossless at quant=1) — the invariant the golden corpus relies on."""
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+    img = np.kron(vals, np.ones((8, 8), np.uint8))
+    assert np.array_equal(_md.decode_jpeg_gray(_md.encode_jpeg_gray(img)), img)
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_general_roundtrip_bounded_error(h, w, seed):
+    """ANY uint8 image decodes to the right shape with per-pixel error
+    bounded by DCT-coefficient rounding at quant=1 (small constant)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    out = _md.decode_jpeg_gray(_md.encode_jpeg_gray(img))
+    assert out.shape == (h, w)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_jpeg_decode_never_misdecodes_garbage(b):
+    """Garbage either raises ValueError or is not accepted silently."""
+    try:
+        _md.decode_jpeg_gray(b"\xff\xd8" + b)
+    except (ValueError, struct.error, IndexError):
+        pass
