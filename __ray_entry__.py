@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_validation_issues": kgqueries.kg_validation_issues,
             "kg_pagerank": graphalgo.kg_pagerank,
             "kg_degree_stats": graphalgo.kg_degree_stats,
+            "kg_components": graphalgo.kg_components,
         }
     )
     return q

@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "11"  # v11: + integer-exact k-means golden (ml_kmeans)
+GOLDEN_VERSION = "12"  # v12: + k-means and KG connected-components goldens
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -572,6 +572,34 @@ def _seq_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
     )
 
 
+def _seq_components(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
+    """Sequential weakly-connected-components golden: plain union-find over
+    the linked (subj_id, obj_id) edges + every node as its own seed;
+    component = smallest member id (matches min-label propagation)."""
+    uf = UnionFind()
+    for eid in nodes_t["entity_id"].to_pylist():
+        uf.add(int(eid))
+    for s_, o_ in zip(
+        edges_t["subj_id"].to_pylist(), edges_t["obj_id"].to_pylist()
+    ):
+        if s_ >= 0 and o_ >= 0:
+            uf.add(int(s_))
+            uf.add(int(o_))
+            uf.union(int(s_), int(o_))
+    comp_of: dict[int, int] = {}
+    for members in uf.components().values():
+        rep = min(members)
+        for m in members:
+            comp_of[m] = rep
+    ids = sorted(comp_of)
+    return pa.table(
+        {
+            "entity_id": pa.array(ids, pa.int64()),
+            "component": pa.array([comp_of[i] for i in ids], pa.int64()),
+        }
+    )
+
+
 def _seq_pagerank(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
     """Sequential fixed-point PageRank golden — same integer semantics as
     :func:`..pipelines.graphalgo.pagerank` (distinct linked (subj, obj)
@@ -767,6 +795,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     alias = synth.alias_dict()
     tables = _compute_kg_golden(pages_dir, alias)
     tables["pagerank"] = _seq_pagerank(tables["nodes"], tables["edges"])
+    tables["components"] = _seq_components(tables["nodes"], tables["edges"])
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
@@ -934,6 +963,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "ml_kmeans": f"""
             SELECT vec_id, cluster, dist2 FROM {_g('kmeans')}
+        """,
+        "kg_components": f"""
+            SELECT entity_id, component FROM {_g('components')}
         """,
         "tx_fingerprints": f"""
             SELECT doc_id, fp_min, n_fps FROM {_g('fingerprints')}

@@ -209,3 +209,56 @@ def kg_pagerank(sf_dir: str):
         columns=["entity_id"],
     )
     return pagerank(edges, nodes)
+
+
+def kg_components(sf_dir: str):
+    """Driver query: weakly-connected components of the materialized KG
+    entity graph via the fully driverless min-label propagation
+    (stages/canonicalize.label_propagation_components_driverless — edge set
+    AND per-round labels stay distributed). Node keys are 19-digit
+    zero-padded ids so lexicographic min == numeric min; isolated entities
+    enter as self-loops and form singleton components. Output:
+    (entity_id, component) with component = smallest reachable entity_id —
+    identical to a sequential union-find (golden-file oracle)."""
+    from ..stages.canonicalize import label_propagation_components_driverless
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+
+    def pad(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        import pyarrow.compute as pc
+
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 19, "0")
+
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["subj_id", "obj_id"],
+    ).filter(expr="subj_id >= 0 and obj_id >= 0")
+    nodes = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+        columns=["entity_id"],
+    )
+    pairs = edges.map_batches(
+        lambda t: pa.table(
+            {"a": pad(t["subj_id"]), "b": pad(t["obj_id"])}
+        ),
+        batch_format="pyarrow",
+    ).union(
+        # self-loops make isolated nodes singleton components
+        nodes.map_batches(
+            lambda t: pa.table(
+                {"a": pad(t["entity_id"]), "b": pad(t["entity_id"])}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    labels = label_propagation_components_driverless(pairs)
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": pa.compute.cast(t["node"], pa.int64()),
+                "component": pa.compute.cast(t["label"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("entity_id")

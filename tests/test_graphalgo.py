@@ -89,3 +89,18 @@ class TestDistributedParity:
         mine = graphalgo.kg_pagerank(SF).to_pandas()
         assert mine["entity_id"].tolist() == ref["entity_id"].to_pylist()
         assert mine["rank_fp"].tolist() == ref["rank_fp"].to_pylist()
+
+
+class TestComponents:
+    def test_kg_components_matches_golden(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray import goldens
+
+        d = goldens.ensure_kg_golden(sf=0.001)
+        ref = pq.read_table(os.path.join(d, "components.parquet"))
+        mine = graphalgo.kg_components(SF).to_pandas()
+        assert mine["entity_id"].tolist() == ref["entity_id"].to_pylist()
+        assert mine["component"].tolist() == ref["component"].to_pylist()
+        # component invariants: label is a member id and the minimum of its
+        # component
+        grp = mine.groupby("component")["entity_id"].min()
+        assert (grp.index == grp.values).all()
