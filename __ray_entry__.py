@@ -28,6 +28,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
         assembly,
+        corpusstat,
+        gopher,
         graphalgo,
         kgqueries,
         scoring,
@@ -42,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(scoring.QUERIES)
     q.update(assembly.QUERIES)
     q.update(webclean.QUERIES)
+    q.update(corpusstat.QUERIES)
+    q.update(gopher.QUERIES)
     q.update(
         {
             "kg_edges": kgqueries.kg_edges,
@@ -58,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_pagerank": graphalgo.kg_pagerank,
             "kg_degree_stats": graphalgo.kg_degree_stats,
             "kg_components": graphalgo.kg_components,
+            "kg_triangles": graphalgo.kg_triangles,
+            "kg_kcore": graphalgo.kg_kcore,
         }
     )
     return q
@@ -75,6 +81,8 @@ def oracle_sql() -> dict[str, str]:
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
         assembly,
+        corpusstat,
+        gopher,
         scoring,
         temporal,
         training,
@@ -89,5 +97,7 @@ def oracle_sql() -> dict[str, str]:
         **scoring.ORACLE_SQL,
         **assembly.ORACLE_SQL,
         **webclean.ORACLE_SQL,
+        **corpusstat.ORACLE_SQL,
+        **gopher.ORACLE_SQL,
         **goldens.kg_oracle_sql(),
     }

@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "12"  # v12: + k-means and KG connected-components goldens
+GOLDEN_VERSION = "13"  # v13: + KG k-core golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -643,6 +643,38 @@ def _seq_pagerank(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
     )
 
 
+def _seq_kcore(edges_t: pa.Table) -> pa.Table:
+    """Sequential k-core golden: plain-Python bulk peeling with the same
+    semantics as :func:`..pipelines.graphalgo.kcore` (undirected distinct
+    pairs of linked edges, self-loops dropped, all below-k nodes removed
+    per round). Emits (entity_id, core_deg) sorted by entity_id."""
+    from .pipelines.graphalgo import KCORE_K
+
+    edges = {
+        (min(s, o), max(s, o))
+        for s, o in zip(
+            edges_t["subj_id"].to_pylist(), edges_t["obj_id"].to_pylist()
+        )
+        if s >= 0 and o >= 0 and s != o
+    }
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        low = {n for n, d in deg.items() if d < KCORE_K}
+        if not low or not edges:
+            break
+        edges = {e for e in edges if e[0] not in low and e[1] not in low}
+    ids = sorted(deg) if edges else []
+    return pa.table(
+        {
+            "entity_id": pa.array(ids, pa.int64()),
+            "core_deg": pa.array([deg[i] for i in ids], pa.int64()),
+        }
+    )
+
+
 def _doc_ids(sf_dir: str) -> list[int]:
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     return t["doc_id"].to_pylist()
@@ -796,6 +828,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     tables = _compute_kg_golden(pages_dir, alias)
     tables["pagerank"] = _seq_pagerank(tables["nodes"], tables["edges"])
     tables["components"] = _seq_components(tables["nodes"], tables["edges"])
+    tables["kcore"] = _seq_kcore(tables["edges"])
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
@@ -861,6 +894,40 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "kg_validation_issues": f"""
             SELECT domain, key, severity, rule, message FROM {_g('issues')}
+        """,
+        "kg_triangles": f"""
+            WITH pairs AS (
+                SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                                GREATEST(subj_id, obj_id) AS b
+                FROM {_g('edges')}
+                WHERE subj_id >= 0 AND obj_id >= 0 AND subj_id <> obj_id
+            ),
+            deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM pairs
+                      UNION ALL SELECT b FROM pairs)
+                GROUP BY node
+            ),
+            ori AS (
+                SELECT CASE WHEN (d1.deg < d2.deg)
+                              OR (d1.deg = d2.deg AND p.a < p.b)
+                            THEN p.a ELSE p.b END AS src
+                FROM pairs p
+                JOIN deg d1 ON d1.node = p.a
+                JOIN deg d2 ON d2.node = p.b
+            ),
+            outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM ori GROUP BY src)
+            SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+                CAST(COALESCE(
+                    (SELECT SUM(c * (c - 1) // 2) FROM outd), 0) AS BIGINT)
+                    AS n_wedges,
+                (SELECT CAST(COUNT(*) AS BIGINT)
+                 FROM pairs e1
+                 JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+                 JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b)
+                    AS n_triangles
         """,
         "kg_top_concepts": f"""
             SELECT entity_id, canonical_name, ent_type, mention_count
@@ -963,6 +1030,10 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "ml_kmeans": f"""
             SELECT vec_id, cluster, dist2 FROM {_g('kmeans')}
+        """,
+        "kg_kcore": f"""
+            SELECT entity_id, core_deg FROM {_g('kcore')}
+            ORDER BY entity_id
         """,
         "kg_components": f"""
             SELECT entity_id, component FROM {_g('components')}

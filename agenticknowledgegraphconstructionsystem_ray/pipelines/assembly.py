@@ -48,6 +48,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -130,6 +131,204 @@ def dd_decontaminate(sf_dir: str):
         batch_format="pyarrow",
         concurrency=(1, 8),
     ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dd_bloom_decontaminate: same verdict, fixed-size broadcast (the scale path)
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the exact path's broadcast (every distinct eval gram as Python
+# strings in every worker process) is the scale limiter: a large benchmark
+# suite's gram set is GBs. This variant broadcasts a FIXED-SIZE Bloom bitmap
+# (state/bloom.py, n_bits/8 bytes — 128 KiB here) instead:
+#
+#   eval docs --per-block gram sets--> per-block bloom partials (fixed size)
+#     --driver OR-merge (O(blocks) x 128 KiB)--> ray.put(bitmap)
+#   corpus --screen: vectorized k-probe over every gram-->
+#     clean docs (no false negatives -> final n_hits=0, the vast majority)
+#     + candidate (doc_id, gram, n_pos) rows (true hits + bloom FP tail)
+#   candidates UNION per-block-distinct eval grams
+#     --coarse gram-hash bucket groupby--> exact membership inside buckets
+#     --groupby(doc_id) sum--> exact n_hits, bit-identical to dd_decontaminate
+#
+# Every doc also emits one sentinel row (ids only) so the final groupby
+# yields a row per document; the shuffle therefore carries O(corpus) ints +
+# O(candidates) grams — never the eval set per batch, never text.
+
+BLOOM_M_BITS = 1 << 20  # 128 KiB bitmap; sized for ~5e4 grams at k=4 -> FPR ~1e-5
+BLOOM_K = 4
+_VERIFY_BUCKETS = 64
+
+
+def _eval_bloom(sf_dir: str):
+    """OR-merged BloomFilter of all eval-doc grams (per-block partials;
+    driver cost is O(blocks) fixed-size bitmaps, independent of set size)."""
+    from ..state.bloom import BloomFilter
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if doc_id % EVAL_MOD == 0:
+                grams.update(_doc_grams(text))
+        if not grams:
+            return pa.table({"bitmap": pa.array([], pa.binary())})
+        bf = BloomFilter.build(
+            sorted(grams), n_bits=BLOOM_M_BITS, n_hashes=BLOOM_K
+        )
+        return pa.table({"bitmap": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    out = BloomFilter(n_bits=BLOOM_M_BITS, n_hashes=BLOOM_K)
+    for r in docs.map_batches(partial, batch_format="pyarrow").take_all():
+        np.bitwise_or(
+            out.bits, np.frombuffer(r["bitmap"], dtype=np.uint8), out=out.bits
+        )
+    return out
+
+
+class _BloomScreen:
+    """Actor-pool stage: probe every token position's 8-gram against the
+    broadcast bitmap (fetched once per actor). Emits one sentinel row per
+    document plus one (doc_id, gram, n_pos) row per DISTINCT flagged gram —
+    the exact-verify input. Probing is one vectorized polars hash pass over
+    the batch's concatenated gram list, not per-gram Python."""
+
+    def __init__(self, ref: "ray.ObjectRef") -> None:
+        self.bloom = ray.get(ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        per_doc = [_doc_grams(tx) for tx in texts]
+        flat: list[str] = [g for gs in per_doc for g in gs]
+        flags = self.bloom.probe_many(flat)
+
+        out_ids: list[int] = []
+        out_grams: list[str] = []
+        out_npos: list[int] = []
+        pos = 0
+        for doc_id, gs in zip(ids, per_doc):
+            out_ids.append(doc_id)  # sentinel: every doc gets a row
+            out_grams.append("")
+            out_npos.append(0)
+            n = len(gs)
+            if n:
+                f = flags[pos : pos + n]
+                if f.any():
+                    for g, c in Counter(
+                        g for g, hit in zip(gs, f) if hit
+                    ).items():
+                        out_ids.append(doc_id)
+                        out_grams.append(g)
+                        out_npos.append(c)
+                pos += n
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "gram": pa.array(out_grams, pa.string()),
+                "n_pos": pa.array(out_npos, pa.int64()),
+            }
+        )
+
+
+def _coarse_gram_bucket(t: pa.Table) -> pa.Table:
+    import polars as pl
+
+    grams = t["gram"].to_pylist()
+    h = pl.Series(grams, dtype=pl.String).hash(seed=11)
+    bkt = (h.to_numpy() % np.uint64(_VERIFY_BUCKETS)).astype(np.int64)
+    # sentinel rows all share gram "" — bucketing them by content would make
+    # one corpus-hot bucket; spread them by doc_id instead (their bucket is
+    # irrelevant to correctness: "" never matches an eval gram)
+    ids = t["doc_id"].to_numpy()
+    sentinel = np.fromiter((g == "" for g in grams), bool, len(grams))
+    bkt[sentinel] = ids[sentinel] % _VERIFY_BUCKETS
+    return t.append_column("bkt", pa.array(bkt, pa.int64()))
+
+
+def _verify_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+    """Within one coarse bucket: zero out candidate rows whose gram is not
+    truly in the eval set, then pre-sum per doc (combiner before the global
+    doc_id groupby). Sentinels ("" grams) pass through with 0."""
+    ev = set(df.loc[df["side"] == 0, "gram"])
+    cand = df[df["side"] == 1]
+    n_hits = cand["n_pos"].where(cand["gram"].isin(ev), 0)
+    out = (
+        cand.assign(n_hits=n_hits)
+        .groupby("doc_id", as_index=False, sort=False)["n_hits"]
+        .sum()
+    )
+    return out
+
+
+def dd_bloom_decontaminate(sf_dir: str):
+    """`dd_decontaminate` with a fixed-size broadcast: bloom screen (no
+    false negatives) + exact distributed verify of the candidate tail.
+    Output bit-identical to the exact path (same SQL oracle)."""
+    import pandas as pd  # noqa: F401  (map_groups pandas batches)
+
+    bloom_ref = ray.put(_eval_bloom(sf_dir))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = docs.map_batches(
+        _BloomScreen,
+        fn_constructor_kwargs={"ref": bloom_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).map_batches(
+        lambda t: t.append_column(
+            "side", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def eval_grams_block(t: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if doc_id % EVAL_MOD == 0:
+                grams.update(_doc_grams(text))
+        gl = sorted(grams)
+        return pa.table(
+            {
+                "doc_id": pa.array([0] * len(gl), pa.int64()),
+                "gram": pa.array(gl, pa.string()),
+                "n_pos": pa.array([0] * len(gl), pa.int64()),
+                "side": pa.array([0] * len(gl), pa.int64()),
+            }
+        )
+
+    # block-level-distinct eval grams suffice: the verify bucket set()-s
+    # them, so cross-block duplicates are harmless — no global dedup needed.
+    ev = docs.map_batches(eval_grams_block, batch_format="pyarrow")
+    hits = (
+        cand.union(ev)
+        .map_batches(_coarse_gram_bucket, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(_verify_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .sum("n_hits")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        n_hits = pc.cast(t["sum(n_hits)"], pa.int64())
+        is_eval = pa.array(
+            (ids.to_numpy() % EVAL_MOD == 0).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "is_eval": is_eval,
+                "n_hits": n_hits,
+                "contaminated": pc.cast(
+                    pc.greater(n_hits, pa.scalar(0, pa.int64())), pa.int64()
+                ),
+            }
+        )
+
+    return hits.map_batches(finalize, batch_format="pyarrow").sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -515,6 +714,7 @@ def dd_keep_best(sf_dir: str):
 
 QUERIES = {
     "dd_decontaminate": dd_decontaminate,
+    "dd_bloom_decontaminate": dd_bloom_decontaminate,
     "q44_shard_assignment": q44_shard_assignment,
     "q45_pack_offsets": q45_pack_offsets,
     "q46_pack_sequences": q46_pack_sequences,
@@ -665,3 +865,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM feats ORDER BY doc_id
     """,
 }
+
+# The bloom path is exact by construction (no false negatives + exact verify
+# of the candidate tail), so it shares the exact path's oracle verbatim.
+ORACLE_SQL["dd_bloom_decontaminate"] = ORACLE_SQL["dd_decontaminate"]

@@ -1,0 +1,301 @@
+"""Corpus-structure operators a web-crawl pipeline runs between ingest and
+training-data assembly: cross-host mirror detection, histogram-exact corpus
+quantiles, and a deterministic global sample.
+
+Reference analog: the reference's dedup/statistics surface (SURVEY §2.7
+dedup family, §2.5 aggregates) generalized from per-field to corpus-level
+structure. All three are ANSI-SQL-exact.
+
+- q54 mirror detection   the cross-host form of exact dedup: the same
+                         content (md5 of the text) served by >= 2 distinct
+                         sources — how CC-style pipelines find mirrored
+                         sites. The synthetic corpus has one source per
+                         doc, so the query deterministically augments it
+                         with mirror copies (doc_id % 50 == 0 re-served
+                         under 'mirror:'||source with doc_id+1_000_000);
+                         the oracle builds the identical augmented corpus
+                         in SQL. Shape: content-hash keyed two-level
+                         groupby — per-(key, source) rollup, then
+                         per-key distinct-source count. Both shuffles
+                         carry (32-byte hash, source, ints) rows, never
+                         text; hash keys are uniform so no skew.
+- q55 hist quantiles     exact per-lang quantiles of n_chars WITHOUT a
+                         row shuffle: per-block (lang, n_chars) count
+                         partials (Arrow group_by combiner) -> one small
+                         groupby over DISTINCT VALUES -> driver walks the
+                         per-lang cumulative histogram. The shuffle moves
+                         O(distinct values), not O(rows) — at 100 TB the
+                         distinct (lang, n_chars) domain is ~1e6 rows vs
+                         1e11 documents, a 1e5x reduction over the
+                         sort-based exact-quantile path (q36, which stays
+                         the right tool for unbounded/high-cardinality
+                         value domains). Quantile definition shared with
+                         the oracle: value at 1-based ascending rank
+                         ceil(p*n), integer arithmetic on both sides.
+- q56 corpus sample      deterministic fixed-size global sample (the
+                         driverless reservoir-sampling analog): the K
+                         smallest (md5('s56:'||doc_id), doc_id) keys via
+                         a per-block min-K combiner, so the final sort
+                         sees <= K rows per block. Re-runs and any
+                         partitioning give the identical sample; rank in
+                         the output is the audit trail.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Min, Sum
+
+from ..sources.tables import read_table
+
+# ---------------------------------------------------------------------------
+# q54: cross-source mirror detection
+# ---------------------------------------------------------------------------
+
+MIRROR_MOD = 50
+MIRROR_ID_OFFSET = 1_000_000
+
+
+def _augment_mirrors(t: pa.Table) -> pa.Table:
+    """Append the deterministic mirror copies for this block's docs."""
+    ids = t["doc_id"].to_numpy()
+    mask = ids % MIRROR_MOD == 0
+    base = pa.table(
+        {"doc_id": t["doc_id"], "source": t["source"], "text": t["text"]}
+    )
+    if not mask.any():
+        return base
+    idx = pa.array(np.flatnonzero(mask))
+    sub = t.take(idx)
+    mirror = pa.table(
+        {
+            "doc_id": pa.array(sub["doc_id"].to_numpy() + MIRROR_ID_OFFSET),
+            "source": pa.array(
+                ["mirror:" + s for s in sub["source"].to_pylist()],
+                pa.string(),
+            ),
+            "text": sub["text"],
+        }
+    )
+    return pa.concat_tables([base, mirror])
+
+
+def _content_keyed(t: pa.Table) -> pa.Table:
+    """(content_key, source, doc_id): md5 hex of the text — one digest per
+    document (not per token); text is DROPPED here, so the shuffles move
+    32-byte keys + ids only."""
+    keys = [
+        hashlib.md5(tx.encode("utf-8")).hexdigest()
+        for tx in t["text"].to_pylist()
+    ]
+    return pa.table(
+        {
+            "content_key": pa.array(keys, pa.string()),
+            "source": t["source"],
+            "doc_id": t["doc_id"],
+        }
+    )
+
+
+def q54_mirror_detection(sf_dir: str):
+    """Content served by >= 2 distinct sources (see module docstring)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    keyed = docs.map_batches(_augment_mirrors, batch_format="pyarrow").map_batches(
+        _content_keyed, batch_format="pyarrow"
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        g = t.group_by(["content_key", "source"]).aggregate(
+            [("doc_id", "count"), ("doc_id", "min")]
+        )
+        return g.rename_columns(["content_key", "source", "n", "rep"])
+
+    per_src = (
+        keyed.map_batches(per_block, batch_format="pyarrow")
+        .groupby(["content_key", "source"])
+        .aggregate(Sum("n", alias_name="n"), Min("rep", alias_name="rep"))
+    )
+
+    def src_rollup(t: pa.Table) -> pa.Table:
+        g = t.group_by("content_key").aggregate(
+            [("n", "sum"), ("source", "count"), ("rep", "min")]
+        )
+        return g.rename_columns(["content_key", "n_docs", "n_sources", "rep_doc"])
+
+    # second level: per-(block) partial is NOT applied — (key, source) rows
+    # were already globally reduced, so one exact groupby over them suffices
+    out = (
+        per_src.map_batches(src_rollup, batch_format="pyarrow")
+        .groupby("content_key")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_sources", alias_name="n_sources"),
+            Min("rep_doc", alias_name="rep_doc"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.greater_equal(t["n_sources"], pa.scalar(2, pa.int64()))
+        t = t.filter(m)
+        return pa.table(
+            {
+                "content_key": t["content_key"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_sources": pc.cast(t["n_sources"], pa.int64()),
+                "rep_doc": pc.cast(t["rep_doc"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort("content_key")
+
+
+# ---------------------------------------------------------------------------
+# q55: exact per-lang quantiles via a distinct-value histogram
+# ---------------------------------------------------------------------------
+
+_QUANTILES = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+
+
+def _rank_ceil(a: int, b: int, n: int) -> int:
+    """1-based rank ceil(a*n/b) in pure integer arithmetic (0.9*n in float64
+    rounds UP for e.g. n=10 — both engines must avoid float here)."""
+    return (a * n + b - 1) // b
+
+
+def q55_hist_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-lang exact (p50, p90, p99, n_docs) of n_chars; the shuffle moves
+    distinct (lang, n_chars) counts, never document rows."""
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def per_block(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return g.rename_columns(["lang", "n_chars", "cnt"])
+
+    hist = (
+        docs.map_batches(per_block, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct-value histogram: small by construction
+    )
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("n_chars", kind="mergesort")
+        vals = g["n_chars"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        qs = {
+            name: int(vals[np.searchsorted(cum, _rank_ceil(a, b, n))])
+            for a, b, name in _QUANTILES
+        }
+        rows.append({"lang": lang, "n_docs": n, **qs})
+    out = pd.DataFrame(rows, columns=["lang", "n_docs", "p50", "p90", "p99"])
+    return out.astype({c: "int64" for c in out.columns if c != "lang"})
+
+
+# ---------------------------------------------------------------------------
+# q56: deterministic global sample (driverless reservoir analog)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 64
+
+
+def _sample_key(t: pa.Table) -> pa.Table:
+    keys = [
+        hashlib.md5(f"s56:{i}".encode()).hexdigest()
+        for i in t["doc_id"].to_pylist()
+    ]
+    return t.append_column("skey", pa.array(keys, pa.string()))
+
+
+def q56_corpus_sample(sf_dir: str) -> pd.DataFrame:
+    """The SAMPLE_K smallest (md5 key, doc_id) documents: per-block min-K
+    combiner -> global sort over <= K rows/block -> rank. Deterministic
+    under any partitioning; K rows to the driver."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def block_min_k(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["skey", "doc_id"], kind="mergesort").head(SAMPLE_K)
+
+    sample = (
+        docs.map_batches(_sample_key, batch_format="pyarrow")
+        .map_batches(block_min_k, batch_format="pandas")
+        .sort(["skey", "doc_id"])
+        .limit(SAMPLE_K)
+        .to_pandas()  # K rows
+    )
+    sample["rk"] = np.arange(len(sample), dtype=np.int64)
+    return sample[["doc_id", "source", "n_chars", "rk"]]
+
+
+# ---------------------------------------------------------------------------
+# driver registration
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q54_mirror_detection": q54_mirror_detection,
+    "q55_hist_quantiles": q55_hist_quantiles,
+    "q56_corpus_sample": q56_corpus_sample,
+}
+
+_AUG_SQL = f"""
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + {MIRROR_ID_OFFSET}, 'mirror:' || source, text
+        FROM documents WHERE doc_id % {MIRROR_MOD} = 0
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "q54_mirror_detection": f"""
+        WITH aug AS ({_AUG_SQL}),
+        keyed AS (
+            SELECT md5(text) AS content_key, source, doc_id FROM aug
+        ),
+        per_src AS (
+            SELECT content_key, source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(doc_id) AS BIGINT) AS rep
+            FROM keyed GROUP BY content_key, source
+        )
+        SELECT content_key,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(MIN(rep) AS BIGINT) AS rep_doc
+        FROM per_src GROUP BY content_key
+        HAVING COUNT(*) >= 2
+        ORDER BY content_key
+    """,
+    "q55_hist_quantiles": """
+        WITH ranked AS (
+            SELECT lang, n_chars,
+                   row_number() OVER (PARTITION BY lang ORDER BY n_chars)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS cnt
+            FROM documents
+        )
+        SELECT lang,
+               CAST(MAX(cnt) AS BIGINT) AS n_docs,
+               CAST(MIN(CASE WHEN rn = (cnt + 1) // 2
+                        THEN n_chars END) AS BIGINT) AS p50,
+               CAST(MIN(CASE WHEN rn = (9 * cnt + 9) // 10
+                        THEN n_chars END) AS BIGINT) AS p90,
+               CAST(MIN(CASE WHEN rn = (99 * cnt + 99) // 100
+                        THEN n_chars END) AS BIGINT) AS p99
+        FROM ranked GROUP BY lang ORDER BY lang
+    """,
+    "q56_corpus_sample": f"""
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (
+                   ORDER BY md5('s56:' || doc_id), doc_id) - 1 AS BIGINT)
+                   AS rk
+        FROM documents
+        QUALIFY rk < {SAMPLE_K}
+        ORDER BY rk
+    """,
+}

@@ -43,7 +43,7 @@ import os
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..runtime import cluster_cpus
 
@@ -181,6 +181,382 @@ def degree_stats(edges: "rd.Dataset", top: int = 20) -> "rd.Dataset":
         .sort(["total_deg", "entity_id"], descending=[True, False])
         .limit(top)
     )
+
+
+def triangles(edges: "rd.Dataset") -> "pa.Table":
+    """Exact distributed triangle count over the undirected distinct-pair
+    graph — the degree-ordered wedge algorithm (node-iterator++ /
+    Schank-Wagner; the MapReduce form is Suri & Vassilvitskii, WWW'11):
+
+      1. canonical undirected pairs {a<b}, deduped (one groupby);
+      2. per-node degree over the pair set (count partials, one groupby);
+      3. orient every edge low->high in the total order (deg, id) — each
+         node's ORIENTED out-degree is then O(sqrt(m)) whatever its raw
+         degree (a star hub generates NO wedges: all its edges point at
+         it), killing the d^2 hot-node blowup structurally;
+      4. per-src wedge candidates (out-neighbor pairs, ordered by the same
+         total order) tag-unioned with the oriented edges, ONE groupby on
+         (x, y): a wedge closes iff the (x, y) group also holds an edge
+         marker. Total wedges are O(m^1.5) — the algorithm's bound, not a
+         cap; the count is exact.
+
+    Driver sees two scalars. Returns a one-row Arrow table
+    (n_edges, n_wedges, n_triangles).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n_parts = max(8, cluster_cpus())
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["subj_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = t["obj_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, o), pa.int64()),
+                "b": pa.array(np.maximum(s, o), pa.int64()),
+            }
+        )
+
+    pairs = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()  # reused thrice: degree, orientation, edge markers
+    )
+    n_edges = pairs.count()
+
+    def endpoint_counts(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t["a"].combine_chunks().to_numpy(zero_copy_only=False),
+                t["b"].combine_chunks().to_numpy(zero_copy_only=False),
+            ]
+        )
+        ids, cnt = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "dp": pa.array(cnt.astype("int64"), pa.int64()),
+            }
+        )
+
+    deg = (
+        pairs.map_batches(endpoint_counts, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("dp", alias_name="deg"))
+    )
+
+    with_da = (
+        pairs.join(
+            deg, join_type="inner", num_partitions=n_parts,
+            on=("a",), right_on=("node",),
+        )
+        .rename_columns({"deg": "da"})
+        .select_columns(["a", "b", "da"])  # drop the join's key echo
+    )
+    with_deg = (
+        with_da.join(
+            deg, join_type="inner", num_partitions=n_parts,
+            on=("b",), right_on=("node",),
+        )
+        .rename_columns({"deg": "db"})
+        .select_columns(["a", "b", "da", "db"])
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        da = t["da"].combine_chunks().to_numpy(zero_copy_only=False)
+        db = t["db"].combine_chunks().to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "dst": pa.array(np.where(a_first, b, a), pa.int64()),
+                "ddst": pa.array(np.where(a_first, db, da), pa.int64()),
+            }
+        )
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["ddst", "dst"], kind="mergesort")
+        n = df["dst"].to_numpy()
+        k = len(n)
+        if k < 2:
+            return pd.DataFrame({"x": [], "y": [], "w": []}).astype(
+                {"x": "int64", "y": "int64", "w": "int64"}
+            )
+        i, j = np.triu_indices(k, 1)
+        return pd.DataFrame(
+            {"x": n[i], "y": n[j], "w": np.ones(len(i), dtype=np.int64)}
+        )
+
+    cand = oriented.groupby("src").map_groups(wedges, batch_format="pandas")
+
+    markers = oriented.map_batches(
+        lambda t: pa.table(
+            {
+                "x": t["src"],
+                "y": t["dst"],
+                "w": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "is_edge": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tagged = cand.map_batches(
+        lambda t: t.append_column(
+            "is_edge", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    ).union(markers)
+
+    closed = tagged.groupby(["x", "y"]).aggregate(
+        Sum("w", alias_name="w"), Max("is_edge", alias_name="e")
+    )
+
+    def per_block_totals(t: pa.Table) -> pa.Table:
+        w = t["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        e = t["e"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tri_p": pa.array([int((w * e).sum())], pa.int64()),
+                "wedge_p": pa.array([int(w.sum())], pa.int64()),
+            }
+        )
+
+    totals = closed.map_batches(
+        per_block_totals, batch_format="pyarrow"
+    ).aggregate(Sum("tri_p", alias_name="tri"), Sum("wedge_p", alias_name="wdg"))
+
+    return pa.table(
+        {
+            "n_edges": pa.array([int(n_edges)], pa.int64()),
+            "n_wedges": pa.array([int(totals["wdg"] or 0)], pa.int64()),
+            "n_triangles": pa.array([int(totals["tri"] or 0)], pa.int64()),
+        }
+    )
+
+
+KCORE_K = 40
+KCORE_MAX_ROUNDS = 60
+# Per-round removal sets up to this many ids are broadcast (8 B/id -> 32 MB
+# object); beyond it the removal runs as a distributed bucketed anti-join.
+KCORE_BROADCAST_CAP = 4_000_000
+
+
+def kcore(edges: "rd.Dataset", k: int = KCORE_K,
+          max_rounds: int = KCORE_MAX_ROUNDS,
+          broadcast_cap: int = KCORE_BROADCAST_CAP):
+    """Distributed k-core: iterative bulk peeling over the undirected
+    distinct-pair graph. Every node below ``k`` is removed simultaneously
+    per round, so rounds are bounded by the peel depth (small for real
+    webgraph-shaped degree distributions), not by node count per removal.
+
+    Per round: ONE degree groupby, then edge removal by one of two paths
+    chosen from the size of this round's removal set (a scalar count):
+
+    - removal set <= ``broadcast_cap``: the low-degree ids are pulled to
+      the driver (bounded by the cap, NOT corpus-sized), sorted into one
+      numpy array, ``ray.put`` once, and every edge block filters with a
+      vectorized ``searchsorted`` membership test — zero extra shuffles.
+      After round 1 the removal set is the per-round peel frontier, which
+      is tiny in practice, so this is the common path.
+    - larger: a coarse-bucket tag-union groupby anti-join per endpoint
+      (the same shuffle-join shape as openvocab.lookup_join — NOT
+      Dataset.join, whose hash partitions lose their schema when a side
+      is empty on this Ray version, breaking iterated joins on shrinking
+      inputs). Nothing node- or edge-sized ever reaches the driver on
+      this path.
+
+    Returns the (entity_id, core_deg) membership of the k-core subgraph —
+    core_deg is the node's degree WITHIN the core (>= k by definition).
+    Raises RuntimeError if the peel hasn't converged after ``max_rounds``
+    (adversarial long-path graphs; raise the cap for those).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["subj_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = t["obj_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, o), pa.int64()),
+                "b": pa.array(np.maximum(s, o), pa.int64()),
+            }
+        )
+
+    alive = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+    n_alive = alive.count()
+
+    def endpoint_counts(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t["a"].combine_chunks().to_numpy(zero_copy_only=False),
+                t["b"].combine_chunks().to_numpy(zero_copy_only=False),
+            ]
+        )
+        ids, cnt = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "dp": pa.array(cnt.astype("int64"), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {"entity_id": pa.array([], pa.int64()), "core_deg": pa.array([], pa.int64())}
+    )
+
+    import ray as _ray
+
+    n_groups = max(8, cluster_cpus())
+
+    def _drop_low_broadcast(ds: "rd.Dataset", low_ref) -> "rd.Dataset":
+        def drop(t: pa.Table) -> pa.Table:
+            low = _ray.get(low_ref)  # sorted int64 ids
+            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(low, a)
+            ib = np.searchsorted(low, b)
+            hit_a = (ia < low.size) & (low[np.minimum(ia, low.size - 1)] == a)
+            hit_b = (ib < low.size) & (low[np.minimum(ib, low.size - 1)] == b)
+            keep = ~(hit_a | hit_b)
+            return pa.table(
+                {"a": pa.array(a[keep], pa.int64()),
+                 "b": pa.array(b[keep], pa.int64())}
+            )
+
+        return ds.map_batches(drop, batch_format="pyarrow")
+
+    def _drop_low_bucketed(
+        ds: "rd.Dataset", low_ds: "rd.Dataset", key: str, other: str
+    ) -> "rd.Dataset":
+        """Distributed anti-join on one endpoint: route edges and low ids to
+        hash buckets, resolve each bucket vectorized. Sentinel -1 in ``other``
+        marks low-id rows (entity ids are >= 0 here by construction)."""
+
+        def route_edges(t: pa.Table) -> pa.Table:
+            kv = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "key": pa.array(kv, pa.int64()),
+                    "other": t[other],
+                    "__coarse": pa.array(kv % n_groups, pa.int64()),
+                }
+            )
+
+        def route_low(t: pa.Table) -> pa.Table:
+            kv = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "key": pa.array(kv, pa.int64()),
+                    "other": pa.array(
+                        np.full(kv.size, -1, dtype=np.int64), pa.int64()
+                    ),
+                    "__coarse": pa.array(kv % n_groups, pa.int64()),
+                }
+            )
+
+        def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+            is_low = df["other"].to_numpy() < 0
+            lows = df.loc[is_low, "key"]
+            out = df.loc[~is_low & ~df["key"].isin(lows), ["key", "other"]]
+            return out.rename(columns={"key": key, "other": other})
+
+        routed = ds.map_batches(route_edges, batch_format="pyarrow").union(
+            low_ds.map_batches(route_low, batch_format="pyarrow")
+        )
+        return routed.groupby("__coarse").map_groups(
+            resolve, batch_format="pandas"
+        )
+
+    for _ in range(max_rounds):
+        if n_alive == 0:
+            return empty
+        deg = (
+            alive.map_batches(endpoint_counts, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("dp", alias_name="deg"))
+            .materialize()  # node-sized iterative state
+        )
+        low_ds = deg.filter(expr=f"deg < {k}")
+        n_low = low_ds.count()
+        if n_low == 0:
+            # converged: emit the surviving membership with its core degree
+            # (explicit Arrow rename — Dataset.rename_columns projects over
+            # pandas-formatted aggregate blocks and fails on this Ray version)
+            return deg.map_batches(
+                lambda t: pa.table(
+                    {"entity_id": t["node"], "core_deg": t["deg"]}
+                ),
+                batch_format="pyarrow",
+            ).sort("entity_id")
+
+        if n_low <= broadcast_cap:
+            low = np.sort(
+                np.concatenate(
+                    [
+                        b["node"].to_numpy()
+                        for b in low_ds.iter_batches(
+                            batch_format="pandas", batch_size=None
+                        )
+                    ]
+                    or [np.array([], dtype=np.int64)]
+                ).astype(np.int64)
+            )
+            alive = _drop_low_broadcast(alive, _ray.put(low)).materialize()
+        else:
+            alive = _drop_low_bucketed(
+                _drop_low_bucketed(alive, low_ds, "a", "b"), low_ds, "b", "a"
+            ).materialize()
+        n_alive = alive.count()
+    raise RuntimeError(
+        f"k-core peel did not converge in {max_rounds} rounds (k={k})"
+    )
+
+
+def kg_kcore(sf_dir: str):
+    """Driver query: {KCORE_K}-core membership of the materialized KG entity
+    graph — (entity_id, core_deg) of every node surviving iterative peeling.
+    Oracle: golden-file sequential peel (goldens._seq_kcore)."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["subj_id", "obj_id"],
+    ).filter(expr="subj_id >= 0 and obj_id >= 0")
+    return kcore(edges)
+
+
+def kg_triangles(sf_dir: str):
+    """Driver query: exact triangle census of the materialized KG entity
+    graph (one row: n_edges / n_wedges / n_triangles). Oracle: DuckDB 3-way
+    self-join over the sequential golden edges parquet."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["subj_id", "obj_id"],
+    ).filter(expr="subj_id >= 0 and obj_id >= 0")
+    return triangles(edges)
 
 
 def kg_degree_stats(sf_dir: str):

@@ -46,9 +46,28 @@ def _calibrate(ray) -> dict:
             x += i * i
         return n / (_t.perf_counter() - t0)
 
+    @ray.remote
+    def memband(n_mb: int) -> float:
+        import numpy as np
+
+        buf = np.frombuffer(np.random.bytes(n_mb << 20), dtype=np.uint8)
+        t0 = _t.perf_counter()
+        s = 0
+        for _ in range(4):
+            s += int(buf.copy()[::4096].sum())
+        return (n_mb * 4 * 2) / (_t.perf_counter() - t0)
+
     n_tasks = int(ray.cluster_resources().get("CPU", 8))
     rates = ray.get([spin.remote(10_000_000) for _ in range(n_tasks)])
     spin_mops = sum(rates) / 1e6
+    # memory-bandwidth at full task concurrency: this host has shown windows
+    # where AGGREGATE memcpy bandwidth at 16 tasks drops BELOW its 4-task
+    # bandwidth (measured 9290 -> 1254 MB/s minutes apart on identical
+    # code). The extraction pipeline is memory-bound, so in such a window
+    # more CPUs make it NO faster — this probe makes those windows visible
+    # in every bench record.
+    mb = ray.get([memband.remote(32) for _ in range(n_tasks)])
+    memband_mbps = sum(mb)
 
     os.sync()  # don't bill earlier writeback to the probe
     path = "/tmp/agkg_disk_probe.bin"
@@ -65,6 +84,7 @@ def _calibrate(ray) -> dict:
         "calib_spin_mops": round(spin_mops, 1),
         "calib_spin_tasks": n_tasks,
         "calib_disk_w_mbps": round(disk_mbps, 1),
+        "calib_memband_mbps": round(memband_mbps),
     }
 
 
@@ -132,10 +152,16 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         timed("ann_brute_topk", training.ann_brute_topk)
         timed("dd_minhash_pairs", training.dd_minhash_pairs)
         timed("dd_decontaminate", assembly.dd_decontaminate)
-        from agenticknowledgegraphconstructionsystem_ray.pipelines import scoring, webclean
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import (
+            corpusstat,
+            scoring,
+            webclean,
+        )
 
         timed("q49_lm_surprisal", scoring.q49_lm_surprisal)
         timed("q53_dup_spans", webclean.q53_dup_spans)
+        timed("dd_bloom_decontaminate", assembly.dd_bloom_decontaminate)
+        timed("q54_mirror_detection", corpusstat.q54_mirror_detection)
 
     total = round(sum(queries.values()), 3)
     out = {

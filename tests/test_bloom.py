@@ -37,3 +37,28 @@ def test_bloom_semi_join_dataset(ray_session):
     assert wanted.issubset(set(kept["k"]))  # all true matches survive
     extras = set(kept["k"]) - wanted
     assert len(extras) <= 5  # fp-bounded
+
+
+def test_partial_merge_equals_single_build():
+    """Distributed-build algebra: OR-merged per-slice partials == one filter
+    built from the union (the dd_bloom_decontaminate pattern)."""
+    keys = [f"k{i}" for i in range(1000)]
+    parts = [
+        BloomFilter.build(keys[i::4], n_bits=1 << 14, n_hashes=4)
+        for i in range(4)
+    ]
+    merged = BloomFilter.merge(parts)
+    single = BloomFilter.build(keys, n_bits=1 << 14, n_hashes=4)
+    assert np.array_equal(merged.bits, single.bits)
+    assert merged.probe_many(keys).all()
+    # idempotent: merging a partial twice changes nothing
+    again = BloomFilter.merge(parts + [parts[0]])
+    assert np.array_equal(again.bits, merged.bits)
+
+
+def test_bulk_probe_matches_scalar_contains():
+    keys = [f"k{i}" for i in range(200)]
+    bf = BloomFilter.build(keys, fpr=0.01)
+    probes = keys[:50] + [f"x{i}" for i in range(50)]
+    bulk = bf.probe_many(probes)
+    assert list(bulk) == [p in bf for p in probes]

@@ -1,0 +1,89 @@
+"""Corpus-structure operators: mirrors, histogram quantiles, global sample,
+and the bloom decontamination scale path (must be bit-identical to exact)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from agenticknowledgegraphconstructionsystem_ray.pipelines import assembly, corpusstat
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_mirror_detection_finds_planted_mirrors(ray_session):
+    out = corpusstat.q54_mirror_detection(SF).to_pandas()
+    docs = pq.read_table(
+        SF + "/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pandas()
+
+    # sequential recompute of the same augmented-corpus definition
+    m = docs[docs.doc_id % corpusstat.MIRROR_MOD == 0].copy()
+    m["doc_id"] += corpusstat.MIRROR_ID_OFFSET
+    m["source"] = "mirror:" + m["source"]
+    aug = pd.concat([docs, m], ignore_index=True)
+    aug["content_key"] = [
+        hashlib.md5(t.encode()).hexdigest() for t in aug["text"]
+    ]
+    g = aug.groupby("content_key").agg(
+        n_docs=("doc_id", "size"),
+        n_sources=("source", "nunique"),
+        rep_doc=("doc_id", "min"),
+    )
+    want = g[g.n_sources >= 2].reset_index().sort_values("content_key")
+
+    got = out.sort_values("content_key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.reset_index(drop=True), check_dtype=False
+    )
+    # every planted mirror pair must be represented
+    assert len(got) >= 1
+    assert (got.n_sources >= 2).all()
+
+
+def test_hist_quantiles_match_sequential(ray_session):
+    out = corpusstat.q55_hist_quantiles(SF)
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["lang", "n_chars"]).to_pandas()
+    for _, row in out.iterrows():
+        vals = np.sort(docs.loc[docs.lang == row["lang"], "n_chars"].to_numpy())
+        n = len(vals)
+        assert row["n_docs"] == n
+        for a, b, name in corpusstat._QUANTILES:
+            rank = corpusstat._rank_ceil(a, b, n)
+            assert row[name] == vals[rank - 1], (row["lang"], name)
+
+
+def test_rank_ceil_integer_exact():
+    # 0.9*10 == 9.000000000000002 in float64; integer path must give 9
+    assert corpusstat._rank_ceil(9, 10, 10) == 9
+    assert corpusstat._rank_ceil(1, 2, 1) == 1
+    assert corpusstat._rank_ceil(99, 100, 100) == 99
+    assert corpusstat._rank_ceil(99, 100, 101) == 100
+
+
+def test_corpus_sample_deterministic_and_correct(ray_session):
+    a = corpusstat.q56_corpus_sample(SF)
+    b = corpusstat.q56_corpus_sample(SF)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == corpusstat.SAMPLE_K
+    # brute-force smallest-K check
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    keys = sorted(
+        (hashlib.md5(f"s56:{i}".encode()).hexdigest(), i)
+        for i in docs["doc_id"]
+    )[: corpusstat.SAMPLE_K]
+    assert list(a["doc_id"]) == [i for _, i in keys]
+    assert list(a["rk"]) == list(range(corpusstat.SAMPLE_K))
+
+
+def test_bloom_decontaminate_bit_identical_to_exact(ray_session):
+    exact = assembly.dd_decontaminate(SF).to_pandas()
+    bloom = assembly.dd_bloom_decontaminate(SF).to_pandas()
+    pd.testing.assert_frame_equal(exact, bloom)
+    # the corpus plants real contamination — the test must exercise hits
+    assert exact["contaminated"].sum() > 0

@@ -104,3 +104,130 @@ class TestComponents:
         # component
         grp = mine.groupby("component")["entity_id"].min()
         assert (grp.index == grp.values).all()
+
+
+class TestTriangles:
+    def _count(self, pairs):
+        t = graphalgo.triangles(rd.from_arrow(_edges(pairs)))
+        return {k: t[k][0].as_py() for k in t.column_names}
+
+    def test_k4_has_four_triangles(self, ray_session):
+        # K4: all degrees tie at 3, so orientation falls back to id order;
+        # out-degrees become 3,2,1,0 -> wedges C(3,2)+C(2,2) = 3+1 = 4,
+        # and all 4 close (K4 has C(4,3) = 4 triangles).
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        out = self._count(k4)
+        assert out == {"n_edges": 6, "n_wedges": 4, "n_triangles": 4}
+
+    def test_triangle_plus_tail(self, ray_session):
+        # triangle 0-1-2 plus tail 2-3: exactly one triangle
+        out = self._count([(0, 1), (1, 2), (0, 2), (2, 3)])
+        assert out["n_edges"] == 4
+        assert out["n_triangles"] == 1
+
+    def test_duplicate_and_reverse_edges_collapse(self, ray_session):
+        out = self._count([(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (0, 2)])
+        assert out["n_edges"] == 3
+        assert out["n_triangles"] == 1
+
+    def test_square_no_triangles(self, ray_session):
+        # 4-cycle: all degrees 2, id-order orientation -> node0 out-degree 2
+        # (to 1 and 3), others <= 1 -> exactly one wedge, and it never closes
+        out = self._count([(0, 1), (1, 2), (2, 3), (3, 0)])
+        assert out == {"n_edges": 4, "n_wedges": 1, "n_triangles": 0}
+
+    def test_matches_bruteforce_on_random_graph(self, ray_session):
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        nodes = list(range(30))
+        pairs = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+                )
+                if a != b
+            }
+        )
+        eset = set(pairs)
+        brute = sum(
+            1
+            for x, y, z in itertools.combinations(nodes, 3)
+            if (x, y) in eset and (y, z) in eset and (x, z) in eset
+        )
+        out = self._count(pairs)
+        assert out["n_edges"] == len(pairs)
+        assert out["n_triangles"] == brute
+
+
+class TestKCore:
+    def _core(self, pairs, k, **kw):
+        out = graphalgo.kcore(rd.from_arrow(_edges(pairs)), k=k, **kw)
+        if isinstance(out, pa.Table):
+            return dict(zip(out["entity_id"].to_pylist(),
+                            out["core_deg"].to_pylist()))
+        df = out.to_pandas()
+        return dict(zip(df["entity_id"], df["core_deg"]))
+
+    def test_triangle_with_tails_is_the_2core(self, ray_session):
+        # triangle 0-1-2 with pendant chain 2-3-4: 2-core = the triangle
+        out = self._core([(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], k=2)
+        assert out == {0: 2, 1: 2, 2: 2}
+
+    def test_chain_peels_to_empty(self, ray_session):
+        # a path has no 2-core; peeling takes multiple cascading rounds
+        out = self._core([(i, i + 1) for i in range(8)], k=2)
+        assert out == {}
+
+    def test_k4_is_its_own_3core(self, ray_session):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        assert self._core(k4, k=3) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_bucketed_anti_join_path_matches_broadcast(self, ray_session):
+        # broadcast_cap=0 forces every round through the distributed
+        # coarse-bucket anti-join; results must be identical
+        pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+        assert self._core(pairs, k=2, broadcast_cap=0) == self._core(
+            pairs, k=2
+        )
+
+    def test_matches_bruteforce_on_random_graph(self, ray_session):
+        import random
+
+        rng = random.Random(13)
+        nodes = list(range(40))
+        pairs = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.choice(nodes), rng.choice(nodes)) for _ in range(180)
+                )
+                if a != b
+            }
+        )
+        k = 5
+        edges = set(pairs)
+        while True:
+            deg = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            low = {n for n, d in deg.items() if d < k}
+            if not low:
+                break
+            edges = {e for e in edges
+                     if e[0] not in low and e[1] not in low}
+        want = deg if edges else {}
+        assert self._core(pairs, k=k) == want
+
+    def test_kg_kcore_matches_golden(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray import goldens
+
+        d = goldens.ensure_kg_golden(sf=0.001)
+        ref = pq.read_table(os.path.join(d, "kcore.parquet"))
+        out = graphalgo.kg_kcore(SF)
+        mine = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
+        assert mine["entity_id"].tolist() == ref["entity_id"].to_pylist()
+        assert mine["core_deg"].tolist() == ref["core_deg"].to_pylist()

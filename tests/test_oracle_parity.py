@@ -57,6 +57,11 @@ FAST_QUERIES = [
     "q46_pack_sequences",
     "q47_quality_classifier",
     "q48_repetition",
+    "dd_bloom_decontaminate",
+    "q54_mirror_detection",
+    "q55_hist_quantiles",
+    "q56_corpus_sample",
+    "q57_gopher_rules",
 ]
 
 
