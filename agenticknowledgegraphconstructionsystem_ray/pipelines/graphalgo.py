@@ -47,6 +47,78 @@ from ray.data.aggregate import Count, Max, Sum
 
 from ..runtime import cluster_cpus
 
+def _attach_i64(
+    rows: "rd.Dataset",
+    row_cols: list[str],
+    key_col: str,
+    lut: "rd.Dataset",
+    lut_key: str,
+    lut_val: str,
+    out_col: str,
+    n_groups: int,
+    default: int | None = None,
+) -> "rd.Dataset":
+    """Attach ``lut[lut_val]`` to ``rows`` on an int64 key — every named
+    column must be int64. Coarse-bucket tag-union groupby join: route both
+    sides by ``key % n_groups``, resolve each bucket vectorized in pandas.
+    ``default=None`` drops rows with no lookup match (inner join); otherwise
+    misses get ``default`` (left join).
+
+    Exists because Dataset.join's hash aggregators lose the block schema
+    when a partition side is empty on this Ray version (ArrowInvalid "no
+    match for key field") — tiny, skewed, or iteratively shrinking inputs
+    hit that reliably. Same shape as openvovab.lookup_join / kcore's
+    bucketed anti-join. One all-to-all on the coarse key; a bucket holds
+    ~rows/n_groups rows plus its slice of the (node-sized) lookup table.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def route_rows(t: pa.Table) -> pa.Table:
+        kv = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cols = {c: t[c] for c in row_cols}
+        cols["__val"] = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        cols["__tag"] = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        cols["__coarse"] = pa.array(kv % n_groups, pa.int64())
+        return pa.table(cols)
+
+    def route_lut(t: pa.Table) -> pa.Table:
+        kv = t[lut_key].combine_chunks().to_numpy(zero_copy_only=False)
+        zeros = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        cols = {c: zeros for c in row_cols}
+        cols[key_col] = pa.array(kv, pa.int64())
+        cols["__val"] = pc.cast(t[lut_val], pa.int64())
+        cols["__tag"] = pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+        cols["__coarse"] = pa.array(kv % n_groups, pa.int64())
+        return pa.table(cols)
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        is_lut = df["__tag"].to_numpy() == 1
+        lut_s = pd.Series(
+            df.loc[is_lut, "__val"].to_numpy(),
+            index=df.loc[is_lut, key_col].to_numpy(),
+        )
+        out = df.loc[~is_lut, row_cols]
+        v = out[key_col].map(lut_s)
+        if default is None:
+            hit = v.notna().to_numpy()
+            out = out.loc[hit]
+            v = v.loc[hit]
+        else:
+            v = v.fillna(default)
+        out = out.copy()
+        out[out_col] = v.to_numpy(dtype=np.int64)
+        return out
+
+    return (
+        rows.map_batches(route_rows, batch_format="pyarrow")
+        .union(lut.map_batches(route_lut, batch_format="pyarrow"))
+        .groupby("__coarse")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
 PR_SCALE = 10**9
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 PR_BASE = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
@@ -79,8 +151,9 @@ def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
         .drop_columns(["_n"])
     )
     deg = pairs.groupby("subj_id").aggregate(Count(alias_name="deg"))
-    adj = pairs.join(
-        deg, join_type="inner", num_partitions=n_parts, on=("subj_id",)
+    adj = _attach_i64(
+        pairs, ["subj_id", "obj_id"], "subj_id",
+        deg, "subj_id", "deg", "deg", n_parts,
     ).materialize()  # edge-partitioned adjacency with out-degree, built once
 
     def base_rows(t: pa.Table) -> pa.Table:
@@ -114,9 +187,9 @@ def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
         )
 
     for _ in range(iters):
-        contrib = adj.join(
-            ranks, join_type="inner", num_partitions=n_parts,
-            on=("subj_id",), right_on=("node_id",),
+        contrib = _attach_i64(
+            adj, ["subj_id", "obj_id", "deg"], "subj_id",
+            ranks, "node_id", "rank", "rank", n_parts,
         ).map_batches(_contrib_batch, batch_format="pyarrow")
         ranks = (
             contrib.union(zero)
@@ -251,21 +324,14 @@ def triangles(edges: "rd.Dataset") -> "pa.Table":
         .aggregate(Sum("dp", alias_name="deg"))
     )
 
-    with_da = (
-        pairs.join(
-            deg, join_type="inner", num_partitions=n_parts,
-            on=("a",), right_on=("node",),
-        )
-        .rename_columns({"deg": "da"})
-        .select_columns(["a", "b", "da"])  # drop the join's key echo
+    # Attach (da, db) via the bucketed tag-union join (Dataset.join-free;
+    # see _attach_i64) — every endpoint has a degree by construction, so
+    # the inner-join semantics keep every pair.
+    with_da = _attach_i64(
+        pairs, ["a", "b"], "a", deg, "node", "deg", "da", n_parts
     )
-    with_deg = (
-        with_da.join(
-            deg, join_type="inner", num_partitions=n_parts,
-            on=("b",), right_on=("node",),
-        )
-        .rename_columns({"deg": "db"})
-        .select_columns(["a", "b", "da", "db"])
+    with_deg = _attach_i64(
+        with_da, ["a", "b", "da"], "b", deg, "node", "deg", "db", n_parts
     )
 
     def orient(t: pa.Table) -> pa.Table:
