@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         gopher,
         graphalgo,
         kgqueries,
+        mixture,
         scoring,
         temporal,
         training,
@@ -40,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q: dict[str, Callable[[str], Any]] = dict(analytics.QUERIES)
     q.update(training.QUERIES)
+    q.update(mixture.QUERIES)
     q.update(temporal.QUERIES)
     q.update(scoring.QUERIES)
     q.update(assembly.QUERIES)
@@ -83,6 +85,7 @@ def oracle_sql() -> dict[str, str]:
         assembly,
         corpusstat,
         gopher,
+        mixture,
         scoring,
         temporal,
         training,
@@ -93,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **analytics.ORACLE_SQL,
         **training.ORACLE_SQL,
+        **mixture.ORACLE_SQL,
         **temporal.ORACLE_SQL,
         **scoring.ORACLE_SQL,
         **assembly.ORACLE_SQL,

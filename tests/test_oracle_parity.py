@@ -62,6 +62,8 @@ FAST_QUERIES = [
     "q55_hist_quantiles",
     "q56_corpus_sample",
     "q57_gopher_rules",
+    "q59_mixture_sample",
+    "q60_term_pmi",
 ]
 
 
