@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "13"  # v13: + KG k-core golden
+GOLDEN_VERSION = "14"  # v14: + Count-Min sketch golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -807,6 +807,39 @@ def _seq_hll_terms(sf_dir: str) -> pa.Table:
     return pa.table({"n_terms_est": pa.array([est], pa.int64())})
 
 
+def _seq_cms(sf_dir: str) -> pa.Table:
+    """Sequential Count-Min golden: one pass counts every token exactly,
+    builds ONE sketch with the shared kernel (functions/cms.py), and point-
+    queries the top-CMS_TOP terms — same output contract as the distributed
+    per-block-partial + add-merge orchestration in stages/sketch.py."""
+    import re
+
+    import numpy as np
+
+    from .functions import cms
+    from .stages.sketch import CMS_TOP
+
+    token_re = re.compile(r"[a-z0-9]+")
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    counts: dict[str, int] = {}
+    for text in t["text"].to_pylist():
+        for tok in token_re.findall(text.lower()):
+            counts[tok] = counts.get(tok, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOP]
+    m = cms.sketch_of(counts)
+    terms = [k for k, _ in top]
+    exact = np.array([v for _, v in top], np.int64)
+    est = cms.estimate(m, terms)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "n_exact": pa.array(exact, pa.int64()),
+            "n_est": pa.array(est, pa.int64()),
+            "overcount": pa.array(est - exact, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # idempotent writer + oracle SQL
 # ---------------------------------------------------------------------------
@@ -840,6 +873,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["ivf_topk"] = _seq_ivf_topk(sf_dir)
         tables["hll_users"] = _seq_hll_users(sf_dir)
         tables["hll_terms"] = _seq_hll_terms(sf_dir)
+        tables["cms"] = _seq_cms(sf_dir)
         tables["mm_decode"] = _seq_media_decode(sf_dir)
         tables["mm_resize"] = _seq_media_resize(sf_dir)
         tables["kmeans"] = _seq_kmeans(sf_dir)
@@ -1049,6 +1083,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "sk_hll_terms": f"""
             SELECT n_terms_est FROM {_g('hll_terms')}
+        """,
+        "sk_cms_terms": f"""
+            SELECT term, n_exact, n_est, overcount FROM {_g('cms')}
         """,
         "mm_decode_pixels": f"""
             SELECT media_id, format, width, height, n_values, sum_values,

@@ -411,6 +411,16 @@ def sk_hll_terms(sf_dir: str):
     return sketch.approx_distinct_terms(sf_dir)
 
 
+def sk_cms_terms(sf_dir: str):
+    """Count-Min sketch point-frequency estimates for the exact top terms
+    (stages/sketch.cms_term_counts): 32 KiB add-merged matrix partials; the
+    exact counts ride along as the soundness certificate (est >= exact).
+    Golden-file oracle (goldens._seq_cms, same kernel sequentially)."""
+    from ..stages import sketch
+
+    return sketch.cms_term_counts(sf_dir)
+
+
 def ann_brute_topk(sf_dir: str):
     return similarity.brute_force_topk(sf_dir, query_ids=[0, 1, 2], k=10)
 
@@ -618,6 +628,7 @@ QUERIES = {
     "tx_fingerprints": tx_fingerprints,
     "sk_hll_users": sk_hll_users,
     "sk_hll_terms": sk_hll_terms,
+    "sk_cms_terms": sk_cms_terms,
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ml_kmeans": ml_kmeans,

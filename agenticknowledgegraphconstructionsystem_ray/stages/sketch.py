@@ -1,4 +1,5 @@
-"""Distributed sketch aggregates (HyperLogLog approximate distinct count).
+"""Distributed sketch aggregates (HyperLogLog approximate distinct count,
+Count-Min approximate point frequency).
 
 The scale path for COUNT(DISTINCT): q10's exact dedup-then-count shuffles
 every distinct key; this stage ships ONE 4 KiB register array per (block,
@@ -104,3 +105,95 @@ def approx_distinct_terms(sf_dir: str):
         _hll_agg("n_terms_est")
     )
     return pa.table({"n_terms_est": pa.array([int(agg["n_terms_est"])], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: approximate term frequencies with soundness certificate
+# ---------------------------------------------------------------------------
+
+CMS_TOP = 32
+
+
+def _cms_agg(alias: str) -> "AggregateFn":
+    from ..functions import cms
+
+    def acc(state: bytes, block: pa.Table) -> bytes:
+        m = np.frombuffer(state, np.int64).copy()
+        for partial in block["cms"].to_pylist():
+            m += np.frombuffer(partial, np.int64)
+        return m.tobytes()
+
+    return AggregateFn(
+        init=lambda k: cms.empty().tobytes(),
+        merge=lambda a, b: (
+            np.frombuffer(a, np.int64) + np.frombuffer(b, np.int64)
+        ).tobytes(),
+        accumulate_block=acc,
+        finalize=lambda s: s,
+        name=alias,
+    )
+
+
+def cms_term_counts(sf_dir: str) -> pa.Table:
+    """Count-Min point-frequency estimates for the exact top-``CMS_TOP``
+    terms, with the exact counts alongside as the soundness certificate
+    (CMS can only OVERcount: n_est >= n_exact always). Output:
+    (term, n_exact, n_est, overcount) sorted by (n_exact desc, term).
+
+    Shape: one pass builds per-block 32 KiB CMS partials merged by a
+    global elementwise-add AggregateFn (the only thing the driver holds is
+    one D x W matrix); the exact top-k side is the q14 combiner ->
+    groupby -> top-k. At an open 100 TB vocabulary the exact side bounds
+    the shuffle to distinct (block, term) partials while the sketch side
+    stays O(32 KiB) per block regardless of vocabulary size."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import cms
+    from .textstats import _TOKEN_RE
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in t["text"].to_pylist():
+            for tok in _TOKEN_RE.findall(text.lower()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n_p": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def cms_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in t["text"].to_pylist():
+            for tok in _TOKEN_RE.findall(text.lower()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {"cms": pa.array([cms.sketch_of(counts).tobytes()], pa.binary())}
+        )
+
+    top = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_p", alias_name="n_exact"))
+        .sort(["n_exact", "term"], descending=[True, False])
+        .limit(CMS_TOP)
+        .to_pandas()  # CMS_TOP rows
+    )
+    blob = docs.map_batches(cms_partial, batch_format="pyarrow").aggregate(
+        _cms_agg("cms")
+    )["cms"]
+    m = np.frombuffer(blob, np.int64).reshape(cms.D, cms.W)
+    terms = list(top["term"])
+    est = cms.estimate(m, terms)
+    exact = top["n_exact"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "n_exact": pa.array(exact, pa.int64()),
+            "n_est": pa.array(est, pa.int64()),
+            "overcount": pa.array(est - exact, pa.int64()),
+        }
+    )

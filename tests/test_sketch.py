@@ -70,3 +70,50 @@ def test_terms_estimate_close_to_exact(ray_session):
     ].to_pylist():
         toks.update(token_re.findall(text.lower()))
     assert abs(est - len(toks)) / len(toks) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+from agenticknowledgegraphconstructionsystem_ray.functions import cms
+
+
+def test_cms_never_undercounts():
+    counts = {f"t{i}": (i % 7) + 1 for i in range(5000)}
+    m = cms.sketch_of(counts)
+    toks = sorted(counts)
+    est = cms.estimate(m, toks)
+    exact = np.array([counts[t] for t in toks])
+    assert (est >= exact).all()
+    # total mass is preserved per row
+    assert (m.sum(axis=1) == sum(counts.values())).all()
+
+
+def test_cms_merge_equals_whole():
+    a = {f"x{i}": i + 1 for i in range(300)}
+    b = {f"x{i}": 2 * i + 1 for i in range(150, 450)}
+    whole: dict[str, int] = dict(a)
+    for k, v in b.items():
+        whole[k] = whole.get(k, 0) + v
+    merged = cms.merge(cms.sketch_of(a), cms.sketch_of(b))
+    assert (merged == cms.sketch_of(whole)).all()
+
+
+def test_cms_exact_in_sparse_regime():
+    # far fewer tokens than W columns: collisions are unlikely enough that
+    # most estimates are exact, and the top term is exact
+    counts = {f"term{i}": 100 - i for i in range(50)}
+    m = cms.sketch_of(counts)
+    est = cms.estimate(m, ["term0"])
+    assert est[0] == 100
+
+
+def test_cms_distributed_matches_golden(ray_session):
+    from agenticknowledgegraphconstructionsystem_ray import goldens
+
+    got = sketch.cms_term_counts(SF)
+    # independent sequential recompute over the same corpus
+    want = goldens._seq_cms(SF)
+    assert got.equals(want)
+    assert (got["overcount"].to_numpy(zero_copy_only=False) >= 0).all()
