@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_components": graphalgo.kg_components,
             "kg_triangles": graphalgo.kg_triangles,
             "kg_kcore": graphalgo.kg_kcore,
+            "kg_bfs": graphalgo.kg_bfs,
         }
     )
     return q

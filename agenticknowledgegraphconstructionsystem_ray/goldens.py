@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "14"  # v14: + Count-Min sketch golden
+GOLDEN_VERSION = "15"  # v15: + BFS hop-distance golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -675,6 +675,46 @@ def _seq_kcore(edges_t: pa.Table) -> pa.Table:
     )
 
 
+def _seq_bfs(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
+    """Sequential BFS golden: plain-Python frontier expansion with the same
+    semantics as :func:`..pipelines.graphalgo.bfs_hops` (undirected distinct
+    pairs of linked edges, self-loops dropped, seeds = entity_id %
+    BFS_SEED_MOD == 0, reachable nodes only). Emits (entity_id, dist)
+    sorted by entity_id."""
+    from .pipelines.graphalgo import BFS_SEED_MOD
+
+    adj: dict[int, set[int]] = {}
+    for s, o in zip(
+        edges_t["subj_id"].to_pylist(), edges_t["obj_id"].to_pylist()
+    ):
+        if s >= 0 and o >= 0 and s != o:
+            adj.setdefault(s, set()).add(o)
+            adj.setdefault(o, set()).add(s)
+    dist = {
+        n: 0
+        for n in nodes_t["entity_id"].to_pylist()
+        if n % BFS_SEED_MOD == 0
+    }
+    frontier = sorted(dist)
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = d
+                    nxt.append(m)
+        frontier = nxt
+    ids = sorted(dist)
+    return pa.table(
+        {
+            "entity_id": pa.array(ids, pa.int64()),
+            "dist": pa.array([dist[i] for i in ids], pa.int64()),
+        }
+    )
+
+
 def _doc_ids(sf_dir: str) -> list[int]:
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     return t["doc_id"].to_pylist()
@@ -862,6 +902,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     tables["pagerank"] = _seq_pagerank(tables["nodes"], tables["edges"])
     tables["components"] = _seq_components(tables["nodes"], tables["edges"])
     tables["kcore"] = _seq_kcore(tables["edges"])
+    tables["bfs"] = _seq_bfs(tables["nodes"], tables["edges"])
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
@@ -1086,6 +1127,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "sk_cms_terms": f"""
             SELECT term, n_exact, n_est, overcount FROM {_g('cms')}
+        """,
+        "kg_bfs": f"""
+            SELECT entity_id, dist FROM {_g('bfs')}
         """,
         "mm_decode_pixels": f"""
             SELECT media_id, format, width, height, n_values, sum_values,

@@ -43,7 +43,7 @@ import os
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..runtime import cluster_cpus
 
@@ -93,7 +93,7 @@ def _attach_i64(
         cols["__coarse"] = pa.array(kv % n_groups, pa.int64())
         return pa.table(cols)
 
-    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+    def resolve(df: "pd.DataFrame") -> pa.Table:
         is_lut = df["__tag"].to_numpy() == 1
         lut_s = pd.Series(
             df.loc[is_lut, "__val"].to_numpy(),
@@ -109,7 +109,9 @@ def _attach_i64(
             v = v.fillna(default)
         out = out.copy()
         out[out_col] = v.to_numpy(dtype=np.int64)
-        return out
+        # emit Arrow: a pandas-block tail here mixes block types with the
+        # Arrow map_batches stages downstream, which the sort sampler rejects
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         rows.map_batches(route_rows, batch_format="pyarrow")
@@ -704,3 +706,137 @@ def kg_components(sf_dir: str):
         ),
         batch_format="pyarrow",
     ).sort("entity_id")
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS hop distance
+# ---------------------------------------------------------------------------
+
+BFS_SEED_MOD = 25
+BFS_MAX_ROUNDS = 32
+
+
+def bfs_hops(
+    edges: "rd.Dataset",
+    nodes: "rd.Dataset",
+    seed_mod: int = BFS_SEED_MOD,
+    max_rounds: int = BFS_MAX_ROUNDS,
+) -> "rd.Dataset":
+    """Multi-source BFS over the undirected entity graph: hop distance from
+    the nearest seed (entity_id % seed_mod == 0). Output: (entity_id, dist)
+    for every REACHABLE node (seeds included at dist 0), sorted by
+    entity_id; unreachable nodes are omitted.
+
+    BSP shape — the standard frontier-expansion loop with nothing
+    edge- or node-sized on the driver:
+      round r: frontier = labels where dist == r (node-sized Dataset)
+               candidates = sym-adjacency ⋈ frontier  -> (neighbor, r+1)
+               labels     = min-merge(labels ∪ candidates)  [groupby Min]
+    The join is the coarse-bucket tag-union attach (Dataset.join loses
+    block schema on empty partitions on this Ray version); the adjacency is
+    deduped to distinct undirected pairs ONCE and reused every round, so a
+    round moves O(E) small int rows + the node-sized label state. The
+    driver sees one integer per round (frontier count, for termination —
+    bounded by graph diameter, capped at ``max_rounds``)."""
+    import pyarrow.compute as pc
+
+    n_groups = max(8, cluster_cpus())
+
+    # distinct undirected pairs, both orientations, self-loops dropped
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["subj_id"], pa.int64())
+        b = pc.cast(t["obj_id"], pa.int64())
+        lo, hi = pc.min_element_wise(a, b), pc.max_element_wise(a, b)
+        keep = pc.not_equal(lo, hi)
+        tt = pa.table({"a": lo, "b": hi}).filter(keep)
+        return tt.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
+
+    pairs = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+            }
+        )
+
+    sym = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["entity_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        seeds = ids[ids % seed_mod == 0].astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(seeds, pa.int64()),
+                "dist": pa.array(np.zeros(len(seeds), np.int64), pa.int64()),
+            }
+        )
+
+    labels = nodes.map_batches(seed_rows, batch_format="pyarrow").materialize()
+
+    for r in range(max_rounds):
+        frontier = labels.filter(expr=f"dist == {r}")
+        if frontier.count() == 0:
+            return labels.map_batches(
+                lambda t: pa.table(
+                    {
+                        "entity_id": pc.cast(t["node"], pa.int64()),
+                        "dist": pc.cast(t["dist"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).sort("entity_id")
+        cand = _attach_i64(
+            sym,
+            ["src", "dst"],
+            "src",
+            frontier,
+            "node",
+            "dist",
+            "_fd",
+            n_groups,
+        ).map_batches(
+            lambda t, rr=r: pa.table(
+                {
+                    "node": pa.compute.cast(t["dst"], pa.int64()),
+                    "dist": pa.array([rr + 1] * t.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(cand)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .materialize()
+        )
+    raise RuntimeError(f"BFS did not drain its frontier in {max_rounds} rounds")
+
+
+def kg_bfs(sf_dir: str):
+    """Driver query: BFS hop distance from the seed set (entity_id %
+    {BFS_SEED_MOD} == 0) over the materialized KG entity graph. Oracle:
+    golden-file sequential BFS (goldens._seq_bfs)."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["subj_id", "obj_id"],
+    ).filter(expr="subj_id >= 0 and obj_id >= 0")
+    nodes = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+        columns=["entity_id"],
+    )
+    return bfs_hops(edges, nodes)

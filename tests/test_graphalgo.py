@@ -231,3 +231,55 @@ class TestKCore:
         mine = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
         assert mine["entity_id"].tolist() == ref["entity_id"].to_pylist()
         assert mine["core_deg"].tolist() == ref["core_deg"].to_pylist()
+
+
+class TestBFS:
+    def test_path_graph_distances(self, ray_session):
+        # path 0-1-2-3-4 ... seeds: 0 only (seed_mod larger than max id)
+        pairs = [(i, i + 1) for i in range(6)]
+        got = graphalgo.bfs_hops(
+            rd.from_arrow(_edges(pairs)),
+            rd.from_arrow(_nodes(list(range(7)))),
+            seed_mod=7,  # only node 0 qualifies
+        ).to_pandas()
+        assert dict(zip(got.entity_id, got.dist)) == {i: i for i in range(7)}
+
+    def test_multi_seed_takes_nearest(self, ray_session):
+        # path 0..8; seeds 0 and 8 -> dist is min(i, 8-i)
+        pairs = [(i, i + 1) for i in range(8)]
+        got = graphalgo.bfs_hops(
+            rd.from_arrow(_edges(pairs)),
+            rd.from_arrow(_nodes(list(range(9)))),
+            seed_mod=8,  # nodes 0 and 8
+        ).to_pandas()
+        assert dict(zip(got.entity_id, got.dist)) == {
+            i: min(i, 8 - i) for i in range(9)
+        }
+
+    def test_unreachable_nodes_omitted(self, ray_session):
+        # component {0,1} with seed 0; component {5,6} has no seed
+        got = graphalgo.bfs_hops(
+            rd.from_arrow(_edges([(0, 1), (5, 6)])),
+            rd.from_arrow(_nodes([0, 1, 5, 6])),
+            seed_mod=4,  # only 0 qualifies
+        ).to_pandas()
+        assert dict(zip(got.entity_id, got.dist)) == {0: 0, 1: 1}
+
+    def test_matches_sequential_on_random_graph(self, ray_session):
+        import numpy as np
+
+        from agenticknowledgegraphconstructionsystem_ray.goldens import _seq_bfs
+
+        rng = np.random.default_rng(7)
+        n = 120
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(400, 2))
+            if a != b
+        ]
+        nodes_t, edges_t = _nodes(list(range(n))), _edges(pairs)
+        got = graphalgo.bfs_hops(
+            rd.from_arrow(edges_t), rd.from_arrow(nodes_t)
+        ).to_pandas()
+        want = _seq_bfs(nodes_t, edges_t).to_pandas()
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
