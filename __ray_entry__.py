@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_triangles": graphalgo.kg_triangles,
             "kg_kcore": graphalgo.kg_kcore,
             "kg_bfs": graphalgo.kg_bfs,
+            "kg_jaccard": graphalgo.kg_jaccard,
         }
     )
     return q

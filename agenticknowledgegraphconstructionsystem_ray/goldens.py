@@ -946,6 +946,49 @@ def _g(name: str) -> str:
     return f"read_parquet('{golden_dir(DRIVER_SF)}/{name}.parquet')"
 
 
+def _jaccard_sql() -> str:
+    """Wedge self-join Jaccard over the golden edges — same capped-center
+    semantics as pipelines.graphalgo.jaccard_pairs."""
+    from .pipelines.graphalgo import JC_MAX_DEG, JC_MIN_COMMON, JC_TOP
+
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                            GREATEST(subj_id, obj_id) AS b
+            FROM {_g('edges')}
+            WHERE subj_id >= 0 AND obj_id >= 0 AND subj_id <> obj_id
+        ),
+        sym AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b, a FROM pairs
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src
+        ),
+        wed AS (
+            SELECT s1.dst AS u, s2.dst AS v
+            FROM sym s1
+            JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+            JOIN deg dw ON dw.node = s1.src
+            WHERE dw.deg <= {JC_MAX_DEG}
+        ),
+        com AS (
+            SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common
+            FROM wed GROUP BY u, v
+            HAVING COUNT(*) >= {JC_MIN_COMMON}
+        )
+        SELECT c.u AS node_a, c.v AS node_b, c.common,
+               CAST(c.common * 1000000
+                    // (du.deg + dv.deg - c.common) AS BIGINT) AS jaccard_ppm
+        FROM com c
+        JOIN deg du ON du.node = c.u
+        JOIN deg dv ON dv.node = c.v
+        ORDER BY jaccard_ppm DESC, node_a, node_b
+        LIMIT {JC_TOP}
+    """
+
+
 def kg_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the kg_* driver queries, reading the sequential
     golden parquet. Pinned to the driver's correctness scale (sf0.01)."""
@@ -1131,6 +1174,7 @@ def kg_oracle_sql() -> dict[str, str]:
         "kg_bfs": f"""
             SELECT entity_id, dist FROM {_g('bfs')}
         """,
+        "kg_jaccard": _jaccard_sql(),
         "mm_decode_pixels": f"""
             SELECT media_id, format, width, height, n_values, sum_values,
                    min_value, max_value

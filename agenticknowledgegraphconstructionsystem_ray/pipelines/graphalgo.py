@@ -840,3 +840,161 @@ def kg_bfs(sf_dir: str):
         columns=["entity_id"],
     )
     return bfs_hops(edges, nodes)
+
+
+# ---------------------------------------------------------------------------
+# common-neighbor / Jaccard node similarity (link-prediction features)
+# ---------------------------------------------------------------------------
+
+JC_MAX_DEG = 30
+JC_MIN_COMMON = 2
+JC_TOP = 100
+
+
+def jaccard_pairs(
+    edges: "rd.Dataset",
+    max_deg: int = JC_MAX_DEG,
+    min_common: int = JC_MIN_COMMON,
+    top: int = JC_TOP,
+) -> "rd.Dataset":
+    """Top node pairs by neighborhood Jaccard similarity — the classic
+    link-prediction feature. common(u, v) counts wedges u-w-v whose CENTER
+    w has degree <= ``max_deg`` (the standard hub guard: a Zipf head node
+    would emit deg^2 wedges; mirrorable exactly in SQL, unlike sampling);
+    degrees in the denominator come from the FULL graph.
+    jaccard_ppm = common * 1e6 // (deg_u + deg_v - common).
+
+    Shape: distinct undirected pairs -> symmetric adjacency -> wedge
+    generation inside a coarse-bucket map_groups (per-center work bounded
+    by max_deg^2) -> pair-count groupby -> two tag-union degree attaches ->
+    integer score, sort, top. Nothing node- or edge-sized on the driver.
+    Output: (node_a, node_b, common, jaccard_ppm) by (jaccard_ppm desc,
+    node_a, node_b), limit ``top``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n_groups = max(8, cluster_cpus())
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["subj_id"], pa.int64())
+        b = pc.cast(t["obj_id"], pa.int64())
+        lo, hi = pc.min_element_wise(a, b), pc.max_element_wise(a, b)
+        keep = pc.not_equal(lo, hi)
+        tt = pa.table({"a": lo, "b": hi}).filter(keep)
+        return tt.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
+
+    pairs = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+            }
+        )
+
+    sym = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    deg = sym.groupby("src").aggregate(Count(alias_name="deg")).map_batches(
+        lambda t: pa.table(
+            {
+                "node": pc.cast(t["src"], pa.int64()),
+                "deg": pc.cast(t["deg"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("_bk", pa.array(src % n_groups, pa.int64()))
+
+    def wedge_rows(df) -> pa.Table:
+        us, vs = [], []
+        for _, g in df.groupby("src"):
+            d = g["dst"].to_numpy()
+            if len(d) < 2 or len(d) > max_deg:
+                continue
+            d = np.sort(d)
+            iu, iv = np.triu_indices(len(d), k=1)
+            us.append(d[iu])
+            vs.append(d[iv])
+        if not us:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(us), pa.int64()),
+                "v": pa.array(np.concatenate(vs), pa.int64()),
+            }
+        )
+
+    com = (
+        sym.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(wedge_rows, batch_format="pandas")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="common"))
+        .filter(expr=f"common >= {min_common}")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "u": pc.cast(t["u"], pa.int64()),
+                    "v": pc.cast(t["v"], pa.int64()),
+                    "common": pc.cast(t["common"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    withu = _attach_i64(com, ["u", "v", "common"], "u", deg, "node", "deg",
+                        "deg_u", n_groups)
+    withv = _attach_i64(withu, ["u", "v", "common", "deg_u"], "v", deg,
+                        "node", "deg", "deg_v", n_groups)
+
+    def score(t: pa.Table) -> pa.Table:
+        common = t["common"].combine_chunks().to_numpy(zero_copy_only=False)
+        du = t["deg_u"].combine_chunks().to_numpy(zero_copy_only=False)
+        dv = t["deg_v"].combine_chunks().to_numpy(zero_copy_only=False)
+        j = common * np.int64(1_000_000) // (du + dv - common)
+        return pa.table(
+            {
+                "node_a": t["u"],
+                "node_b": t["v"],
+                "common": t["common"],
+                "jaccard_ppm": pa.array(j, pa.int64()),
+            }
+        )
+
+    return (
+        withv.map_batches(score, batch_format="pyarrow")
+        .sort(["jaccard_ppm", "node_a", "node_b"],
+              descending=[True, False, False])
+        .limit(top)
+    )
+
+
+def kg_jaccard(sf_dir: str):
+    """Driver query: top entity pairs by neighborhood Jaccard over the
+    materialized KG. Oracle: DuckDB wedge self-join over the sequential
+    golden edges parquet (goldens.kg_oracle_sql)."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["subj_id", "obj_id"],
+    ).filter(expr="subj_id >= 0 and obj_id >= 0")
+    return jaccard_pairs(edges)

@@ -283,3 +283,35 @@ class TestBFS:
         ).to_pandas()
         want = _seq_bfs(nodes_t, edges_t).to_pandas()
         assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+class TestJaccard:
+    def test_square_graph(self, ray_session):
+        # square 0-1-2-3-0: opposite corners share BOTH neighbors
+        got = graphalgo.jaccard_pairs(
+            rd.from_arrow(_edges([(0, 1), (1, 2), (2, 3), (3, 0)]))
+        ).to_pandas()
+        rows = {
+            (a, b): (c, j)
+            for a, b, c, j in zip(
+                got.node_a, got.node_b, got.common, got.jaccard_ppm
+            )
+        }
+        # (0,2) via centers 1 and 3; deg all 2 -> j = 2e6 // (2+2-2) = 1e6
+        assert rows == {(0, 2): (2, 1_000_000), (1, 3): (2, 1_000_000)}
+
+    def test_hub_center_excluded(self, ray_session):
+        # star center 9 with many leaves: center degree > cap, so leaves
+        # share no countable wedge
+        leaves = list(range(graphalgo.JC_MAX_DEG + 5))
+        got = graphalgo.jaccard_pairs(
+            rd.from_arrow(_edges([(9000, x) for x in leaves]))
+        ).to_pandas()
+        assert len(got) == 0
+
+    def test_min_common_floor(self, ray_session):
+        # 0 and 2 share exactly one neighbor (1) -> below JC_MIN_COMMON=2
+        got = graphalgo.jaccard_pairs(
+            rd.from_arrow(_edges([(0, 1), (1, 2)]))
+        ).to_pandas()
+        assert len(got) == 0
