@@ -284,12 +284,68 @@ def q60_term_pmi(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# q61: within-language percentile rank (curriculum bucketing)
+# ---------------------------------------------------------------------------
+
+
+def q61_percentile_rank(sf_dir: str):
+    """Each document's 0-based rank and integer percentile within its
+    language under (n_chars, doc_id) order — the curriculum-ordering /
+    difficulty-bucketing pass (shorter docs first). Output:
+    (doc_id, lang, n_chars, rk, pct) sorted by doc_id.
+
+    Shape: one range-partitioned sort on (lang, n_chars, doc_id), then the
+    per-block offset prefix scan (assembly._with_global_positions — one int
+    per block to the driver) converted to within-language ranks by
+    subtracting per-language start offsets (langs integers). The grouped
+    generalization of q44's global-position mechanism; no per-row driver
+    state."""
+    import pyarrow.compute as pc
+
+    from .assembly import _with_global_positions
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    ordered = docs.sort(["lang", "n_chars", "doc_id"]).materialize()
+    pos = _with_global_positions(ordered, "gpos")
+
+    counts = {
+        r["lang"]: r["count()"]
+        for r in ordered.groupby("lang").count().take_all()
+    }  # langs integers
+    langs_sorted = sorted(counts)
+    starts: dict[str, int] = {}
+    acc = 0
+    for lg in langs_sorted:
+        starts[lg] = acc
+        acc += counts[lg]
+
+    def localize(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        gpos = t["gpos"].combine_chunks().to_numpy(zero_copy_only=False)
+        st = np.array([starts[lg] for lg in langs], np.int64)
+        n = np.array([counts[lg] for lg in langs], np.int64)
+        rk = gpos - st
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                "rk": pa.array(rk, pa.int64()),
+                "pct": pa.array(rk * 100 // n, pa.int64()),
+            }
+        )
+
+    return pos.map_batches(localize, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # driver registration
 # ---------------------------------------------------------------------------
 
 QUERIES = {
     "q59_mixture_sample": q59_mixture_sample,
     "q60_term_pmi": q60_term_pmi,
+    "q61_percentile_rank": q61_percentile_rank,
 }
 
 _BUDGET_SQL = "CASE " + " ".join(
@@ -349,5 +405,18 @@ ORACLE_SQL: dict[str, str] = {
         JOIN vocab va ON va.term = p.term_a
         JOIN vocab vb ON vb.term = p.term_b
         ORDER BY pmi_ppm DESC, term_a, term_b
+    """,
+    "q61_percentile_rank": """
+        WITH ranked AS (
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id
+                   ) - 1 AS BIGINT) AS rk,
+                   COUNT(*) OVER (PARTITION BY lang) AS cnt
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars, rk,
+               CAST(rk * 100 // cnt AS BIGINT) AS pct
+        FROM ranked ORDER BY doc_id
     """,
 }

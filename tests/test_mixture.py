@@ -134,3 +134,22 @@ def test_term_pmi_formula_spot_check(ray_session):
     assert int(r["pmi_ppm"]) == n_ab * len(texts) * mixture.PMI_SCALE // (
         n_a * n_b
     )
+
+
+def test_percentile_rank_laws(ray_session):
+    got = mixture.q61_percentile_rank(SF).to_pandas()
+    docs = pq.read_table(
+        SF + "/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).to_pandas()
+    assert len(got) == len(docs)
+    for lang, g in got.groupby("lang"):
+        # ranks are a permutation of 0..n-1
+        assert sorted(g["rk"]) == list(range(len(g)))
+        # rank order agrees with (n_chars, doc_id) order
+        ordered = g.sort_values("rk")
+        assert (
+            ordered[["n_chars", "doc_id"]].values.tolist()
+            == g.sort_values(["n_chars", "doc_id"])[["n_chars", "doc_id"]]
+            .values.tolist()
+        )
+        assert (g["pct"] == g["rk"] * 100 // len(g)).all()

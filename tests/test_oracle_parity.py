@@ -64,6 +64,7 @@ FAST_QUERIES = [
     "q57_gopher_rules",
     "q59_mixture_sample",
     "q60_term_pmi",
+    "q61_percentile_rank",
 ]
 
 
