@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_kcore": graphalgo.kg_kcore,
             "kg_bfs": graphalgo.kg_bfs,
             "kg_jaccard": graphalgo.kg_jaccard,
+            "kg_walks": graphalgo.kg_walks,
         }
     )
     return q

@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "15"  # v15: + BFS hop-distance golden
+GOLDEN_VERSION = "16"  # v16: + random-walk corpus golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -715,6 +715,47 @@ def _seq_bfs(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
     )
 
 
+def _seq_walks(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
+    """Sequential random-walk golden: same keyed-hash next-hop rule as
+    :func:`..pipelines.graphalgo.random_walks` (neighbor minimizing
+    md5(f"{start}:{step}:{neighbor}"), undirected distinct pairs, dead ends
+    stop). Emits (start_id, step, node_id) sorted by (start_id, step)."""
+    import hashlib
+
+    from .pipelines.graphalgo import WALK_LEN
+
+    adj: dict[int, set[int]] = {}
+    for s, o in zip(
+        edges_t["subj_id"].to_pylist(), edges_t["obj_id"].to_pylist()
+    ):
+        if s >= 0 and o >= 0 and s != o:
+            adj.setdefault(s, set()).add(o)
+            adj.setdefault(o, set()).add(s)
+    rows = []
+    for start in sorted(nodes_t["entity_id"].to_pylist()):
+        cur = start
+        rows.append((start, 0, cur))
+        for step in range(WALK_LEN):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(
+                nbrs,
+                key=lambda d: (
+                    hashlib.md5(f"{start}:{step}:{d}".encode()).hexdigest(),
+                    d,
+                ),
+            )
+            rows.append((start, step + 1, cur))
+    return pa.table(
+        {
+            "start_id": pa.array([r[0] for r in rows], pa.int64()),
+            "step": pa.array([r[1] for r in rows], pa.int64()),
+            "node_id": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _doc_ids(sf_dir: str) -> list[int]:
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     return t["doc_id"].to_pylist()
@@ -903,6 +944,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     tables["components"] = _seq_components(tables["nodes"], tables["edges"])
     tables["kcore"] = _seq_kcore(tables["edges"])
     tables["bfs"] = _seq_bfs(tables["nodes"], tables["edges"])
+    tables["walks"] = _seq_walks(tables["nodes"], tables["edges"])
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
@@ -1175,6 +1217,9 @@ def kg_oracle_sql() -> dict[str, str]:
             SELECT entity_id, dist FROM {_g('bfs')}
         """,
         "kg_jaccard": _jaccard_sql(),
+        "kg_walks": f"""
+            SELECT start_id, step, node_id FROM {_g('walks')}
+        """,
         "mm_decode_pixels": f"""
             SELECT media_id, format, width, height, n_values, sum_values,
                    min_value, max_value

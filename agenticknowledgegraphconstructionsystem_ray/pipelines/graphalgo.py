@@ -998,3 +998,180 @@ def kg_jaccard(sf_dir: str):
         columns=["subj_id", "obj_id"],
     ).filter(expr="subj_id >= 0 and obj_id >= 0")
     return jaccard_pairs(edges)
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (graph-embedding training corpus)
+# ---------------------------------------------------------------------------
+
+WALK_LEN = 4
+
+
+def random_walks(
+    edges: "rd.Dataset", nodes: "rd.Dataset", walk_len: int = WALK_LEN
+) -> "rd.Dataset":
+    """DeepWalk-style walk corpus: one walk per node, ``walk_len`` steps,
+    next hop chosen DETERMINISTICALLY as the neighbor minimizing
+    md5(f"{start}:{step}:{neighbor}") — a keyed-hash stand-in for the RNG
+    (bit-reproducible under any partitioning, like the q56/q38 samplers).
+    Dead ends (isolated nodes) simply stop emitting. Output:
+    (start_id, step, node_id) rows sorted by (start_id, step); step 0 is
+    the start node itself.
+
+    Shape: per step, ONE coarse-bucket tag-union groupby joins the walk
+    frontier (node-sized: each walk occupies exactly one current node)
+    against the symmetric adjacency; because a walk has a single current
+    node, ALL its next-hop candidates land in that node's bucket, so the
+    per-start argmin completes inside the bucket — no second shuffle.
+    Per-step cost is O(E + V) rows; driver holds nothing."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n_groups = max(8, cluster_cpus())
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["subj_id"], pa.int64())
+        b = pc.cast(t["obj_id"], pa.int64())
+        lo, hi = pc.min_element_wise(a, b), pc.max_element_wise(a, b)
+        keep = pc.not_equal(lo, hi)
+        tt = pa.table({"a": lo, "b": hi}).filter(keep)
+        return tt.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
+
+    pairs = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+            }
+        )
+
+    sym = pairs.map_batches(symmetrize, batch_format="pyarrow")
+
+    def route_sym(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "start": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "cur": pa.array(src.astype(np.int64), pa.int64()),
+                "dst": pc.cast(t["dst"], pa.int64()),
+                "_tag": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "_bk": pa.array(src % n_groups, pa.int64()),
+            }
+        )
+
+    sym_routed = sym.map_batches(route_sym, batch_format="pyarrow").materialize()
+
+    def init_walks(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["entity_id"], pa.int64())
+        return pa.table({"start": ids, "cur": ids})
+
+    walks = nodes.map_batches(init_walks, batch_format="pyarrow").materialize()
+    emitted = [
+        walks.map_batches(
+            lambda t: pa.table(
+                {
+                    "start_id": t["start"],
+                    "step": pa.array([0] * t.num_rows, pa.int64()),
+                    "node_id": t["cur"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ]
+
+    for r in range(walk_len):
+
+        def route_walks(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            cur = t["cur"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "start": pc.cast(t["start"], pa.int64()),
+                    "cur": pa.array(cur.astype(np.int64), pa.int64()),
+                    "dst": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                    "_tag": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                    "_bk": pa.array(cur % n_groups, pa.int64()),
+                }
+            )
+
+        def step_resolve(df: "pd.DataFrame", rr=r) -> pa.Table:
+            w = df[df["_tag"] == 0][["start", "cur"]]
+            s = df[df["_tag"] == 1][["cur", "dst"]]
+            cand = w.merge(s, on="cur")  # (start, cur, dst) candidates
+            if not len(cand):
+                return pa.table(
+                    {
+                        "start": pa.array([], pa.int64()),
+                        "cur": pa.array([], pa.int64()),
+                    }
+                )
+            keys = [
+                hashlib.md5(f"{st}:{rr}:{d}".encode()).hexdigest()
+                for st, d in zip(cand["start"], cand["dst"])
+            ]
+            cand = cand.assign(_h=keys)
+            cand = cand.sort_values(["start", "_h", "dst"], kind="mergesort")
+            best = cand.groupby("start", sort=True).head(1)
+            return pa.table(
+                {
+                    "start": pa.array(best["start"].to_numpy(np.int64)),
+                    "cur": pa.array(best["dst"].to_numpy(np.int64)),
+                }
+            )
+
+        walks = (
+            walks.map_batches(route_walks, batch_format="pyarrow")
+            .union(sym_routed)
+            .groupby("_bk")
+            .map_groups(step_resolve, batch_format="pandas")
+            .materialize()
+        )
+        emitted.append(
+            walks.map_batches(
+                lambda t, rr=r: pa.table(
+                    {
+                        "start_id": t["start"],
+                        "step": pa.array([rr + 1] * t.num_rows, pa.int64()),
+                        "node_id": t["cur"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    out = emitted[0]
+    for e in emitted[1:]:
+        out = out.union(e)
+    return out.sort(["start_id", "step"])
+
+
+def kg_walks(sf_dir: str):
+    """Driver query: deterministic random-walk corpus over the materialized
+    KG (graph-embedding training data). Oracle: golden-file sequential walk
+    recompute (goldens._seq_walks)."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["subj_id", "obj_id"],
+    ).filter(expr="subj_id >= 0 and obj_id >= 0")
+    nodes = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+        columns=["entity_id"],
+    )
+    return random_walks(edges, nodes)

@@ -315,3 +315,51 @@ class TestJaccard:
             rd.from_arrow(_edges([(0, 1), (1, 2)]))
         ).to_pandas()
         assert len(got) == 0
+
+
+class TestRandomWalks:
+    def test_matches_sequential_on_random_graph(self, ray_session):
+        import numpy as np
+
+        from agenticknowledgegraphconstructionsystem_ray.goldens import _seq_walks
+
+        rng = np.random.default_rng(11)
+        n = 60
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(150, 2))
+            if a != b
+        ]
+        nodes_t, edges_t = _nodes(list(range(n))), _edges(pairs)
+        got = graphalgo.random_walks(
+            rd.from_arrow(edges_t), rd.from_arrow(nodes_t)
+        ).to_pandas()
+        want = _seq_walks(nodes_t, edges_t).to_pandas()
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    def test_isolated_node_emits_only_step0(self, ray_session):
+        got = graphalgo.random_walks(
+            rd.from_arrow(_edges([(0, 1)])), rd.from_arrow(_nodes([0, 1, 7]))
+        ).to_pandas()
+        seven = got[got.start_id == 7]
+        assert len(seven) == 1 and seven.iloc[0]["step"] == 0
+        # the 0-1 component ping-pongs the full walk length
+        assert len(got[got.start_id == 0]) == graphalgo.WALK_LEN + 1
+
+    def test_walk_steps_are_adjacent(self, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 30, size=(60, 2))
+            if a != b
+        ]
+        und = {(min(a, b), max(a, b)) for a, b in pairs}
+        got = graphalgo.random_walks(
+            rd.from_arrow(_edges(pairs)), rd.from_arrow(_nodes(list(range(30))))
+        ).to_pandas()
+        for _, w in got.groupby("start_id"):
+            seq = w.sort_values("step")["node_id"].tolist()
+            for a, b in zip(seq, seq[1:]):
+                assert (min(a, b), max(a, b)) in und
