@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_concept_summary": kgqueries.kg_concept_summary,
             "kg_docs_triples": kgqueries.kg_docs_triples,
             "kg_validation_issues": kgqueries.kg_validation_issues,
+            "kg_lineage": kgqueries.kg_lineage,
             "kg_pagerank": graphalgo.kg_pagerank,
             "kg_degree_stats": graphalgo.kg_degree_stats,
             "kg_components": graphalgo.kg_components,

@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "16"  # v16: + random-walk corpus golden
+GOLDEN_VERSION = "17"  # v17: + lineage ledger golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -756,6 +756,35 @@ def _seq_walks(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
     )
 
 
+def _seq_lineage(pages_dir: str) -> pa.Table:
+    """Sequential lineage golden: replays the deterministic chunk plan
+    (kg.plan_chunks over the sorted page files — a pure function of the
+    file listing, shared per NOTES invariant 1) and counts pages per chunk
+    from parquet metadata. Mirrors what phase A's committed manifests must
+    record for a complete run."""
+    import dataclasses
+
+    from .pipelines.kg import KGConfig, plan_chunks
+
+    default_chunk_files = next(
+        f.default for f in dataclasses.fields(KGConfig)
+        if f.name == "chunk_files"
+    )
+    chunks = plan_chunks(pages_dir, default_chunk_files)
+    rows = []
+    for cid, files in enumerate(chunks):
+        n = sum(pq.read_metadata(f).num_rows for f in files)
+        rows.append((cid, len(files), n, "success"))
+    return pa.table(
+        {
+            "chunk_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_files": pa.array([r[1] for r in rows], pa.int64()),
+            "n_pages": pa.array([r[2] for r in rows], pa.int64()),
+            "status": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
 def _doc_ids(sf_dir: str) -> list[int]:
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     return t["doc_id"].to_pylist()
@@ -945,6 +974,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     tables["kcore"] = _seq_kcore(tables["edges"])
     tables["bfs"] = _seq_bfs(tables["nodes"], tables["edges"])
     tables["walks"] = _seq_walks(tables["nodes"], tables["edges"])
+    tables["lineage"] = _seq_lineage(pages_dir)
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
@@ -1219,6 +1249,9 @@ def kg_oracle_sql() -> dict[str, str]:
         "kg_jaccard": _jaccard_sql(),
         "kg_walks": f"""
             SELECT start_id, step, node_id FROM {_g('walks')}
+        """,
+        "kg_lineage": f"""
+            SELECT chunk_id, n_files, n_pages, status FROM {_g('lineage')}
         """,
         "mm_decode_pixels": f"""
             SELECT media_id, format, width, height, n_values, sum_values,

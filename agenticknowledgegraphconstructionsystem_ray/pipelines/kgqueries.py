@@ -333,3 +333,30 @@ def kg_validation_issues(sf_dir: str):
         glob.glob(os.path.join(out, "validation", "issues", "*.parquet"))
     )
     return rd.read_parquet(files)
+
+
+def kg_lineage(sf_dir: str):
+    """Per-partition lineage ledger: one row per processing chunk from the
+    committed ``_manifests/chunk-*.json`` manifests (the reference's
+    extraction_logs analog, ``db_init.py:150-159``). Deterministic columns
+    only — (chunk_id, n_files, n_pages, status); wall_s stays in the
+    manifest but not in the oracle-checked surface. Oracle: golden-file
+    recompute of the chunk plan + per-file page counts
+    (goldens._seq_lineage)."""
+    import pyarrow as pa
+
+    from ..state import manifest as mf
+
+    out = _ensure_run(sf_dir)
+    cids = sorted(mf.completed_chunks(out))
+    ms = [mf.read_manifest(out, c) for c in cids]
+    return pa.table(
+        {
+            "chunk_id": pa.array(cids, pa.int64()),
+            "n_files": pa.array(
+                [len(m["input_files"]) for m in ms], pa.int64()
+            ),
+            "n_pages": pa.array([m["row_count"] for m in ms], pa.int64()),
+            "status": pa.array([m["status"] for m in ms], pa.string()),
+        }
+    )

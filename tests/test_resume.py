@@ -54,3 +54,16 @@ def test_manifest_commit_is_atomic(tmp_path):
         f.write("{not json")
     assert mf.completed_chunks(out) == {3}
     assert mf.pending_chunks(out, [2, 3, 4, 5]) == [2, 4, 5]
+
+
+def test_lineage_query_matches_chunk_plan(ray_session):
+    """kg_lineage rows = the deterministic chunk plan with per-chunk page
+    counts summing to the corpus size."""
+    from agenticknowledgegraphconstructionsystem_ray import synth
+    from agenticknowledgegraphconstructionsystem_ray.goldens import _seq_lineage
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kgqueries
+
+    got = kgqueries.kg_lineage("/root/testdata/sf0.001").to_pandas()
+    want = _seq_lineage(synth.ensure_pages(0.001)).to_pandas()
+    assert got.equals(want)
+    assert (got["status"] == "success").all()
