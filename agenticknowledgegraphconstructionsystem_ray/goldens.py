@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "17"  # v17: + lineage ledger golden
+GOLDEN_VERSION = "18"  # v18: + PQ top-k golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -785,6 +785,69 @@ def _seq_lineage(pages_dir: str) -> pa.Table:
     )
 
 
+def _seq_pq(sf_dir: str) -> pa.Table:
+    """Sequential PQ golden: same fixed-point kernels (km_quantize /
+    km_assign / pq_encode) run on the whole matrix in one process — the
+    distributed trainer's integer partial-sum merge must reproduce this
+    bit-for-bit."""
+    import numpy as np
+
+    from .stages.similarity import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        km_assign,
+        km_quantize,
+        pq_encode,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    mat = km_quantize(np.asarray(t["embedding"].to_pylist(), np.float64))
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    dim = mat.shape[1]
+    dsub = dim // PQ_M
+    smat = mat[ids < PQ_K]
+    cents = np.stack(
+        [smat[:, j * dsub : (j + 1) * dsub].copy() for j in range(PQ_M)]
+    )
+    for _ in range(PQ_ITERS):
+        new = cents.copy()
+        for j in range(PQ_M):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            cl, _ = km_assign(sub, cents[j])
+            for c in range(PQ_K):
+                sel = sub[cl == c]
+                if len(sel):
+                    new[j, c] = sel.sum(axis=0) // len(sel)
+        cents = new
+    codes = pq_encode(mat, cents)
+    query_ids = [0, 1, 2]
+    k = 10
+    rows_q, rows_v, rows_r = [], [], []
+    for qid in query_ids:
+        qv = mat[ids == qid][0]
+        lut = np.stack(
+            [qv[j * dsub : (j + 1) * dsub] @ cents[j].T for j in range(PQ_M)]
+        )
+        scores = lut[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+        top = np.lexsort((ids, -scores))[:k]
+        rows_q.extend([qid] * len(top))
+        rows_v.extend(ids[top].tolist())
+        rows_r.extend(range(len(top)))
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "vec_id": pa.array(rows_v, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+
+
 def _doc_ids(sf_dir: str) -> list[int]:
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     return t["doc_id"].to_pylist()
@@ -984,6 +1047,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["dd_keep_simhash"] = _seq_pairs_keep(sf_dir, tables["dd_simhash"])
         tables["fingerprints"] = _seq_fingerprints(sf_dir)
         tables["ivf_topk"] = _seq_ivf_topk(sf_dir)
+        tables["pq_topk"] = _seq_pq(sf_dir)
         tables["hll_users"] = _seq_hll_users(sf_dir)
         tables["hll_terms"] = _seq_hll_terms(sf_dir)
         tables["cms"] = _seq_cms(sf_dir)
@@ -1233,6 +1297,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_topk": f"""
             SELECT query_id, vec_id, rank FROM {_g('ivf_topk')}
+        """,
+        "ann_pq_topk": f"""
+            SELECT query_id, vec_id, rank FROM {_g('pq_topk')}
         """,
         "sk_hll_users": f"""
             SELECT event_type, n_users_est FROM {_g('hll_users')}

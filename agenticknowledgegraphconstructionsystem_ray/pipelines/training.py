@@ -425,6 +425,13 @@ def ann_brute_topk(sf_dir: str):
     return similarity.brute_force_topk(sf_dir, query_ids=[0, 1, 2], k=10)
 
 
+def ann_pq_topk(sf_dir: str):
+    """Product-quantization approximate top-k (stages/similarity.pq_topk):
+    per-subspace integer Lloyd's codebooks + LUT scoring — the vector-
+    compression scale path. Golden-file oracle (goldens._seq_pq)."""
+    return similarity.pq_topk(sf_dir)
+
+
 def ml_kmeans(sf_dir: str):
     """Distributed integer-exact Lloyd's k-means over the embeddings table
     (stages/similarity.kmeans_assign); golden-file oracle goldens._seq_kmeans
@@ -632,4 +639,5 @@ QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ml_kmeans": ml_kmeans,
+    "ann_pq_topk": ann_pq_topk,
 }

@@ -334,3 +334,175 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5):
         )
 
     return ds.map_batches(assign, batch_format="pyarrow").sort("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) approximate top-k — the vector-compression scale
+# path (IVF's usual companion: at 10^11 vectors the corpus is stored as M
+# uint8 codes per vector, 16x smaller than float32, and scoring is M table
+# lookups instead of a dim-length dot product).
+# ---------------------------------------------------------------------------
+# Determinism contract (same as k-means above): all training and scoring in
+# _KM_QUANT fixed point; per-subspace Lloyd's with the K-smallest-vec_id
+# seeds, floor-mean updates, argmin ties to the smallest centroid id —
+# distributed training partials merge by integer addition, so the codebook,
+# codes and rankings are bit-identical to the sequential golden
+# (goldens._seq_pq) at any parallelism.
+
+PQ_M = 4        # subspaces (dim 64 -> 16 dims each)
+PQ_K = 16       # centroids per subspace (codes fit uint8 with room)
+PQ_ITERS = 4
+
+
+def pq_encode(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(N, dim) int64 x (M, K, dim/M) int64 -> (N, M) int64 codes: per
+    subspace, nearest centroid by exact int64 L2 (ties -> smallest id)."""
+    n, dim = q.shape
+    m = cents.shape[0]
+    dsub = dim // m
+    codes = np.empty((n, m), np.int64)
+    for j in range(m):
+        sub = q[:, j * dsub : (j + 1) * dsub]
+        cl, _ = km_assign(sub, cents[j])
+        codes[:, j] = cl
+    return codes
+
+
+def pq_train_partial(q: np.ndarray, cents: np.ndarray):
+    """One block's Lloyd's partial for every subspace: rows of
+    (sub, cluster, n, sum_vector) — int64 exact, merged by addition."""
+    m, _, dsub = cents.shape
+    subs, cls, ns, sums = [], [], [], []
+    for j in range(m):
+        sub = q[:, j * dsub : (j + 1) * dsub]
+        cl, _ = km_assign(sub, cents[j])
+        for c in np.unique(cl):
+            sel = sub[cl == c]
+            subs.append(j)
+            cls.append(int(c))
+            ns.append(len(sel))
+            sums.append(sel.sum(axis=0).tolist())
+    return subs, cls, ns, sums
+
+
+def pq_topk(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    m: int = PQ_M,
+    kk: int = PQ_K,
+    iters: int = PQ_ITERS,
+):
+    """PQ approximate top-k: train per-subspace codebooks over the corpus
+    (one streaming pass per iteration, M*K tiny partial rows per block),
+    then score every vector for each query as the sum of M inner-product
+    table lookups (asymmetric distance computation) inside a per-block
+    top-k combiner. Output: (query_id, vec_id, rank) — rank by
+    (approx score desc, vec_id asc). Driver state: the (M, K, dim/M)
+    codebook and k rows per (block, query)."""
+    query_ids = query_ids or [0, 1, 2]
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    seeds = ds.filter(expr=f"vec_id < {kk}").take_all()
+    seeds.sort(key=lambda r: r["vec_id"])
+    smat = km_quantize(np.array([r["embedding"] for r in seeds], np.float64))
+    dim = smat.shape[1]
+    dsub = dim // m
+    cents = np.stack(
+        [smat[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+    )  # (M, K, dsub)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            q = km_quantize(_matrix(t))
+            subs, cls, ns, sums = pq_train_partial(q, c)
+            return pa.table(
+                {
+                    "sub": pa.array(subs, pa.int64()),
+                    "cluster": pa.array(cls, pa.int64()),
+                    "n": pa.array(ns, pa.int64()),
+                    "s": pa.array(sums, pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        counts = np.zeros((m, kk), np.int64)
+        sums = np.zeros_like(cents)
+        for r in parts:
+            counts[r["sub"], r["cluster"]] += r["n"]
+            sums[r["sub"], r["cluster"]] += np.asarray(r["s"], np.int64)
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] // counts[nz][:, None]
+
+    # query LUTs: (n_queries, M, K) int64 inner products
+    want = pa.array(sorted(set(query_ids)), pa.int64())
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in ds.map_batches(
+            lambda t: t.filter(
+                pc.is_valid(pc.index_in(t["vec_id"], value_set=want))
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    qmat = km_quantize(
+        np.array([qrows[i] for i in query_ids], np.float64)
+    )
+    lut = np.stack(
+        [
+            np.stack(
+                [
+                    qmat[qi, j * dsub : (j + 1) * dsub] @ cents[j].T
+                    for j in range(m)
+                ]
+            )
+            for qi in range(len(query_ids))
+        ]
+    )  # (Q, M, K)
+    ref = ray.put((cents, lut, list(query_ids)))
+
+    def block_topk(t: pa.Table, _ref=ref) -> pa.Table:
+        c, l, qids = ray.get(_ref)
+        q = km_quantize(_matrix(t))
+        codes = pq_encode(q, c)
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            scores = l[qi][np.arange(codes.shape[1])[None, :], codes].sum(
+                axis=1
+            )
+            top = np.lexsort((ids, -scores))[:k]
+            out_q.extend([qid] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_s.extend(scores[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow").take_all()
+    rows_q, rows_v, rows_r = [], [], []
+    import pandas as pd
+
+    df = pd.DataFrame(parts)
+    for qid in query_ids:
+        g = df[df.query_id == qid].sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        rows_q.extend([qid] * len(g))
+        rows_v.extend(g["vec_id"].tolist())
+        rows_r.extend(range(len(g)))
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "vec_id": pa.array(rows_v, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )

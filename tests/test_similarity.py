@@ -119,3 +119,47 @@ class TestKMeans:
             for j in range(4):
                 split[j] += q[lo:hi][cls == j].sum(axis=0)
         assert np.array_equal(full, split)
+
+
+def test_pq_matches_sequential_golden():
+    from agenticknowledgegraphconstructionsystem_ray.goldens import _seq_pq
+
+    got = similarity.pq_topk(SF)
+    want = _seq_pq(SF)
+    assert got.equals(want)
+
+
+def test_pq_recall_and_self_retrieval():
+    brute = similarity.brute_force_topk(SF, query_ids=[0, 1, 2], k=10).to_pydict()
+    pqr = similarity.pq_topk(SF).to_pydict()
+    recalls = []
+    for q in (0, 1, 2):
+        b = {v for qq, v in zip(brute["query_id"], brute["vec_id"]) if qq == q}
+        a = {v for qq, v in zip(pqr["query_id"], pqr["vec_id"]) if qq == q}
+        recalls.append(len(a & b) / len(b))
+    # 16 centroids x 4 subspaces on random data: coarse but useful recall
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    # every query retrieves SOMETHING and ranks are 0..k-1 per query
+    for q in (0, 1, 2):
+        ranks = [r for qq, r in zip(pqr["query_id"], pqr["rank"]) if qq == q]
+        assert ranks == list(range(len(ranks))) and len(ranks) == 10
+
+
+def test_pq_codes_bounded():
+    import pyarrow.parquet as pq_
+
+    from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+        PQ_K,
+        PQ_M,
+        km_quantize,
+        pq_encode,
+    )
+
+    t = pq_.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    mat = km_quantize(np.asarray(t["embedding"].to_pylist(), np.float64))
+    cents = np.stack(
+        [mat[:PQ_K, j * 16 : (j + 1) * 16].copy() for j in range(PQ_M)]
+    )
+    codes = pq_encode(mat, cents)
+    assert codes.shape == (len(mat), PQ_M)
+    assert codes.min() >= 0 and codes.max() < PQ_K
