@@ -235,6 +235,89 @@ def q56_corpus_sample(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q63: crawl-to-crawl snapshot diff
+# ---------------------------------------------------------------------------
+# The delta operator between two corpus snapshots (what changed since the
+# last crawl): the "new" snapshot is a deterministic mutation of the input
+# (docs % 17 removed; surviving docs % 13 revised; docs % 29 re-added under
+# a new id), and the diff classifies every differing doc_id as added /
+# removed / changed by content hash. Both shuffles carry (doc_id, 32-byte
+# hash, side) — never text — and the classification is ONE groupby with
+# Max aggregates (each side contributes at most one row per id), fully
+# vectorized: no map_groups, no driver state.
+
+DIFF_RM_MOD = 17
+DIFF_CH_MOD = 13
+DIFF_ADD_MOD = 29
+DIFF_ADD_OFFSET = 2_000_000
+DIFF_REV = " [rev2]"
+
+
+def q63_snapshot_diff(sf_dir: str):
+    """(doc_id, status in added|removed|changed) sorted by doc_id."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed_sides(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        out_id, out_old, out_new = [], [], []
+        for i, tx in zip(ids, texts):
+            k = hashlib.md5(tx.encode()).hexdigest()
+            out_id.append(int(i))
+            out_old.append(k)
+            out_new.append("")
+            if i % DIFF_RM_MOD != 0:  # survives into the new snapshot
+                k2 = (
+                    hashlib.md5((tx + DIFF_REV).encode()).hexdigest()
+                    if i % DIFF_CH_MOD == 0
+                    else k
+                )
+                out_id.append(int(i))
+                out_old.append("")
+                out_new.append(k2)
+            if i % DIFF_ADD_MOD == 0:  # re-served under a new id
+                out_id.append(int(i) + DIFF_ADD_OFFSET)
+                out_old.append("")
+                out_new.append(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "k_old": pa.array(out_old, pa.string()),
+                "k_new": pa.array(out_new, pa.string()),
+            }
+        )
+
+    merged = (
+        docs.map_batches(keyed_sides, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Max("k_old", alias_name="k_old"),
+                   Max("k_new", alias_name="k_new"))
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        ko = np.asarray(t["k_old"].to_pylist())
+        kn = np.asarray(t["k_new"].to_pylist())
+        status = np.where(
+            ko == "", "added", np.where(kn == "", "removed", "changed")
+        )
+        keep = (ko == "") | (kn == "") | (ko != kn)
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "status": pa.array(status, pa.string()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return merged.map_batches(classify, batch_format="pyarrow").sort("doc_id")
+
+
+
+# ---------------------------------------------------------------------------
 # driver registration
 # ---------------------------------------------------------------------------
 
@@ -242,6 +325,7 @@ QUERIES = {
     "q54_mirror_detection": q54_mirror_detection,
     "q55_hist_quantiles": q55_hist_quantiles,
     "q56_corpus_sample": q56_corpus_sample,
+    "q63_snapshot_diff": q63_snapshot_diff,
 }
 
 _AUG_SQL = f"""
@@ -297,5 +381,27 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
         QUALIFY rk < {SAMPLE_K}
         ORDER BY rk
+    """,
+    "q63_snapshot_diff": f"""
+        WITH old AS (
+            SELECT doc_id, md5(text) AS k FROM documents
+        ),
+        new AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {DIFF_CH_MOD} = 0
+                        THEN md5(text || '{DIFF_REV}')
+                        ELSE md5(text) END AS k
+            FROM documents WHERE doc_id % {DIFF_RM_MOD} <> 0
+            UNION ALL
+            SELECT doc_id + {DIFF_ADD_OFFSET}, md5(text)
+            FROM documents WHERE doc_id % {DIFF_ADD_MOD} = 0
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.k <> n.k
+        ORDER BY doc_id
     """,
 }

@@ -485,7 +485,86 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         FROM events GROUP BY user_id
     """,
+    "q62_funnel": """
+        WITH s1 AS (
+            SELECT user_id,
+                   MIN(ts) FILTER (event_type = 'signup') AS t1
+            FROM events GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON s1.user_id = e.user_id
+            WHERE e.event_type = 'view' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON s2.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        ),
+        s4 AS (
+            SELECT e.user_id, MIN(e.ts) AS t4
+            FROM events e JOIN s3 ON s3.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               CAST(CASE WHEN s4.t4 IS NOT NULL THEN 4
+                         WHEN s3.t3 IS NOT NULL THEN 3
+                         WHEN s2.t2 IS NOT NULL THEN 2
+                         WHEN s1.t1 IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS funnel_depth
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN s1 ON s1.user_id = u.user_id
+        LEFT JOIN s2 ON s2.user_id = u.user_id
+        LEFT JOIN s3 ON s3.user_id = u.user_id
+        LEFT JOIN s4 ON s4.user_id = u.user_id
+        ORDER BY u.user_id
+    """,
 }
+
+
+# ---------------------------------------------------------------------------
+# q62: ordered conversion funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def q62_funnel(sf_dir: str):
+    """Per-user ordered funnel depth over FUNNEL_STAGES: stage i counts only
+    if its earliest qualifying event is STRICTLY after the previous stage's
+    matched time (the classic product-analytics conversion funnel). Output:
+    (user_id, funnel_depth) for every user, sorted by user_id.
+
+    Shape: one groupby(user_id) with a vectorized per-group walk (events
+    sorted by (ts, event_id); each stage is a searchsorted over that user's
+    stage-filtered times). Partitioning assumption: one user's events fit a
+    group — same contract as q30/q33/q35."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type", "event_id"])
+
+    def depth(df) -> pa.Table:
+        uid = int(df["user_id"].iloc[0])
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        t_prev = -(1 << 62)
+        d = 0
+        for stage in FUNNEL_STAGES:
+            cand = ts[(et == stage) & (ts > t_prev)]
+            if not len(cand):
+                break
+            t_prev = int(cand[0])  # ts-sorted: first qualifying == earliest
+            d += 1
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "funnel_depth": pa.array([d], pa.int64()),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(depth, batch_format="pandas").sort("user_id")
 
 QUERIES = {
     "q33_asof_join": q33_asof_join,
@@ -496,4 +575,5 @@ QUERIES = {
     "q38_stratified_sample": q38_stratified_sample,
     "q39_watermark_window": q39_watermark_window,
     "q40_orders_no_returns": q40_orders_no_returns,
+    "q62_funnel": q62_funnel,
 }

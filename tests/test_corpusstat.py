@@ -87,3 +87,24 @@ def test_bloom_decontaminate_bit_identical_to_exact(ray_session):
     pd.testing.assert_frame_equal(exact, bloom)
     # the corpus plants real contamination — the test must exercise hits
     assert exact["contaminated"].sum() > 0
+
+
+def test_snapshot_diff_classes(ray_session):
+    got = corpusstat.q63_snapshot_diff(SF).to_pandas()
+    docs = pq.read_table(SF + "/documents.parquet", columns=["doc_id"]).to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    want_removed = {int(i) for i in ids if i % corpusstat.DIFF_RM_MOD == 0}
+    want_added = {
+        int(i) + corpusstat.DIFF_ADD_OFFSET
+        for i in ids
+        if i % corpusstat.DIFF_ADD_MOD == 0
+    }
+    want_changed = {
+        int(i)
+        for i in ids
+        if i % corpusstat.DIFF_RM_MOD != 0 and i % corpusstat.DIFF_CH_MOD == 0
+    }
+    by = {s: set(g["doc_id"]) for s, g in got.groupby("status")}
+    assert by.get("removed", set()) == want_removed
+    assert by.get("added", set()) == want_added
+    assert by.get("changed", set()) == want_changed

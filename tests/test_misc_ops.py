@@ -123,3 +123,31 @@ def test_grouped_topk_matches_bruteforce(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["g", "uid", "score"]], want)
+
+
+def test_funnel_depth_sequential_recompute(ray_session):
+    """q62 funnel depth equals a per-user sequential scan."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import temporal
+
+    sf = "/root/testdata/sf0.001"
+    got = temporal.q62_funnel(sf).to_pandas()
+    ev = pq.read_table(
+        sf + "/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    ).to_pandas()
+    for _, row in got.iterrows():
+        g = ev[ev.user_id == row["user_id"]].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        t_prev, d = -(1 << 62), 0
+        for stage in temporal.FUNNEL_STAGES:
+            cand = ts[(et == stage) & (ts > t_prev)]
+            if not len(cand):
+                break
+            t_prev, d = int(cand[0]), d + 1
+        assert d == row["funnel_depth"], row["user_id"]

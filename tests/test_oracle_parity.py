@@ -65,6 +65,8 @@ FAST_QUERIES = [
     "q59_mixture_sample",
     "q60_term_pmi",
     "q61_percentile_rank",
+    "q62_funnel",
+    "q63_snapshot_diff",
 ]
 
 
