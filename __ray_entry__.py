@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_bfs": graphalgo.kg_bfs,
             "kg_jaccard": graphalgo.kg_jaccard,
             "kg_walks": graphalgo.kg_walks,
+            "kg_negatives": graphalgo.kg_negatives,
         }
     )
     return q

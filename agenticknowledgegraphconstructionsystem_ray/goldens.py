@@ -1125,6 +1125,37 @@ def _jaccard_sql() -> str:
     """
 
 
+def _negatives_sql() -> str:
+    """Negative-sampling mirror over the golden edges/nodes — same integer
+    mix as pipelines.graphalgo.negative_samples."""
+    from .pipelines.graphalgo import NEG_K, NEG_MIX_A, NEG_MIX_B, NEG_MIX_J
+
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                            GREATEST(subj_id, obj_id) AS b
+            FROM {_g('edges')}
+            WHERE subj_id >= 0 AND obj_id >= 0 AND subj_id <> obj_id
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {_g('nodes')}),
+        pos AS (
+            SELECT a AS src, b AS dst,
+                   CAST(1 AS BIGINT) AS label, CAST(-1 AS BIGINT) AS k
+            FROM pairs
+        ),
+        neg AS (
+            SELECT p.a AS src,
+                   (p.a * {NEG_MIX_A} + p.b * {NEG_MIX_B}
+                    + j * {NEG_MIX_J}) % nn.n AS dst,
+                   CAST(0 AS BIGINT) AS label, CAST(j AS BIGINT) AS k
+            FROM (SELECT a, b, unnest(range({NEG_K})) AS j FROM pairs) p, nn
+        )
+        SELECT src, dst, label, k FROM pos
+        UNION ALL SELECT src, dst, label, k FROM neg
+        ORDER BY src, dst, label, k
+    """
+
+
 def kg_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the kg_* driver queries, reading the sequential
     golden parquet. Pinned to the driver's correctness scale (sf0.01)."""
@@ -1314,6 +1345,7 @@ def kg_oracle_sql() -> dict[str, str]:
             SELECT entity_id, dist FROM {_g('bfs')}
         """,
         "kg_jaccard": _jaccard_sql(),
+        "kg_negatives": _negatives_sql(),
         "kg_walks": f"""
             SELECT start_id, step, node_id FROM {_g('walks')}
         """,

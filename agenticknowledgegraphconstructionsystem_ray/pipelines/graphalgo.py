@@ -1175,3 +1175,89 @@ def kg_walks(sf_dir: str):
         columns=["entity_id"],
     )
     return random_walks(edges, nodes)
+
+
+# ---------------------------------------------------------------------------
+# negative sampling (contrastive training pairs for graph embeddings)
+# ---------------------------------------------------------------------------
+
+NEG_K = 3
+# integer mixing constants for the deterministic negative pick (documented,
+# SQL-mirrorable; cryptographic quality is not needed for negative sampling)
+NEG_MIX_A, NEG_MIX_B, NEG_MIX_J = 1_000_003, 7_919, 104_729
+
+
+def negative_samples(
+    edges: "rd.Dataset", n_nodes: int, neg_k: int = NEG_K
+) -> "rd.Dataset":
+    """Contrastive training pairs: for every distinct undirected linked
+    pair (a < b) emit the positive (a, b, label=1, k=-1) and ``neg_k``
+    negatives (a, (a*A + b*B + j*J) % n_nodes, label=0, k=j) — the standard
+    uniform negative-sampling scheme with a deterministic integer mix in
+    place of the RNG (collisions with true edges are accepted, as usual).
+    Entity ids are dense 0..n_nodes-1, so the mix indexes a valid node
+    directly. Output sorted by (src, dst, label, k).
+
+    Shape: one distinct-pair groupby, then a purely vectorized per-block
+    expansion (no further shuffle; 1 + neg_k output rows per pair)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["subj_id"], pa.int64())
+        b = pc.cast(t["obj_id"], pa.int64())
+        lo, hi = pc.min_element_wise(a, b), pc.max_element_wise(a, b)
+        keep = pc.not_equal(lo, hi)
+        tt = pa.table({"a": lo, "b": hi}).filter(keep)
+        return tt.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
+
+    pairs = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(a)
+        src = [a]
+        dst = [b]
+        lab = [np.ones(n, np.int64)]
+        ks = [np.full(n, -1, np.int64)]
+        for j in range(neg_k):
+            neg = (a * NEG_MIX_A + b * NEG_MIX_B + j * NEG_MIX_J) % n_nodes
+            src.append(a)
+            dst.append(neg)
+            lab.append(np.zeros(n, np.int64))
+            ks.append(np.full(n, j, np.int64))
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(src), pa.int64()),
+                "dst": pa.array(np.concatenate(dst), pa.int64()),
+                "label": pa.array(np.concatenate(lab), pa.int64()),
+                "k": pa.array(np.concatenate(ks), pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(expand, batch_format="pyarrow").sort(
+        ["src", "dst", "label", "k"]
+    )
+
+
+def kg_negatives(sf_dir: str):
+    """Driver query: contrastive positive/negative training pairs over the
+    materialized KG. Oracle: DuckDB mirror over the sequential golden edges
+    + node count (goldens.kg_oracle_sql)."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["subj_id", "obj_id"],
+    ).filter(expr="subj_id >= 0 and obj_id >= 0")
+    n_nodes = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+        columns=["entity_id"],
+    ).count()
+    return negative_samples(edges, n_nodes)

@@ -363,3 +363,30 @@ class TestRandomWalks:
             seq = w.sort_values("step")["node_id"].tolist()
             for a, b in zip(seq, seq[1:]):
                 assert (min(a, b), max(a, b)) in und
+
+
+class TestNegativeSampling:
+    def test_counts_and_labels(self, ray_session):
+        got = graphalgo.negative_samples(
+            rd.from_arrow(_edges([(0, 1), (1, 2), (2, 0)])), n_nodes=10
+        ).to_pandas()
+        # 3 distinct pairs x (1 positive + NEG_K negatives)
+        assert len(got) == 3 * (1 + graphalgo.NEG_K)
+        pos = got[got.label == 1]
+        assert set(zip(pos.src, pos.dst)) == {(0, 1), (1, 2), (0, 2)}
+        assert (got[got.label == 0].k >= 0).all()
+        assert got.dst.between(0, 9).all()
+
+    def test_deterministic_mix(self, ray_session):
+        a = graphalgo.negative_samples(
+            rd.from_arrow(_edges([(3, 7), (7, 3), (3, 7)])), n_nodes=50
+        ).to_pandas()
+        # duplicate/reversed edges collapse to one pair
+        assert len(a) == 1 + graphalgo.NEG_K
+        negs = a[a.label == 0]
+        want = [
+            (3 * graphalgo.NEG_MIX_A + 7 * graphalgo.NEG_MIX_B
+             + j * graphalgo.NEG_MIX_J) % 50
+            for j in range(graphalgo.NEG_K)
+        ]
+        assert sorted(negs.dst) == sorted(want)
