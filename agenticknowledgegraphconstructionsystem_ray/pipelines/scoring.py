@@ -483,10 +483,155 @@ def q50_source_cap(sf_dir: str):
     )
 
 
+_EXPLODE_SQL = _EXPLODE_DOC_SQL = None  # rebound below
 _TOK_SQL = (
     "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
     "'[^a-z0-9]+'), x -> x <> '')) AS term FROM documents"
 )
+
+
+# ---------------------------------------------------------------------------
+# q64: keyword-in-context hit list
+# ---------------------------------------------------------------------------
+
+KWIC_TERMS = 8
+KWIC_PER_TERM = 20
+
+
+def q64_kwic(sf_dir: str):
+    """First-occurrence positions of the top-KWIC_TERMS corpus terms (by
+    total count, ties by term) — the concordance/audit view an annotation
+    pipeline builds. Per term, the KWIC_PER_TERM smallest doc_ids survive.
+    Position is 1-based SUBSTRING position over lower(text) (strpos
+    semantics — "key" also hits "keys"; documented, mirrored exactly).
+    Output: (term, doc_id, pos) sorted by (term, doc_id).
+
+    Shape: the q14 count shuffle picks the vocabulary (tiny, broadcast in
+    the task closure); the hit scan is ONE vectorized map_batches
+    (pc.find_substring per term); the per-term head uses the grouped
+    top-k combiner (k rows per (block, term) through the shuffle)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _TOKEN_RE
+    from ..stages.topk import grouped_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in t["text"].to_pylist():
+            for tok in _TOKEN_RE.findall(text.lower()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n_p": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    top = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(KWIC_TERMS)
+        .to_pandas()
+    )
+    terms = list(top["term"])
+
+    def hits(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lower = pc.utf8_lower(t["text"].combine_chunks())
+        ids = t["doc_id"].combine_chunks()
+        out_t, out_d, out_p = [], [], []
+        for term in terms:
+            pos = pc.find_substring(lower, term)
+            mask = pc.greater_equal(pos, 0)
+            sel_ids = pc.filter(ids, mask)
+            sel_pos = pc.cast(pc.add(pc.filter(pos, mask), 1), pa.int64())
+            out_t.append(pa.array([term] * len(sel_ids), pa.string()))
+            out_d.append(sel_ids)
+            out_p.append(sel_pos)
+        return pa.table(
+            {
+                "term": pa.concat_arrays(out_t),
+                "doc_id": pa.concat_arrays(out_d),
+                "pos": pa.concat_arrays(out_p),
+            }
+        )
+
+    hit_ds = docs.map_batches(hits, batch_format="pyarrow")
+    return grouped_topk(
+        hit_ds, "term", ["doc_id"], [False], KWIC_PER_TERM
+    ).sort(["term", "doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# q65: sparse doc-term matrix (bag-of-words training input)
+# ---------------------------------------------------------------------------
+
+DTM_V = 32
+
+
+def q65_doc_term_matrix(sf_dir: str):
+    """Sparse COO bag-of-words over the top-DTM_V count vocabulary:
+    (doc_id, term_id, n) with term_id = rank in (count desc, term) order —
+    the feature-extraction output an LDA/linear-model trainer consumes.
+    Vocabulary via the q14 shuffle; the matrix pass is map-only (vocab in
+    the task closure). Output sorted by (doc_id, term_id)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstats import _TOKEN_RE
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in t["text"].to_pylist():
+            for tok in _TOKEN_RE.findall(text.lower()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n_p": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    top = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(DTM_V)
+        .to_pandas()
+    )
+    tid = {t: i for i, t in enumerate(top["term"])}
+
+    def rows(t: pa.Table) -> pa.Table:
+        out_d, out_i, out_n = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            counts: dict[int, int] = {}
+            for tok in _TOKEN_RE.findall(text.lower()):
+                j = tid.get(tok)
+                if j is not None:
+                    counts[j] = counts.get(j, 0) + 1
+            for j in sorted(counts):
+                out_d.append(did)
+                out_i.append(j)
+                out_n.append(counts[j])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "term_id": pa.array(out_i, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(rows, batch_format="pyarrow").sort(
+        ["doc_id", "term_id"]
+    )
 
 QUERIES = {
     "q41_tfidf_top_terms": q41_tfidf_top_terms,
@@ -495,7 +640,11 @@ QUERIES = {
     "q49_lm_surprisal": q49_lm_surprisal,
     "q50_source_cap": q50_source_cap,
     "sk_heavy_hitters": sk_heavy_hitters,
+    "q64_kwic": q64_kwic,
+    "q65_doc_term_matrix": q65_doc_term_matrix,
 }
+
+_EXPLODE_SQL = _EXPLODE_DOC_SQL = _TOK_SQL
 
 ORACLE_SQL: dict[str, str] = {
     "q41_tfidf_top_terms": f"""
@@ -595,5 +744,41 @@ ORACLE_SQL: dict[str, str] = {
                 x -> x <> '')) AS term
             FROM documents)
         GROUP BY term ORDER BY n DESC, term LIMIT {_HH_K}
+    """,
+    "q64_kwic": f"""
+        WITH counts AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM ({_EXPLODE_SQL})
+            GROUP BY term
+        ),
+        top AS (
+            SELECT term FROM counts ORDER BY n DESC, term LIMIT {KWIC_TERMS}
+        ),
+        hits AS (
+            SELECT t.term, d.doc_id,
+                   CAST(strpos(lower(d.text), t.term) AS BIGINT) AS pos
+            FROM documents d CROSS JOIN top t
+            WHERE strpos(lower(d.text), t.term) > 0
+        )
+        SELECT term, doc_id, pos FROM hits
+        QUALIFY row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                <= {KWIC_PER_TERM}
+        ORDER BY term, doc_id
+    """,
+    "q65_doc_term_matrix": f"""
+        WITH counts AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM ({_EXPLODE_SQL})
+            GROUP BY term
+        ),
+        vocab AS (
+            SELECT term,
+                   CAST(row_number() OVER (ORDER BY n DESC, term) - 1
+                        AS BIGINT) AS term_id
+            FROM counts ORDER BY n DESC, term LIMIT {DTM_V}
+        )
+        SELECT e.doc_id, v.term_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ({_EXPLODE_DOC_SQL}) e
+        JOIN vocab v ON v.term = e.term
+        GROUP BY e.doc_id, v.term_id
+        ORDER BY e.doc_id, v.term_id
     """,
 }

@@ -522,6 +522,30 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN s4 ON s4.user_id = u.user_id
         ORDER BY u.user_id
     """,
+    "q66_value_outliers": """
+        WITH c AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS vc
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, vc,
+                   row_number() OVER (PARTITION BY event_type ORDER BY vc)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM c
+        ),
+        thr AS (
+            SELECT event_type,
+                   MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN vc END)
+                       AS p99
+            FROM ranked GROUP BY event_type
+        )
+        SELECT c.event_id, c.event_type, c.vc AS value_cents
+        FROM c JOIN thr USING (event_type)
+        WHERE c.vc > thr.p99
+        ORDER BY c.event_id
+    """,
 }
 
 
@@ -566,6 +590,76 @@ def q62_funnel(sf_dir: str):
 
     return ev.groupby("user_id").map_groups(depth, batch_format="pandas").sort("user_id")
 
+
+# ---------------------------------------------------------------------------
+# q66: grouped-quantile outlier filter
+# ---------------------------------------------------------------------------
+
+
+def q66_value_outliers(sf_dir: str):
+    """Events whose value (in cents) is STRICTLY above their event_type's
+    p99 — the data-cleaning pass that drops tail anomalies before training.
+    p99 = value at 1-based ascending rank ceil(0.99 * n) within the type
+    (same integer rank arithmetic as q55). Output:
+    (event_id, event_type, value_cents) sorted by event_id.
+
+    Shape: per-(type, cents) distinct-value histogram (block combiner ->
+    small groupby; the shuffle moves distinct values, not rows), driver
+    walks the tiny cumulative histogram to per-type thresholds (n_types
+    ints), then a broadcast-threshold map filters the corpus. For an
+    unbounded value domain use the q36 sort path instead."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "vc": pa.array(
+                    cents_np(t["value"].combine_chunks().to_numpy(
+                        zero_copy_only=False)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    kd = ev.map_batches(keyed, batch_format="pyarrow")
+
+    def per_block(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "vc"]).aggregate([("vc", "count")])
+        return g.rename_columns(["event_type", "vc", "cnt"])
+
+    hist = (
+        kd.map_batches(per_block, batch_format="pyarrow")
+        .groupby(["event_type", "vc"])
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct (type, cents) values
+    )
+    thr: dict[str, int] = {}
+    for et, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("vc", kind="mergesort")
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        rank = (99 * n + 99) // 100  # ceil(99n/100), integer-exact
+        thr[str(et)] = int(g["vc"].to_numpy()[np.searchsorted(cum, rank)])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ets = t["event_type"].to_pylist()
+        vc = t["vc"].combine_chunks().to_numpy(zero_copy_only=False)
+        lim = np.array([thr[e] for e in ets], np.int64)
+        out = t.filter(pa.array(vc > lim))
+        return pa.table(
+            {
+                "event_id": out["event_id"],
+                "event_type": out["event_type"],
+                "value_cents": out["vc"],
+            }
+        )
+
+    return kd.map_batches(keep, batch_format="pyarrow").sort("event_id")
+
 QUERIES = {
     "q33_asof_join": q33_asof_join,
     "q34_range_join_bands": q34_range_join_bands,
@@ -576,4 +670,5 @@ QUERIES = {
     "q39_watermark_window": q39_watermark_window,
     "q40_orders_no_returns": q40_orders_no_returns,
     "q62_funnel": q62_funnel,
+    "q66_value_outliers": q66_value_outliers,
 }

@@ -129,6 +129,25 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
     out_root = os.environ.get("RAY_GRAFT_OUT_ROOT", "/tmp/agkg_bench_out")
     out_dir = f"{out_root}/ncpu{ncpu}"
     shutil.rmtree(out_dir, ignore_errors=True)
+
+    # warm the worker pool before the first timed segment: Ray spawns
+    # worker processes and imports the package lazily, so without this the
+    # kg_pipeline number silently includes ~5-15 s of interpreter startup
+    # that a long-running production job pays once, not per run
+    def _pool_warmup(b):
+        import pandas  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+
+        from agenticknowledgegraphconstructionsystem_ray.stages import (  # noqa: F401
+            triples,
+        )
+
+        return b
+
+    rd.range(ncpu * 2, override_num_blocks=ncpu * 2).map_batches(
+        _pool_warmup, batch_format="pyarrow"
+    ).count()
+
     t0 = time.perf_counter()
     res = kg.run_pipeline(kg.KGConfig(pages_dir=pages_dir, out_dir=out_dir))
     t_kg = time.perf_counter() - t0

@@ -151,3 +151,27 @@ def test_funnel_depth_sequential_recompute(ray_session):
                 break
             t_prev, d = int(cand[0]), d + 1
         assert d == row["funnel_depth"], row["user_id"]
+
+
+def test_value_outliers_are_top_percent(ray_session):
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import temporal
+    from agenticknowledgegraphconstructionsystem_ray.pipelines.analytics import (
+        cents_np,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = temporal.q66_value_outliers(sf).to_pandas()
+    ev = pq.read_table(
+        sf + "/events.parquet", columns=["event_id", "event_type", "value"]
+    ).to_pandas()
+    ev["vc"] = cents_np(ev["value"])
+    for et, g in ev.groupby("event_type"):
+        n = len(g)
+        vals = sorted(g["vc"])
+        p99 = vals[(99 * n + 99) // 100 - 1]
+        want = set(g[g.vc > p99]["event_id"])
+        have = set(got[got.event_type == et]["event_id"])
+        assert have == want, et
+        assert len(have) <= max(1, n // 50)  # strictly-above-p99 is a thin tail

@@ -67,6 +67,9 @@ FAST_QUERIES = [
     "q61_percentile_rank",
     "q62_funnel",
     "q63_snapshot_diff",
+    "q64_kwic",
+    "q65_doc_term_matrix",
+    "q66_value_outliers",
 ]
 
 

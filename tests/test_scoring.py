@@ -191,3 +191,53 @@ class TestSourceCap:
             want = set(want.head(scoring._SOURCE_CAP)["doc_id"])
             got = set(out[out["source"] == src]["doc_id"])
             assert got == want
+
+
+def test_kwic_positions_are_real_occurrences(ray_session):
+    import pyarrow.parquet as pq
+
+    got = scoring.q64_kwic(SF).to_pandas()
+    docs = dict(
+        zip(
+            *pq.read_table(
+                SF + "/documents.parquet", columns=["doc_id", "text"]
+            ).to_pydict().values()
+        )
+    )
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        text = docs[r["doc_id"]].lower()
+        assert text[r["pos"] - 1 : r["pos"] - 1 + len(r["term"])] == r["term"]
+        # and it's the FIRST occurrence
+        assert text.find(r["term"]) == r["pos"] - 1
+    # per-term cap respected
+    assert got.groupby("term").size().max() <= scoring.KWIC_PER_TERM
+
+
+def test_doc_term_matrix_counts(ray_session):
+    import re
+
+    import pyarrow.parquet as pq
+
+    got = scoring.q65_doc_term_matrix(SF).to_pandas()
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    token_re = re.compile(r"[a-z0-9]+")
+    # rebuild the vocabulary exactly
+    from collections import Counter
+
+    total = Counter()
+    per_doc = {}
+    for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        c = Counter(token_re.findall(tx.lower()))
+        per_doc[did] = c
+        total.update(c)
+    vocab = sorted(total, key=lambda k: (-total[k], k))[: scoring.DTM_V]
+    tid = {t_: i for i, t_ in enumerate(vocab)}
+    for _, r in got.head(200).iterrows():
+        term = vocab[r["term_id"]]
+        assert per_doc[r["doc_id"]][term] == r["n"]
+    # every (doc, vocab-term with n>0) is present
+    want_rows = sum(
+        1 for did, c in per_doc.items() for k in c if k in tid
+    )
+    assert len(got) == want_rows
