@@ -155,7 +155,21 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
     docs_per_s = res["pages_processed"] / t_kg if t_kg else 0.0
     triples_per_s = res["n_edges"] / t_kg if t_kg else 0.0
 
+    def _settle(timeout_s: float = 10.0) -> None:
+        """Wait for the cluster to return to idle between timed segments:
+        actor pools and shuffle aggregators from the previous segment tear
+        down asynchronously and otherwise hold CPU slots into the next
+        measurement (q22 measured 6-9 s isolated vs 19-32 s when run
+        immediately after the KG pipeline in the same session)."""
+        deadline = time.perf_counter() + timeout_s
+        while time.perf_counter() < deadline:
+            avail = ray.available_resources().get("CPU", 0)
+            if avail >= ncpu - 0.5:
+                return
+            time.sleep(0.2)
+
     def timed(name: str, fn) -> None:
+        _settle()
         t = time.perf_counter()
         result = fn(sf_dir)
         if hasattr(result, "to_pandas"):
