@@ -599,6 +599,69 @@ def q16_knn_vec0(sf_dir: str):
 # oracle SQL (DuckDB) — names and types mirror the Ray outputs exactly
 # ---------------------------------------------------------------------------
 
+
+def q69_rollup(sf_dir: str):
+    """ROLLUP(o_orderstatus, month): detail rows plus per-status subtotals
+    plus the grand total — the GROUPING SETS / OLAP-subtotal shape. The
+    detail aggregate runs distributed (per-block combiner -> one groupby);
+    the two upper levels are derived from the DETAIL aggregate (statuses x
+    months rows, never the corpus), which is the standard rollup-from-
+    finest optimization. 'ALL' marks rolled-up dimensions. Output:
+    (o_orderstatus, month_s, n_orders, total_c) sorted by
+    (o_orderstatus, month_s)."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        month = pc.cast(
+            pc.cast(
+                pc.floor_temporal(t["o_orderdate"], unit="month"), pa.date32()
+            ),
+            pa.string(),
+        )
+        g = (
+            pa.table(
+                {
+                    "o_orderstatus": t["o_orderstatus"],
+                    "month_s": month,
+                    "tc": cents(t["o_totalprice"]),
+                }
+            )
+            .group_by(["o_orderstatus", "month_s"])
+            .aggregate([("tc", "count"), ("tc", "sum")])
+        )
+        return g.rename_columns(["o_orderstatus", "month_s", "n_p", "tc_p"])
+
+    detail = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "month_s"])
+        .aggregate(Sum("n_p", alias_name="n_orders"),
+                   Sum("tc_p", alias_name="total_c"))
+        .to_pandas()  # statuses x months rows
+    )
+    import pandas as pd
+
+    lvl1 = (
+        detail.groupby("o_orderstatus", as_index=False)[["n_orders", "total_c"]]
+        .sum()
+        .assign(month_s="ALL")
+    )
+    lvl0 = pd.DataFrame(
+        [
+            {
+                "o_orderstatus": "ALL",
+                "month_s": "ALL",
+                "n_orders": detail["n_orders"].sum(),
+                "total_c": detail["total_c"].sum(),
+            }
+        ]
+    )
+    out = pd.concat([detail, lvl1, lvl0], ignore_index=True)
+    out = out[["o_orderstatus", "month_s", "n_orders", "total_c"]]
+    out = out.astype({"n_orders": "int64", "total_c": "int64"})
+    return out.sort_values(["o_orderstatus", "month_s"]).reset_index(drop=True)
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -724,6 +787,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders
         FROM orders GROUP BY date_trunc('month', o_orderdate)
     """,
+    "q69_rollup": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COALESCE(m, 'ALL') AS month_s,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total_c
+        FROM (
+            SELECT o_orderstatus,
+                   CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+                        AS VARCHAR) AS m,
+                   o_totalprice
+            FROM orders
+        )
+        GROUP BY ROLLUP (o_orderstatus, m)
+        ORDER BY o_orderstatus, month_s
+    """,
 }
 
 QUERIES = {
@@ -748,4 +827,5 @@ QUERIES = {
     "q19_suppliers_by_region": q19_suppliers_by_region,
     "q20_union_distinct": q20_union_distinct,
     "q21_orders_per_month": q21_orders_per_month,
+    "q69_rollup": q69_rollup,
 }

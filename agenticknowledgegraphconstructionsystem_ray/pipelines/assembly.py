@@ -712,6 +712,117 @@ def dd_keep_best(sf_dir: str):
 # driver registration
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# q67: bloom-prefiltered semi-join (join-reduction technique)
+# ---------------------------------------------------------------------------
+# The standard big-join reduction: instead of shuffling EVERY lineitem row
+# into a key join, a fixed-size (64 KiB) bloom filter of the urgent order
+# keys is broadcast and screens rows vectorized — no false negatives, so
+# everything the screen drops is exactly-droppable; the surviving ~|match|
+# + fp tail is then verified EXACTLY via the coarse-bucket tag-union join,
+# so bloom false positives cannot reach the output. At 100 TB the screen
+# turns an all-rows shuffle into a matches-only shuffle for the price of
+# one broadcast blob.
+
+BLOOM_JOIN_BITS = 1 << 19  # 64 KiB
+BLOOM_JOIN_HASHES = 5
+URGENT = "1-URGENT"
+
+
+def q67_bloom_semijoin(sf_dir: str):
+    """Count + revenue (cents) of lineitems belonging to urgent orders.
+    Output: one row (n_items, revenue_c)."""
+    from ..state.bloom import BloomFilter
+    from .analytics import cents
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    urgent = orders.filter(expr=f"o_orderpriority == '{URGENT}'")
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits=BLOOM_JOIN_BITS, n_hashes=BLOOM_JOIN_HASHES)
+        bf.add_many([str(k) for k in t["o_orderkey"].to_pylist()])
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    parts = urgent.map_batches(bloom_partial, batch_format="pyarrow").take_all()
+    bf = BloomFilter(n_bits=BLOOM_JOIN_BITS, n_hashes=BLOOM_JOIN_HASHES)
+    for r in parts:  # OR-merge: idempotent, order-free
+        bf.bits |= np.frombuffer(r["bits"], np.uint8)
+    bf_ref = ray.put(bf)
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    class Screen:
+        def __init__(self, ref) -> None:
+            self.bf = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = [str(k) for k in t["l_orderkey"].to_pylist()]
+            keep = self.bf.probe_many(keys)
+            out = t.filter(pa.array(keep))
+            disc = pc.multiply(
+                out["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), out["l_discount"]),
+            )
+            return pa.table(
+                {
+                    "key": pc.cast(out["l_orderkey"], pa.int64()),
+                    "rev_c": cents(disc),
+                    "side": pa.array(np.zeros(out.num_rows, np.int64)),
+                }
+            )
+
+    survivors = li.map_batches(
+        Screen, fn_constructor_kwargs={"ref": bf_ref},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    keyside = urgent.map_batches(
+        lambda t: pa.table(
+            {
+                "key": pc.cast(t["o_orderkey"], pa.int64()),
+                "rev_c": pa.array(np.zeros(t.num_rows, np.int64)),
+                "side": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    from ..runtime import cluster_cpus
+
+    n_groups = max(8, cluster_cpus())
+
+    def bucket(t: pa.Table) -> pa.Table:
+        k = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("_bk", pa.array(k % n_groups, pa.int64()))
+
+    def verify(df) -> pa.Table:
+        true_keys = set(df.loc[df["side"] == 1, "key"])
+        rows = df[df["side"] == 0]
+        hit = rows[rows["key"].isin(true_keys)]
+        return pa.table(
+            {
+                "n_p": pa.array([len(hit)], pa.int64()),
+                "rev_p": pa.array([int(hit["rev_c"].sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        survivors.union(keyside)
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(verify, batch_format="pandas")
+        .aggregate(Sum("n_p", alias_name="n_items"),
+                   Sum("rev_p", alias_name="revenue_c"))
+    )
+    return pa.table(
+        {
+            "n_items": pa.array([int(agg["n_items"])], pa.int64()),
+            "revenue_c": pa.array([int(agg["revenue_c"])], pa.int64()),
+        }
+    )
+
 QUERIES = {
     "dd_decontaminate": dd_decontaminate,
     "dd_bloom_decontaminate": dd_bloom_decontaminate,
@@ -721,6 +832,7 @@ QUERIES = {
     "q47_quality_classifier": q47_quality_classifier,
     "q48_repetition": q48_repetition,
     "dd_keep_best": dd_keep_best,
+    "q67_bloom_semijoin": q67_bloom_semijoin,
 }
 
 _TOKS_SQL = (
@@ -863,6 +975,17 @@ ORACLE_SQL: dict[str, str] = {
                      + {QUALITY_W[2]} * n_chars + {QUALITY_W[3]} * n_long)
                     >= {QUALITY_THRESHOLD} AS BIGINT) AS keep
         FROM feats ORDER BY doc_id
+    """,
+    "q67_bloom_semijoin": f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(round(
+                   l_extendedprice * (1 - l_discount) * 100, 0)
+                   AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '{URGENT}'
+        )
     """,
 }
 

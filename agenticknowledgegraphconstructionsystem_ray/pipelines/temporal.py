@@ -36,6 +36,9 @@ from ..sources.tables import read_table
 from .analytics import cents, cents_np
 
 
+PAIR_WINDOW_S = 120  # q68 stream-stream join window (seconds)
+
+
 def _np_i64(col) -> np.ndarray:
     return col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
 
@@ -546,6 +549,16 @@ ORACLE_SQL: dict[str, str] = {
         WHERE c.vc > thr.p99
         ORDER BY c.event_id
     """,
+"q68_event_pairs": f"""
+        SELECT e1.event_type AS type_a, e2.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND (e2.ts > e1.ts OR (e2.ts = e1.ts AND e2.event_id > e1.event_id))
+         AND e2.ts <= e1.ts + INTERVAL {PAIR_WINDOW_S} SECOND
+        GROUP BY e1.event_type, e2.event_type
+        ORDER BY type_a, type_b
+    """,
 }
 
 
@@ -660,6 +673,61 @@ def q66_value_outliers(sf_dir: str):
 
     return kd.map_batches(keep, batch_format="pyarrow").sort("event_id")
 
+
+# ---------------------------------------------------------------------------
+# q68: windowed event-pair self-join (stream-stream join shape)
+# ---------------------------------------------------------------------------
+
+
+def q68_event_pairs(sf_dir: str):
+    """Counts of ordered event-type pairs occurring within PAIR_WINDOW_S
+    seconds for the same user (e1 strictly before e2 by (ts, event_id)) —
+    the bounded-window stream-stream self-join (CEP / co-occurrence
+    mining). Output: (type_a, type_b, n_pairs) sorted by (type_a, type_b).
+
+    Shape: one groupby(user); inside each group a vectorized two-pointer
+    sweep over the (ts, event_id)-sorted events emits pair-type counts —
+    per-group work is O(events-in-window) per event, never all-pairs.
+    Partitioning assumption: one user's events fit a group (q30/q33/q35
+    contract)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type", "event_id"])
+
+    def pair_counts(df) -> pa.Table:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        n = len(ts)
+        hi = np.searchsorted(ts, ts + PAIR_WINDOW_S * 1_000_000, side="right")
+        counts: dict[tuple, int] = {}
+        for i in range(n):
+            for j in range(i + 1, hi[i]):
+                k = (et[i], et[j])
+                counts[k] = counts.get(k, 0) + 1
+        if not counts:
+            return pa.table(
+                {
+                    "type_a": pa.array([], pa.string()),
+                    "type_b": pa.array([], pa.string()),
+                    "n_p": pa.array([], pa.int64()),
+                }
+            )
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "type_a": pa.array([k[0] for k in keys], pa.string()),
+                "type_b": pa.array([k[1] for k in keys], pa.string()),
+                "n_p": pa.array([counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(pair_counts, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_p", alias_name="n_pairs"))
+        .sort(["type_a", "type_b"])
+    )
+
 QUERIES = {
     "q33_asof_join": q33_asof_join,
     "q34_range_join_bands": q34_range_join_bands,
@@ -671,4 +739,5 @@ QUERIES = {
     "q40_orders_no_returns": q40_orders_no_returns,
     "q62_funnel": q62_funnel,
     "q66_value_outliers": q66_value_outliers,
+    "q68_event_pairs": q68_event_pairs,
 }

@@ -175,3 +175,79 @@ def test_value_outliers_are_top_percent(ray_session):
         have = set(got[got.event_type == et]["event_id"])
         assert have == want, et
         assert len(have) <= max(1, n // 50)  # strictly-above-p99 is a thin tail
+
+
+def test_bloom_semijoin_matches_exact_join(ray_session):
+    """q67's bloom screen + exact verify equals a plain pandas semi-join."""
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import assembly
+    from agenticknowledgegraphconstructionsystem_ray.pipelines.analytics import (
+        cents_np,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = assembly.q67_bloom_semijoin(sf).to_pydict()
+    orders = pq.read_table(
+        sf + "/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).to_pandas()
+    li = pq.read_table(
+        sf + "/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).to_pandas()
+    urgent = set(orders[orders.o_orderpriority == assembly.URGENT]["o_orderkey"])
+    hit = li[li.l_orderkey.isin(urgent)]
+    assert got["n_items"][0] == len(hit)
+    assert got["revenue_c"][0] == int(
+        cents_np(hit["l_extendedprice"] * (1 - hit["l_discount"])).sum()
+    )
+
+
+def test_event_pairs_window_law(ray_session):
+    """Every counted pair is reproducible by a brute-force scan."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import temporal
+
+    sf = "/root/testdata/sf0.001"
+    got = temporal.q68_event_pairs(sf).to_pandas()
+    ev = pq.read_table(
+        sf + "/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    ).to_pandas()
+    counts: dict = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        hi = np.searchsorted(
+            ts, ts + temporal.PAIR_WINDOW_S * 1_000_000, side="right"
+        )
+        for i in range(len(ts)):
+            for j in range(i + 1, hi[i]):
+                k = (et[i], et[j])
+                counts[k] = counts.get(k, 0) + 1
+    want = {
+        (a, b): n for (a, b), n in counts.items()
+    }
+    have = {
+        (r["type_a"], r["type_b"]): r["n_pairs"] for _, r in got.iterrows()
+    }
+    assert have == want
+
+
+def test_rollup_levels_are_consistent(ray_session):
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import analytics
+
+    out = analytics.q69_rollup("/root/testdata/sf0.001")
+    detail = out[(out.o_orderstatus != "ALL") & (out.month_s != "ALL")]
+    lvl1 = out[(out.o_orderstatus != "ALL") & (out.month_s == "ALL")]
+    lvl0 = out[(out.o_orderstatus == "ALL")]
+    assert len(lvl0) == 1
+    assert lvl0.iloc[0]["n_orders"] == detail["n_orders"].sum()
+    assert lvl0.iloc[0]["total_c"] == detail["total_c"].sum()
+    for _, r in lvl1.iterrows():
+        d = detail[detail.o_orderstatus == r["o_orderstatus"]]
+        assert r["n_orders"] == d["n_orders"].sum()
+        assert r["total_c"] == d["total_c"].sum()

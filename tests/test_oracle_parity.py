@@ -70,6 +70,9 @@ FAST_QUERIES = [
     "q64_kwic",
     "q65_doc_term_matrix",
     "q66_value_outliers",
+    "q67_bloom_semijoin",
+    "q68_event_pairs",
+    "q69_rollup",
 ]
 
 
