@@ -183,6 +183,24 @@ def _config_fingerprint(cfg: "KGConfig") -> str:
     return hashlib.sha1(
         repr(
             (
+                _semantic_fingerprint(cfg),
+                tuple(os.path.basename(f) for f in files),
+            )
+        ).encode()
+    ).hexdigest()
+
+
+def _semantic_fingerprint(cfg: "KGConfig") -> str:
+    """Fingerprint of extraction SEMANTICS alone (no input file list):
+    when this part matches, per-chunk artifacts from a previous run remain
+    valid for every chunk whose file list is unchanged — the append-only
+    crawl increment keeps its finished chunks."""
+    import hashlib
+
+    alias = cfg.alias_dict()
+    return hashlib.sha1(
+        repr(
+            (
                 LAYOUT_VERSION,
                 sorted(cfg.lang_allow) if cfg.lang_allow else None,
                 len(alias),
@@ -192,7 +210,6 @@ def _config_fingerprint(cfg: "KGConfig") -> str:
                     ).encode()
                 ).hexdigest(),
                 cfg.chunk_files,
-                tuple(os.path.basename(f) for f in files),
             )
         ).encode()
     ).hexdigest()
@@ -225,12 +242,65 @@ def _check_layout(out_dir: str, cfg: "KGConfig") -> None:
     its contents."""
     import shutil
 
+    import json
+
     fp = _config_fingerprint(cfg)
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_LAYOUT")
     current = open(marker).read() if os.path.exists(marker) else None
-    if current == fp:
+    files = [
+        os.path.basename(f)
+        for f in sorted(glob.glob(os.path.join(cfg.pages_dir, "*.parquet")))
+    ]
+    payload = json.dumps(
+        {"fp": fp, "sem": _semantic_fingerprint(cfg), "files": files},
+        sort_keys=True,
+    )
+    try:
+        cur = json.loads(current) if current else None
+    except ValueError:
+        cur = None  # pre-JSON marker: treat as a layout change
+    if cur is not None and cur.get("fp") == fp:
         return
+
+    if (
+        cur is not None
+        and cur.get("sem") == _semantic_fingerprint(cfg)
+        and isinstance(cur.get("files"), list)
+    ):
+        # same semantics, different input file list: invalidate ONLY the
+        # chunks whose file lists changed — an append-only crawl increment
+        # (new files sorting after the old, old count a multiple of
+        # chunk_files) keeps every finished chunk and processes just the
+        # new ones. Phase B always rebuilds from the per-chunk records.
+        old_chunks = [
+            cur["files"][i : i + cfg.chunk_files]
+            for i in range(0, len(cur["files"]), cfg.chunk_files)
+        ]
+        new_chunks = [
+            files[i : i + cfg.chunk_files]
+            for i in range(0, len(files), cfg.chunk_files)
+        ]
+        for cid in range(max(len(old_chunks), len(new_chunks))):
+            same = (
+                cid < len(old_chunks)
+                and cid < len(new_chunks)
+                and old_chunks[cid] == new_chunks[cid]
+            )
+            if not same:
+                mp = mf.manifest_path(out_dir, cid)
+                if os.path.exists(mp):
+                    os.remove(mp)
+                shutil.rmtree(_records_dir(out_dir, cid), ignore_errors=True)
+        # phase-B outputs derive from the full chunk set: force a rebuild
+        for name in ("_COMPLETE",):
+            p = os.path.join(out_dir, name)
+            if os.path.exists(p):
+                os.remove(p)
+        with open(marker, "w") as f:
+            f.write(payload)
+        return
+
     entries = os.listdir(out_dir)
     foreign = [n for n in entries if not _is_pipeline_artifact(n)]
     if current is None and foreign:
@@ -249,7 +319,7 @@ def _check_layout(out_dir: str, cfg: "KGConfig") -> None:
         else:
             os.remove(p)
     with open(marker, "w") as f:
-        f.write(fp)
+        f.write(payload)
 
 
 def run_phase_a(cfg: KGConfig) -> dict:

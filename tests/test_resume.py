@@ -67,3 +67,73 @@ def test_lineage_query_matches_chunk_plan(ray_session):
     want = _seq_lineage(synth.ensure_pages(0.001)).to_pandas()
     assert got.equals(want)
     assert (got["status"] == "success").all()
+
+
+def test_incremental_append_only_processes_new_chunks(
+    pages_dir, kg_out, tmp_path
+):
+    """Crawl-append increment: copy the corpus, run to completion, append
+    new page files, re-run — phase A must process ONLY the new chunks, and
+    the final tables must be byte-identical to a from-scratch run over the
+    full corpus."""
+    import shutil
+
+    # corpus v1 = the first 4 of the shared corpus's 6 files (2 chunks at
+    # chunk_files=2); v2 appends the remaining 2 files, which sort after
+    # the originals, so existing chunk boundaries are unchanged — the
+    # append-only crawl contract
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    assert len(files) == 6
+    inc_pages = str(tmp_path / "pages_inc")
+    os.makedirs(inc_pages)
+    for f in files[:4]:
+        shutil.copy(f, inc_pages)
+    out = str(tmp_path / "out_inc")
+    m1 = kg.run_pipeline(kg.KGConfig(pages_dir=inc_pages, out_dir=out, chunk_files=2))
+    assert m1["chunks_total"] == 2
+
+    for f in files[4:]:
+        shutil.copy(f, inc_pages)
+    m2 = kg.run_pipeline(kg.KGConfig(pages_dir=inc_pages, out_dir=out, chunk_files=2))
+    assert m2["chunks_total"] == 3
+    assert m2["chunks_processed"] == 1  # only the appended chunk
+
+    fresh = str(tmp_path / "out_fresh")
+    kg.run_pipeline(kg.KGConfig(pages_dir=inc_pages, out_dir=fresh, chunk_files=2))
+    assert _edges(out).equals(_edges(fresh))
+
+
+def test_worker_crash_retry_produces_identical_output(
+    pages_dir, kg_out, tmp_path
+):
+    """A worker process that DIES mid-task (os._exit, the real failure
+    mode Ray task retries cover) must not change the output: the task is
+    retried on a fresh worker and the run stays byte-identical."""
+    from agenticknowledgegraphconstructionsystem_ray.stages.extract import (
+        extract_text_batch,
+    )
+
+    baseline_out, _ = kg_out
+    out = str(tmp_path / "out_flaky")
+    marker = str(tmp_path / "crashed_once")
+
+    def crashing(batch, **kw):
+        import os as _os
+
+        if not _os.path.exists(marker):
+            open(marker, "w").close()
+            _os._exit(1)  # hard worker death, not a Python exception
+        return extract_text_batch(batch, **kw)
+
+    import agenticknowledgegraphconstructionsystem_ray.pipelines.kg as kgmod
+
+    orig = kgmod.extract_text_batch
+    kgmod.extract_text_batch = crashing
+    try:
+        kgmod.run_pipeline(
+            kg.KGConfig(pages_dir=pages_dir, out_dir=out, chunk_files=2)
+        )
+    finally:
+        kgmod.extract_text_batch = orig
+    assert os.path.exists(marker)  # the crash really happened
+    assert _edges(out).equals(_edges(baseline_out))

@@ -52,12 +52,23 @@ def test_chunk_plan_change_invalidates_resume(ray_session, tmp_path):
     )
     assert again.equals(baseline)
 
-    # adding an input file also invalidates (no stale-id reuse)
+    # APPENDING a file (sorts after all existing ones) keeps the finished
+    # chunks — per-chunk file lists are compared by id, so this is the safe
+    # append-only crawl increment, not stale-id reuse
     extra = synth.generate_shard(99, 10_000, 10_030)
     pq.write_table(extra, os.path.join(pages, "pages-00099.parquet"))
     os.remove(os.path.join(pages, "_SYNTH_OK"))
     m2 = kg.run_phase_a(kg.KGConfig(pages_dir=pages, out_dir=out, chunk_files=1))
-    assert m2["chunks_processed"] == m2["chunks_total"] == 5
+    assert m2["chunks_total"] == 5
+    assert m2["chunks_processed"] == 1  # only the appended chunk
+
+    # PREPENDING a file shifts every chunk id -> every shifted chunk must
+    # reprocess (the id-misalignment case the fingerprint exists to stop)
+    extra2 = synth.generate_shard(98, 20_000, 20_030)
+    pq.write_table(extra2, os.path.join(pages, "aaa-prepend.parquet"))
+    m3 = kg.run_phase_a(kg.KGConfig(pages_dir=pages, out_dir=out, chunk_files=1))
+    assert m3["chunks_total"] == 6
+    assert m3["chunks_processed"] == 6  # every chunk id shifted
 
 
 def test_truncated_run_not_marked_complete(ray_session, tmp_path):
