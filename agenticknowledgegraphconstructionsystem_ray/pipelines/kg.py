@@ -123,9 +123,31 @@ class KGConfig:
                                      # default path (tests assert parity);
                                      # use for corpora whose surface
                                      # vocabulary does not fit one heap
+    skip_bad_files: bool = False     # True = QUARANTINE unreadable input
+                                     # files (truncated / corrupt parquet
+                                     # footers — the crash-mid-upload case
+                                     # a 10^12-doc crawl WILL contain)
+                                     # instead of failing the run: bad
+                                     # files are excluded from the read and
+                                     # recorded per chunk in the manifest
+                                     # ("quarantined"). Footer/metadata
+                                     # probe only — mid-file data-page
+                                     # corruption still fails the task (and
+                                     # retries). Default False: fail loud.
 
     def alias_dict(self) -> dict[str, tuple[str, str]]:
         return self.alias if self.alias is not None else synth.alias_dict()
+
+
+@ray.remote(num_cpus=0.25)
+def _probe_parquet(path: str) -> bool:
+    """True iff the file's parquet footer/metadata parses — the quarantine
+    probe for cfg.skip_bad_files (cheap: footer only, no data pages)."""
+    try:
+        pq.read_metadata(path)
+        return True
+    except Exception:
+        return False
 
 
 def plan_chunks(pages_dir: str, chunk_files: int) -> list[list[str]]:
@@ -364,6 +386,23 @@ def run_phase_a(cfg: KGConfig) -> dict:
             os.path.abspath(f): f"{cid:05d}" for cid in group for f in chunks[cid]
         }
         group_files = [f for cid in group for f in chunks[cid]]
+        quarantined: dict[int, list[str]] = {cid: [] for cid in group}
+        if cfg.skip_bad_files:
+            probes = ray.get(
+                [_probe_parquet.remote(f) for f in group_files]
+            )
+            bad = {f for f, ok in zip(group_files, probes) if not ok}
+            if bad:
+                for cid in group:
+                    quarantined[cid] = sorted(
+                        os.path.basename(f) for f in chunks[cid] if f in bad
+                    )
+                group_files = [f for f in group_files if f not in bad]
+                path_to_chunk = {
+                    p: c
+                    for p, c in path_to_chunk.items()
+                    if p not in {os.path.abspath(f) for f in bad}
+                }
         pages = rd.read_parquet(group_files, include_paths=True)
         text_ds = pages.map_batches(
             extract_text_batch,
@@ -400,19 +439,23 @@ def run_phase_a(cfg: KGConfig) -> dict:
             if not os.path.isdir(src):
                 os.makedirs(src, exist_ok=True)  # chunk produced no rows
             mf.atomic_replace_dir(src, _records_dir(cfg.out_dir, cid))
-            rows = sum(pq.read_metadata(f).num_rows for f in chunks[cid])
-            n_pages += rows
-            mf.write_manifest(
-                cfg.out_dir,
-                cid,
-                {
-                    "status": "success",
-                    "chunk_id": cid,
-                    "input_files": chunks[cid],
-                    "row_count": rows,
-                    "wall_s": group_wall,
-                },
+            bad_names = set(quarantined.get(cid, ()))
+            rows = sum(
+                pq.read_metadata(f).num_rows
+                for f in chunks[cid]
+                if os.path.basename(f) not in bad_names
             )
+            n_pages += rows
+            payload = {
+                "status": "success",
+                "chunk_id": cid,
+                "input_files": chunks[cid],
+                "row_count": rows,
+                "wall_s": group_wall,
+            }
+            if bad_names:
+                payload["quarantined"] = sorted(bad_names)
+            mf.write_manifest(cfg.out_dir, cid, payload)
         mf.clear_stale_tmp(group_tmp)
     return {
         "chunks_total": len(chunks),

@@ -137,3 +137,49 @@ def test_worker_crash_retry_produces_identical_output(
         kgmod.extract_text_batch = orig
     assert os.path.exists(marker)  # the crash really happened
     assert _edges(out).equals(_edges(baseline_out))
+
+
+def test_corrupt_input_file_quarantined(pages_dir, tmp_path):
+    """With skip_bad_files=True a truncated/garbage parquet file is
+    quarantined (recorded in the chunk manifest) and the run completes
+    over the healthy files, byte-identical to a run without the bad file;
+    without the flag the run fails loudly."""
+    import shutil
+
+    import pytest as _pytest
+
+    src_files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    healthy = str(tmp_path / "pages_healthy")
+    poisoned = str(tmp_path / "pages_poisoned")
+    os.makedirs(healthy)
+    os.makedirs(poisoned)
+    for f in src_files:
+        shutil.copy(f, healthy)
+        shutil.copy(f, poisoned)
+    # the poisoned corpus gains a garbage file that sorts last
+    bad = os.path.join(poisoned, "zz-corrupt.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+
+    out_h = str(tmp_path / "out_h")
+    kg.run_pipeline(kg.KGConfig(pages_dir=healthy, out_dir=out_h, chunk_files=2))
+
+    out_p = str(tmp_path / "out_p")
+    with _pytest.raises(Exception):
+        kg.run_pipeline(
+            kg.KGConfig(pages_dir=poisoned, out_dir=out_p, chunk_files=2)
+        )
+
+    out_q = str(tmp_path / "out_q")
+    m = kg.run_pipeline(
+        kg.KGConfig(
+            pages_dir=poisoned, out_dir=out_q, chunk_files=2,
+            skip_bad_files=True,
+        )
+    )
+    assert _edges(out_q).equals(_edges(out_h))
+    last_chunk = max(mf.completed_chunks(out_q))
+    assert mf.read_manifest(out_q, last_chunk)["quarantined"] == [
+        "zz-corrupt.parquet"
+    ]
+    assert m["pages_processed"] == 300  # healthy rows only
