@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "18"  # v18: + PQ top-k golden
+GOLDEN_VERSION = "19"  # v19: + BPE merges golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -848,6 +848,31 @@ def _seq_pq(sf_dir: str) -> pa.Table:
     )
 
 
+def _seq_bpe(sf_dir: str) -> pa.Table:
+    """Sequential BPE golden: plain-Python word counting + the shared merge
+    kernel (functions/bpe.py) — the distributed side's word-count shuffle
+    must feed the identical merge sequence."""
+    import re
+
+    from .functions import bpe
+
+    token_re = re.compile(r"[a-z0-9]+")
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    counts: dict[str, int] = {}
+    for text in t["text"].to_pylist():
+        for tok in token_re.findall(text.lower()):
+            counts[tok] = counts.get(tok, 0) + 1
+    merges = bpe.learn_merges(bpe.cap_words(counts))
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "sym_a": pa.array([m[0] for m in merges], pa.string()),
+            "sym_b": pa.array([m[1] for m in merges], pa.string()),
+            "n": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+
+
 def _doc_ids(sf_dir: str) -> list[int]:
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     return t["doc_id"].to_pylist()
@@ -1051,6 +1076,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["hll_users"] = _seq_hll_users(sf_dir)
         tables["hll_terms"] = _seq_hll_terms(sf_dir)
         tables["cms"] = _seq_cms(sf_dir)
+        tables["bpe"] = _seq_bpe(sf_dir)
         tables["mm_decode"] = _seq_media_decode(sf_dir)
         tables["mm_resize"] = _seq_media_resize(sf_dir)
         tables["kmeans"] = _seq_kmeans(sf_dir)
@@ -1340,6 +1366,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "sk_cms_terms": f"""
             SELECT term, n_exact, n_est, overcount FROM {_g('cms')}
+        """,
+        "q70_bpe_merges": f"""
+            SELECT rank, sym_a, sym_b, n FROM {_g('bpe')}
         """,
         "kg_bfs": f"""
             SELECT entity_id, dist FROM {_g('bfs')}

@@ -318,6 +318,67 @@ def q63_snapshot_diff(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# q71: cross-source overlap matrix
+# ---------------------------------------------------------------------------
+
+OVL_MAX_SOURCES = 16  # per-content-key source cap (hub guard, SQL-mirrored)
+
+
+def q71_overlap_matrix(sf_dir: str):
+    """Pairwise source-overlap counts over the mirror-augmented corpus
+    (same augmentation as q54): for each content key served by 2..{cap}
+    distinct sources, count every unordered source pair — the
+    contamination/mirror MATRIX view (which domains copy which). Output:
+    (source_a, source_b, n_shared) sorted by (source_a, source_b).
+
+    Shape: content-key distinct-source rollup (two-level groupby, text
+    dropped at the keying stage), vectorized pair expansion inside a
+    map_groups over the key, pair-count groupby. Keys above the source cap
+    are excluded (documented + mirrored in SQL) — the quadratic hub guard."""
+    from ray.data.aggregate import Count, Sum as _Sum
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    keyed = docs.map_batches(_augment_mirrors, batch_format="pyarrow").map_batches(
+        _content_keyed, batch_format="pyarrow"
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        g = t.group_by(["content_key", "source"]).aggregate([("doc_id", "count")])
+        return g.rename_columns(["content_key", "source", "_n"])
+
+    per_src = (
+        keyed.map_batches(per_block, batch_format="pyarrow")
+        .groupby(["content_key", "source"])
+        .aggregate(_Sum("_n", alias_name="_n"))
+    )
+
+    def pairs(df) -> pa.Table:
+        srcs = sorted(set(df["source"]))
+        if len(srcs) < 2 or len(srcs) > OVL_MAX_SOURCES:
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                }
+            )
+        rows = [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]]
+        return pa.table(
+            {
+                "source_a": pa.array([r[0] for r in rows], pa.string()),
+                "source_b": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+
+    return (
+        per_src.groupby("content_key")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Count(alias_name="n_shared"))
+        .sort(["source_a", "source_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver registration
 # ---------------------------------------------------------------------------
 
@@ -326,6 +387,7 @@ QUERIES = {
     "q55_hist_quantiles": q55_hist_quantiles,
     "q56_corpus_sample": q56_corpus_sample,
     "q63_snapshot_diff": q63_snapshot_diff,
+    "q71_overlap_matrix": q71_overlap_matrix,
 }
 
 _AUG_SQL = f"""
@@ -403,5 +465,27 @@ ORACLE_SQL: dict[str, str] = {
         FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.k <> n.k
         ORDER BY doc_id
+    """,
+    "q71_overlap_matrix": f"""
+        WITH aug AS ({_AUG_SQL}),
+        keyed AS (
+            SELECT md5(text) AS content_key, source FROM aug
+        ),
+        per_key AS (
+            SELECT content_key,
+                   list_sort(list(DISTINCT source)) AS srcs
+            FROM keyed GROUP BY content_key
+            HAVING COUNT(DISTINCT source) BETWEEN 2 AND {OVL_MAX_SOURCES}
+        ),
+        pairs AS (
+            SELECT srcs[i.i + 1] AS source_a, srcs[j.j + 1] AS source_b
+            FROM per_key,
+                 LATERAL (SELECT unnest(range(len(srcs))) AS i) i,
+                 LATERAL (SELECT unnest(range(len(srcs))) AS j) j
+            WHERE i.i < j.j
+        )
+        SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM pairs GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
     """,
 }

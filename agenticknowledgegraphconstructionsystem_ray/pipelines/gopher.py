@@ -108,6 +108,57 @@ def q57_gopher_rules(sf_dir: str):
     return docs.map_batches(_gopher_batch, batch_format="pyarrow").sort("doc_id")
 
 
+
+# ---------------------------------------------------------------------------
+# q72: per-source (domain) quality rollup
+# ---------------------------------------------------------------------------
+
+_Q_SCALE = 1_000_000
+
+
+def q72_source_quality(sf_dir: str):
+    """Domain-level curation view: per source, document count, Gopher keep
+    count, integer keep rate (ppm) and mean words per doc (x100) — the
+    aggregation a crawl pipeline uses to rank/blocklist whole domains.
+    Shape: the q57 flag kernel + per-block (source) partial rollup ->
+    one tiny groupby(source). Output sorted by source."""
+    import pyarrow.compute as pc
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def flags_with_source(t: pa.Table) -> pa.Table:
+        f = _gopher_batch(t).append_column("source", t["source"])
+        g = f.group_by("source").aggregate(
+            [("doc_id", "count"), ("keep", "sum"), ("n_words", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "n_keep", "n_words"])
+
+    out = (
+        docs.map_batches(flags_with_source, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_keep", alias_name="n_keep"),
+            Sum("n_words", alias_name="n_words"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].combine_chunks().to_numpy(zero_copy_only=False)
+        nk = t["n_keep"].combine_chunks().to_numpy(zero_copy_only=False)
+        nw = t["n_words"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_keep": pc.cast(t["n_keep"], pa.int64()),
+                "keep_ppm": pa.array(nk * _Q_SCALE // nd, pa.int64()),
+                "mean_words_x100": pa.array(nw * 100 // nd, pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("source")
+
 # ---------------------------------------------------------------------------
 # q58: DSIR-shape hashed importance weights
 # ---------------------------------------------------------------------------
@@ -217,6 +268,7 @@ def q58_importance_weights(sf_dir: str):
 QUERIES = {
     "q57_gopher_rules": q57_gopher_rules,
     "q58_importance_weights": q58_importance_weights,
+    "q72_source_quality": q72_source_quality,
 }
 
 _STOP_SQL = ",".join(f"'{w}'" for w in sorted(_STOPS))
@@ -291,5 +343,44 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COALESCE(a.weight_ppm, 0) AS BIGINT) AS weight_ppm
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id
+    """,
+    "q72_source_quality": f"""
+        WITH tok AS ({_TOK_LANG_SQL}),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(length(term)) AS BIGINT) AS sum_word_len,
+                   CAST(COUNT(DISTINCT CASE WHEN term IN ({_STOP_SQL})
+                        THEN term END) AS BIGINT) AS n_stop
+            FROM tok GROUP BY doc_id
+        ),
+        per_doc AS (
+            SELECT d.doc_id, d.source,
+                   COALESCE(a.n_words, 0) AS n_words,
+                   COALESCE(a.sum_word_len, 0) AS sum_word_len,
+                   COALESCE(a.n_stop, 0) AS n_stop,
+                   CAST(length(regexp_replace(d.text, '[a-zA-Z0-9\\s]', '',
+                        'g')) AS BIGINT) AS n_symbols
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        ),
+        flags AS (
+            SELECT source, n_words,
+                   CASE WHEN n_words >= {MIN_WORDS}
+                         AND n_words <= {MAX_WORDS}
+                         AND n_words > 0
+                         AND sum_word_len >= {MIN_MEAN_LEN} * n_words
+                         AND sum_word_len <= {MAX_MEAN_LEN} * n_words
+                         AND n_stop >= {MIN_STOP_HITS}
+                         AND 2 * n_symbols <= n_words
+                    THEN 1 ELSE 0 END AS keep
+            FROM per_doc
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(keep) AS BIGINT) AS n_keep,
+               CAST(SUM(keep) * {_Q_SCALE} // COUNT(*) AS BIGINT) AS keep_ppm,
+               CAST(SUM(n_words) * 100 // COUNT(*) AS BIGINT)
+                   AS mean_words_x100
+        FROM flags GROUP BY source ORDER BY source
     """,
 }

@@ -633,6 +633,56 @@ def q65_doc_term_matrix(sf_dir: str):
         ["doc_id", "term_id"]
     )
 
+
+# ---------------------------------------------------------------------------
+# q70: BPE merge learning (tokenizer training, stage 1)
+# ---------------------------------------------------------------------------
+
+
+def q70_bpe_merges(sf_dir: str):
+    """Learned byte-pair merges over the corpus (functions/bpe.py kernel):
+    ONE distributed word-count shuffle reduces the corpus to the
+    (word, count) table — the trainer's actual state, like every
+    production BPE trainer — then the deterministic merge loop runs over
+    the capped table. Output: (rank, sym_a, sym_b, n) in learned order.
+    Golden-file oracle: sequential word count + the SAME kernel
+    (goldens._seq_bpe)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import bpe
+    from ..stages.textstats import _TOKEN_RE
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in t["text"].to_pylist():
+            for tok in _TOKEN_RE.findall(text.lower()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n_p": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    wc = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()  # vocabulary-sized (the trainer state); capped next
+    )
+    capped = bpe.cap_words(dict(zip(wc["term"], wc["n"].astype(int))))
+    merges = bpe.learn_merges(capped)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "sym_a": pa.array([m[0] for m in merges], pa.string()),
+            "sym_b": pa.array([m[1] for m in merges], pa.string()),
+            "n": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+
 QUERIES = {
     "q41_tfidf_top_terms": q41_tfidf_top_terms,
     "q42_inverted_index": q42_inverted_index,
@@ -642,6 +692,7 @@ QUERIES = {
     "sk_heavy_hitters": sk_heavy_hitters,
     "q64_kwic": q64_kwic,
     "q65_doc_term_matrix": q65_doc_term_matrix,
+    "q70_bpe_merges": q70_bpe_merges,
 }
 
 _EXPLODE_SQL = _EXPLODE_DOC_SQL = _TOK_SQL

@@ -108,3 +108,28 @@ def test_snapshot_diff_classes(ray_session):
     assert by.get("removed", set()) == want_removed
     assert by.get("added", set()) == want_added
     assert by.get("changed", set()) == want_changed
+
+
+def test_overlap_matrix_matches_bruteforce(ray_session):
+    got = corpusstat.q71_overlap_matrix(SF).to_pandas()
+    docs = pq.read_table(
+        SF + "/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pandas()
+    m = docs[docs.doc_id % corpusstat.MIRROR_MOD == 0].copy()
+    m["doc_id"] += corpusstat.MIRROR_ID_OFFSET
+    m["source"] = "mirror:" + m["source"]
+    aug = pd.concat([docs, m], ignore_index=True)
+    aug["k"] = [hashlib.md5(t.encode()).hexdigest() for t in aug["text"]]
+    want: dict = {}
+    for _, g in aug.groupby("k"):
+        srcs = sorted(set(g["source"]))
+        if not (2 <= len(srcs) <= corpusstat.OVL_MAX_SOURCES):
+            continue
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1 :]:
+                want[(a, b)] = want.get((a, b), 0) + 1
+    have = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for _, r in got.iterrows()
+    }
+    assert have == want and len(have) > 0

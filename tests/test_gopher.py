@@ -94,3 +94,23 @@ def test_importance_weights_sequential_recompute(ray_session):
     mean_en = out[en.values]["weight_ppm"].sum() / max(out[en.values]["n_tokens"].sum(), 1)
     mean_rest = out[~en.values]["weight_ppm"].sum() / max(out[~en.values]["n_tokens"].sum(), 1)
     assert mean_en > mean_rest
+
+
+def test_source_quality_consistent_with_q57(ray_session):
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import gopher
+
+    sf = "/root/testdata/sf0.001"
+    per_doc = gopher.q57_gopher_rules(sf).to_pandas()
+    docs = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    merged = per_doc.merge(docs, on="doc_id")
+    got = gopher.q72_source_quality(sf).to_pandas()
+    for _, r in got.iterrows():
+        g = merged[merged.source == r["source"]]
+        assert r["n_docs"] == len(g)
+        assert r["n_keep"] == g["keep"].sum()
+        assert r["keep_ppm"] == g["keep"].sum() * 1_000_000 // len(g)
+        assert r["mean_words_x100"] == g["n_words"].sum() * 100 // len(g)

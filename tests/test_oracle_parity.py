@@ -73,6 +73,8 @@ FAST_QUERIES = [
     "q67_bloom_semijoin",
     "q68_event_pairs",
     "q69_rollup",
+    "q71_overlap_matrix",
+    "q72_source_quality",
 ]
 
 

@@ -241,3 +241,36 @@ def test_doc_term_matrix_counts(ray_session):
         1 for did, c in per_doc.items() for k in c if k in tid
     )
     assert len(got) == want_rows
+
+
+def test_bpe_first_merge_is_most_frequent_bigram(ray_session):
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.functions import bpe
+
+    got = scoring.q70_bpe_merges(SF).to_pydict()
+    texts = pq.read_table(SF + "/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    token_re = re.compile(r"[a-z0-9]+")
+    wc = Counter(w for t in texts for w in token_re.findall(t.lower()))
+    bigrams = Counter()
+    for w, c in wc.items():
+        for a, b in zip(w, w[1:]):
+            bigrams[(a, b)] += c
+    best = min(bigrams.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (got["sym_a"][0], got["sym_b"][0]) == best[0]
+    assert got["n"][0] == best[1]
+    assert got["rank"] == list(range(len(got["rank"])))
+
+
+def test_bpe_kernel_merge_application():
+    from agenticknowledgegraphconstructionsystem_ray.functions import bpe
+
+    # 'ab' dominates; then 'abc' forms from (ab, c)
+    merges = bpe.learn_merges([("abc", 10), ("abd", 4), ("xy", 1)], k=2)
+    assert merges[0] == ("a", "b", 14)
+    assert merges[1] == ("ab", "c", 10)
