@@ -1370,6 +1370,19 @@ def kg_oracle_sql() -> dict[str, str]:
         "q70_bpe_merges": f"""
             SELECT rank, sym_a, sym_b, n FROM {_g('bpe')}
         """,
+        "q75_split_leakage": f"""
+            WITH f AS (
+                SELECT substr(md5(CAST(doc_a AS VARCHAR)), 32, 1)
+                           IN ('0','1','2','3') AS ta,
+                       substr(md5(CAST(doc_b AS VARCHAR)), 32, 1)
+                           IN ('0','1','2','3') AS tb
+                FROM {_g('dd_minhash')}
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(SUM(CASE WHEN ta <> tb THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_leaking
+            FROM f
+        """,
         "kg_bfs": f"""
             SELECT entity_id, dist FROM {_g('bfs')}
         """,

@@ -823,6 +823,75 @@ def q67_bloom_semijoin(sf_dir: str):
         }
     )
 
+
+# ---------------------------------------------------------------------------
+# q74: classifier threshold sweep (model-evaluation operator)
+# ---------------------------------------------------------------------------
+
+SWEEP_THRS = (200, 400, 600, 800, 1000)
+
+
+def q74_threshold_sweep(sf_dir: str):
+    """Precision/recall sweep of the q47 linear quality score against the
+    Gopher rule-battery verdict as ground truth — the model-evaluation
+    pass that picks a deployment threshold. Per threshold: confusion
+    counts + integer ppm precision/recall (0 when the denominator is 0).
+    Shape: ONE map pass computes score + truth per doc and emits
+    len(SWEEP_THRS) x 4 confusion partials per block; a tiny groupby(thr)
+    sums them. Output sorted by thr."""
+    from ..pipelines.gopher import _gopher_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    thrs = np.array(SWEEP_THRS, np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        feats = np.array(
+            [doc_features(x) for x in texts], dtype=np.int64
+        ).reshape(len(texts), 4)
+        score = feats @ np.asarray(QUALITY_W, np.int64)
+        truth = _gopher_batch(t)["keep"].to_numpy().astype(bool)
+        rows = {"thr": [], "tp": [], "fp": [], "fn": [], "tn": []}
+        for thr in thrs:
+            pred = score >= thr
+            rows["thr"].append(int(thr))
+            rows["tp"].append(int((pred & truth).sum()))
+            rows["fp"].append(int((pred & ~truth).sum()))
+            rows["fn"].append(int((~pred & truth).sum()))
+            rows["tn"].append(int((~pred & ~truth).sum()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("thr")
+        .aggregate(
+            Sum("tp", alias_name="tp"),
+            Sum("fp", alias_name="fp"),
+            Sum("fn", alias_name="fn"),
+            Sum("tn", alias_name="tn"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tp = t["tp"].combine_chunks().to_numpy(zero_copy_only=False)
+        fp = t["fp"].combine_chunks().to_numpy(zero_copy_only=False)
+        fn = t["fn"].combine_chunks().to_numpy(zero_copy_only=False)
+        prec = np.where(tp + fp > 0, tp * 1_000_000 // np.maximum(tp + fp, 1), 0)
+        rec = np.where(tp + fn > 0, tp * 1_000_000 // np.maximum(tp + fn, 1), 0)
+        return pa.table(
+            {
+                "thr": pc.cast(t["thr"], pa.int64()),
+                "tp": pc.cast(t["tp"], pa.int64()),
+                "fp": pc.cast(t["fp"], pa.int64()),
+                "fn": pc.cast(t["fn"], pa.int64()),
+                "tn": pc.cast(t["tn"], pa.int64()),
+                "precision_ppm": pa.array(prec, pa.int64()),
+                "recall_ppm": pa.array(rec, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("thr")
+
 QUERIES = {
     "dd_decontaminate": dd_decontaminate,
     "dd_bloom_decontaminate": dd_bloom_decontaminate,
@@ -833,6 +902,7 @@ QUERIES = {
     "q48_repetition": q48_repetition,
     "dd_keep_best": dd_keep_best,
     "q67_bloom_semijoin": q67_bloom_semijoin,
+    "q74_threshold_sweep": q74_threshold_sweep,
 }
 
 _TOKS_SQL = (
@@ -992,3 +1062,35 @@ ORACLE_SQL: dict[str, str] = {
 # The bloom path is exact by construction (no false negatives + exact verify
 # of the candidate tail), so it shares the exact path's oracle verbatim.
 ORACLE_SQL["dd_bloom_decontaminate"] = ORACLE_SQL["dd_decontaminate"]
+
+
+# q74's oracle composes the q47 score SQL with the q57 (gopher) truth SQL
+from .gopher import ORACLE_SQL as _GOPHER_SQL  # noqa: E402
+
+ORACLE_SQL["q74_threshold_sweep"] = f"""
+    WITH score AS ({ORACLE_SQL["q47_quality_classifier"]}),
+    truth AS ({_GOPHER_SQL["q57_gopher_rules"]}),
+    thrs AS (SELECT CAST(unnest({list(SWEEP_THRS)}) AS BIGINT) AS thr),
+    conf AS (
+        SELECT t.thr,
+               CAST(SUM(CASE WHEN s.score >= t.thr AND g.keep = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN s.score >= t.thr AND g.keep = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN s.score < t.thr AND g.keep = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN s.score < t.thr AND g.keep = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM thrs t CROSS JOIN score s
+        JOIN truth g USING (doc_id)
+        GROUP BY t.thr
+    )
+    SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
+           CAST(CASE WHEN tp + fp > 0
+                THEN tp * 1000000 // (tp + fp) ELSE 0 END AS BIGINT)
+               AS precision_ppm,
+           CAST(CASE WHEN tp + fn > 0
+                THEN tp * 1000000 // (tp + fn) ELSE 0 END AS BIGINT)
+               AS recall_ppm
+    FROM conf ORDER BY thr
+"""

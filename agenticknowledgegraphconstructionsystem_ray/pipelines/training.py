@@ -150,6 +150,73 @@ def q25_langid(sf_dir: str):
     )
 
 
+
+def q73_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: actual lang x detected lang with doc
+    counts — the model-evaluation cross-tab for the q25 heuristic detector.
+    Shape: the langid kernel + per-block (lang, detected) count combiner ->
+    one tiny groupby. Output sorted by (lang, lang_detected)."""
+    import pyarrow.compute as _pc
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def per_block(t: pa.Table) -> pa.Table:
+        pred = textstats.langid_batch(t.select(["doc_id", "text"]))
+        tab = pa.table(
+            {"lang": t["lang"], "lang_detected": pred["lang_detected"]}
+        )
+        g = tab.group_by(["lang", "lang_detected"]).aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "lang_detected", "n_p"])
+
+    out = (
+        docs.map_batches(per_block, batch_format="pyarrow")
+        .groupby(["lang", "lang_detected"])
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t["lang"],
+                "lang_detected": t["lang_detected"],
+                "n": _pc.cast(t["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["lang", "lang_detected"])
+
+
+SPLIT_TEST_HEX = ("0", "1", "2", "3")  # q32's hold-out rule, on doc_id
+
+
+def q75_split_leakage(sf_dir: str):
+    """Eval-hygiene check: how many near-duplicate pairs STRADDLE the
+    deterministic train/test split (a straddling near-dup leaks training
+    content into evaluation). Split rule = q32's md5 last-hex-digit on
+    doc_id; pairs = the MinHash near-dup pipeline. Output: one row
+    (n_pairs, n_leaking)."""
+    import hashlib as _hl
+
+    from ..stages.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(sf_dir)  # pa.Table (doc_a, doc_b, jaccard_ppm)
+
+    def is_test(ids):
+        return [
+            _hl.md5(str(i).encode()).hexdigest()[-1] in SPLIT_TEST_HEX
+            for i in ids
+        ]
+
+    ta = is_test(pairs["doc_a"].to_pylist())
+    tb = is_test(pairs["doc_b"].to_pylist())
+    n_leak = sum(1 for a, b in zip(ta, tb) if a != b)
+    return pa.table(
+        {
+            "n_pairs": pa.array([pairs.num_rows], pa.int64()),
+            "n_leaking": pa.array([n_leak], pa.int64()),
+        }
+    )
+
+
 def q26_quality(sf_dir: str):
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         textstats.quality_batch, batch_format="pyarrow"
@@ -616,6 +683,8 @@ QUERIES = {
     "q23_ngram_jaccard_pairs": q23_ngram_jaccard_pairs,
     "q24_embedding_near_dup": q24_embedding_near_dup,
     "q25_langid": q25_langid,
+    "q73_langid_confusion": q73_langid_confusion,
+    "q75_split_leakage": q75_split_leakage,
     "q26_quality": q26_quality,
     "q27_token_classes": q27_token_classes,
     "q28_events_props_json": q28_events_props_json,
@@ -641,3 +710,13 @@ QUERIES = {
     "ml_kmeans": ml_kmeans,
     "ann_pq_topk": ann_pq_topk,
 }
+
+
+# q73's oracle reuses the q25 detector SQL as a subquery (same CASE logic)
+ORACLE_SQL["q73_langid_confusion"] = f"""
+    WITH pred AS ({ORACLE_SQL["q25_langid"]})
+    SELECT d.lang, p.lang_detected, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.lang_detected
+    ORDER BY d.lang, p.lang_detected
+"""

@@ -251,3 +251,71 @@ def test_rollup_levels_are_consistent(ray_session):
         d = detail[detail.o_orderstatus == r["o_orderstatus"]]
         assert r["n_orders"] == d["n_orders"].sum()
         assert r["total_c"] == d["total_c"].sum()
+
+
+def test_langid_confusion_sums_to_lang_counts(ray_session):
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import training
+
+    sf = "/root/testdata/sf0.001"
+    got = training.q73_langid_confusion(sf).to_pandas()
+    docs = pq.read_table(sf + "/documents.parquet", columns=["lang"]).to_pandas()
+    want = docs.groupby("lang").size()
+    have = got.groupby("lang")["n"].sum()
+    assert dict(have) == dict(want)
+    # and the matrix agrees with the per-doc detector output
+    pred = training.q25_langid(sf).to_pandas()[["doc_id", "lang_detected"]]
+    full = pq.read_table(
+        sf + "/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas().merge(pred, on="doc_id")
+    brute = full.groupby(["lang", "lang_detected"]).size()
+    for _, r in got.iterrows():
+        assert brute[(r["lang"], r["lang_detected"])] == r["n"]
+
+
+def test_threshold_sweep_laws(ray_session):
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import assembly
+
+    got = assembly.q74_threshold_sweep("/root/testdata/sf0.001").to_pandas()
+    got = got.sort_values("thr")
+    # positives (truth) constant across thresholds
+    assert (got["tp"] + got["fn"]).nunique() == 1
+    assert (got["fp"] + got["tn"]).nunique() == 1
+    # predictions shrink as the threshold rises
+    assert (got["tp"].diff().dropna() <= 0).all()
+    assert (got["fp"].diff().dropna() <= 0).all()
+    # ppm formulas
+    for _, r in got.iterrows():
+        pp = r["tp"] * 1_000_000 // (r["tp"] + r["fp"]) if r["tp"] + r["fp"] else 0
+        rr = r["tp"] * 1_000_000 // (r["tp"] + r["fn"]) if r["tp"] + r["fn"] else 0
+        assert r["precision_ppm"] == pp and r["recall_ppm"] == rr
+
+
+def test_split_leakage_matches_bruteforce(ray_session):
+    import hashlib
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import training
+    from agenticknowledgegraphconstructionsystem_ray.stages.dedup import (
+        minhash_near_dups,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = training.q75_split_leakage(sf).to_pydict()
+    pairs = minhash_near_dups(sf)
+
+    def is_test(i):
+        return (
+            hashlib.md5(str(i).encode()).hexdigest()[-1]
+            in training.SPLIT_TEST_HEX
+        )
+
+    leak = sum(
+        1
+        for a, b in zip(
+            pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()
+        )
+        if is_test(a) != is_test(b)
+    )
+    assert got["n_pairs"][0] == pairs.num_rows
+    assert got["n_leaking"][0] == leak

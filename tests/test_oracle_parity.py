@@ -75,6 +75,8 @@ FAST_QUERIES = [
     "q69_rollup",
     "q71_overlap_matrix",
     "q72_source_quality",
+    "q73_langid_confusion",
+    "q74_threshold_sweep",
 ]
 
 
