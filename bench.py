@@ -175,6 +175,12 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         if hasattr(result, "to_pandas"):
             result.to_pandas()  # force full execution
         queries[name] = round(time.perf_counter() - t, 3)
+        # drop the Dataset refs so the object store frees this segment's
+        # blocks before the next one starts allocating
+        del result
+        import gc
+
+        gc.collect()
 
     if not kg_only:
         timed("q01_pricing_summary", analytics.q01_pricing_summary)
@@ -195,6 +201,10 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         timed("q53_dup_spans", webclean.q53_dup_spans)
         timed("dd_bloom_decontaminate", assembly.dd_bloom_decontaminate)
         timed("q54_mirror_detection", corpusstat.q54_mirror_detection)
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import mixture
+
+        timed("q59_mixture_sample", mixture.q59_mixture_sample)
+        timed("q67_bloom_semijoin", assembly.q67_bloom_semijoin)
 
     total = round(sum(queries.values()), 3)
     out = {
