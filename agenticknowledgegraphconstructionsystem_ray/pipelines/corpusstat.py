@@ -263,6 +263,14 @@ def q63_snapshot_diff(sf_dir: str):
 
     def keyed_sides(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
+        # re-added ids are doc_id + DIFF_ADD_OFFSET; a real id in that range
+        # would collide and the Max-merge would silently fuse two documents
+        # (the SQL oracle would not) — refuse rather than diverge
+        if len(ids) and int(ids.max()) >= DIFF_ADD_OFFSET:
+            raise ValueError(
+                f"q63 snapshot mutation requires doc_id < {DIFF_ADD_OFFSET}; "
+                "raise DIFF_ADD_OFFSET for larger corpora"
+            )
         texts = t["text"].to_pylist()
         out_id, out_old, out_new = [], [], []
         for i, tx in zip(ids, texts):

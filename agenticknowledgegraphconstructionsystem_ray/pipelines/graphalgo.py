@@ -121,6 +121,61 @@ def _attach_i64(
     )
 
 
+
+def _distinct_undirected_pairs(edges: "rd.Dataset") -> "rd.Dataset":
+    """DISTINCT undirected linked pairs (a < b), self-loops dropped — the
+    shared graph-canonicalization kernel (bfs/jaccard/walks/negatives).
+    Output columns: a, b (plus a _c count ignored by consumers)."""
+    import pyarrow.compute as pc
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["subj_id"], pa.int64())
+        b = pc.cast(t["obj_id"], pa.int64())
+        lo, hi = pc.min_element_wise(a, b), pc.max_element_wise(a, b)
+        keep = pc.not_equal(lo, hi)
+        tt = pa.table({"a": lo, "b": hi}).filter(keep)
+        return tt.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
+
+    return (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+
+def _symmetrize_pairs(pairs: "rd.Dataset") -> "rd.Dataset":
+    """(a, b) pairs -> both orientations as (src, dst)."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+            }
+        )
+
+    return pairs.map_batches(sym, batch_format="pyarrow")
+
+
+def _kg_edges_ds(out: str) -> "rd.Dataset":
+    """Linked (subj_id, obj_id) pairs of a materialized KG output dir."""
+    return rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["subj_id", "obj_id"],
+    ).filter(expr="subj_id >= 0 and obj_id >= 0")
+
+
+def _kg_nodes_ds(out: str) -> "rd.Dataset":
+    return rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+        columns=["entity_id"],
+    )
+
+
 PR_SCALE = 10**9
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 PR_BASE = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
@@ -606,10 +661,7 @@ def kg_kcore(sf_dir: str):
     from .kgqueries import _ensure_run
 
     out = _ensure_run(sf_dir)
-    edges = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
-        columns=["subj_id", "obj_id"],
-    ).filter(expr="subj_id >= 0 and obj_id >= 0")
+    edges = _kg_edges_ds(out)
     return kcore(edges)
 
 
@@ -620,10 +672,7 @@ def kg_triangles(sf_dir: str):
     from .kgqueries import _ensure_run
 
     out = _ensure_run(sf_dir)
-    edges = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
-        columns=["subj_id", "obj_id"],
-    ).filter(expr="subj_id >= 0 and obj_id >= 0")
+    edges = _kg_edges_ds(out)
     return triangles(edges)
 
 
@@ -632,10 +681,7 @@ def kg_degree_stats(sf_dir: str):
     from .kgqueries import _ensure_run
 
     out = _ensure_run(sf_dir)
-    edges = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
-        columns=["subj_id", "obj_id"],
-    ).filter(expr="subj_id >= 0 and obj_id >= 0")
+    edges = _kg_edges_ds(out)
     return degree_stats(edges)
 
 
@@ -644,14 +690,8 @@ def kg_pagerank(sf_dir: str):
     from .kgqueries import _ensure_run
 
     out = _ensure_run(sf_dir)
-    edges = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
-        columns=["subj_id", "obj_id"],
-    ).filter(expr="subj_id >= 0 and obj_id >= 0")
-    nodes = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
-        columns=["entity_id"],
-    )
+    edges = _kg_edges_ds(out)
+    nodes = _kg_nodes_ds(out)
     return pagerank(edges, nodes)
 
 
@@ -674,14 +714,8 @@ def kg_components(sf_dir: str):
 
         return pc.utf8_lpad(pc.cast(col, pa.string()), 19, "0")
 
-    edges = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
-        columns=["subj_id", "obj_id"],
-    ).filter(expr="subj_id >= 0 and obj_id >= 0")
-    nodes = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
-        columns=["entity_id"],
-    )
+    edges = _kg_edges_ds(out)
+    nodes = _kg_nodes_ds(out)
     pairs = edges.map_batches(
         lambda t: pa.table(
             {"a": pad(t["subj_id"]), "b": pad(t["obj_id"])}
@@ -743,33 +777,9 @@ def bfs_hops(
     n_groups = max(8, cluster_cpus())
 
     # distinct undirected pairs, both orientations, self-loops dropped
-    def canon(t: pa.Table) -> pa.Table:
-        a = pc.cast(t["subj_id"], pa.int64())
-        b = pc.cast(t["obj_id"], pa.int64())
-        lo, hi = pc.min_element_wise(a, b), pc.max_element_wise(a, b)
-        keep = pc.not_equal(lo, hi)
-        tt = pa.table({"a": lo, "b": hi}).filter(keep)
-        return tt.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
+    pairs = _distinct_undirected_pairs(edges)
 
-    pairs = (
-        edges.map_batches(canon, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_c"))
-    )
-
-    def symmetrize(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": pa.concat_arrays(
-                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
-                ),
-                "dst": pa.concat_arrays(
-                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
-                ),
-            }
-        )
-
-    sym = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    sym = _symmetrize_pairs(pairs).materialize()
 
     def seed_rows(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -831,14 +841,8 @@ def kg_bfs(sf_dir: str):
     from .kgqueries import _ensure_run
 
     out = _ensure_run(sf_dir)
-    edges = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
-        columns=["subj_id", "obj_id"],
-    ).filter(expr="subj_id >= 0 and obj_id >= 0")
-    nodes = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
-        columns=["entity_id"],
-    )
+    edges = _kg_edges_ds(out)
+    nodes = _kg_nodes_ds(out)
     return bfs_hops(edges, nodes)
 
 
@@ -875,33 +879,9 @@ def jaccard_pairs(
 
     n_groups = max(8, cluster_cpus())
 
-    def canon(t: pa.Table) -> pa.Table:
-        a = pc.cast(t["subj_id"], pa.int64())
-        b = pc.cast(t["obj_id"], pa.int64())
-        lo, hi = pc.min_element_wise(a, b), pc.max_element_wise(a, b)
-        keep = pc.not_equal(lo, hi)
-        tt = pa.table({"a": lo, "b": hi}).filter(keep)
-        return tt.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
+    pairs = _distinct_undirected_pairs(edges)
 
-    pairs = (
-        edges.map_batches(canon, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_c"))
-    )
-
-    def symmetrize(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": pa.concat_arrays(
-                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
-                ),
-                "dst": pa.concat_arrays(
-                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
-                ),
-            }
-        )
-
-    sym = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    sym = _symmetrize_pairs(pairs).materialize()
     deg = sym.groupby("src").aggregate(Count(alias_name="deg")).map_batches(
         lambda t: pa.table(
             {
@@ -993,10 +973,7 @@ def kg_jaccard(sf_dir: str):
     from .kgqueries import _ensure_run
 
     out = _ensure_run(sf_dir)
-    edges = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
-        columns=["subj_id", "obj_id"],
-    ).filter(expr="subj_id >= 0 and obj_id >= 0")
+    edges = _kg_edges_ds(out)
     return jaccard_pairs(edges)
 
 
@@ -1032,33 +1009,9 @@ def random_walks(
 
     n_groups = max(8, cluster_cpus())
 
-    def canon(t: pa.Table) -> pa.Table:
-        a = pc.cast(t["subj_id"], pa.int64())
-        b = pc.cast(t["obj_id"], pa.int64())
-        lo, hi = pc.min_element_wise(a, b), pc.max_element_wise(a, b)
-        keep = pc.not_equal(lo, hi)
-        tt = pa.table({"a": lo, "b": hi}).filter(keep)
-        return tt.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
+    pairs = _distinct_undirected_pairs(edges)
 
-    pairs = (
-        edges.map_batches(canon, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_c"))
-    )
-
-    def symmetrize(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": pa.concat_arrays(
-                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
-                ),
-                "dst": pa.concat_arrays(
-                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
-                ),
-            }
-        )
-
-    sym = pairs.map_batches(symmetrize, batch_format="pyarrow")
+    sym = _symmetrize_pairs(pairs)
 
     def route_sym(t: pa.Table) -> pa.Table:
         src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1166,14 +1119,8 @@ def kg_walks(sf_dir: str):
     from .kgqueries import _ensure_run
 
     out = _ensure_run(sf_dir)
-    edges = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
-        columns=["subj_id", "obj_id"],
-    ).filter(expr="subj_id >= 0 and obj_id >= 0")
-    nodes = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
-        columns=["entity_id"],
-    )
+    edges = _kg_edges_ds(out)
+    nodes = _kg_nodes_ds(out)
     return random_walks(edges, nodes)
 
 
@@ -1203,19 +1150,7 @@ def negative_samples(
     import numpy as np
     import pyarrow.compute as pc
 
-    def canon(t: pa.Table) -> pa.Table:
-        a = pc.cast(t["subj_id"], pa.int64())
-        b = pc.cast(t["obj_id"], pa.int64())
-        lo, hi = pc.min_element_wise(a, b), pc.max_element_wise(a, b)
-        keep = pc.not_equal(lo, hi)
-        tt = pa.table({"a": lo, "b": hi}).filter(keep)
-        return tt.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
-
-    pairs = (
-        edges.map_batches(canon, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_c"))
-    )
+    pairs = _distinct_undirected_pairs(edges)
 
     def expand(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1252,12 +1187,6 @@ def kg_negatives(sf_dir: str):
     from .kgqueries import _ensure_run
 
     out = _ensure_run(sf_dir)
-    edges = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
-        columns=["subj_id", "obj_id"],
-    ).filter(expr="subj_id >= 0 and obj_id >= 0")
-    n_nodes = rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
-        columns=["entity_id"],
-    ).count()
+    edges = _kg_edges_ds(out)
+    n_nodes = _kg_nodes_ds(out).count()
     return negative_samples(edges, n_nodes)

@@ -200,7 +200,6 @@ def _config_fingerprint(cfg: "KGConfig") -> str:
     against manifests from the old plan."""
     import hashlib
 
-    alias = cfg.alias_dict()
     files = sorted(glob.glob(os.path.join(cfg.pages_dir, "*.parquet")))
     return hashlib.sha1(
         repr(
@@ -403,6 +402,30 @@ def run_phase_a(cfg: KGConfig) -> dict:
                     for p, c in path_to_chunk.items()
                     if p not in {os.path.abspath(f) for f in bad}
                 }
+        if not group_files:
+            # every file in the group quarantined (crash-mid-upload of a
+            # whole shard batch): nothing to read — still commit empty
+            # chunk outputs + manifests so the run records the quarantine
+            # and resume does not retry forever
+            group_wall = round(time.perf_counter() - tstart, 3)
+            for cid in group:
+                src = os.path.join(group_tmp, f"chunk={cid:05d}")
+                os.makedirs(src, exist_ok=True)
+                mf.atomic_replace_dir(src, _records_dir(cfg.out_dir, cid))
+                mf.write_manifest(
+                    cfg.out_dir,
+                    cid,
+                    {
+                        "status": "success",
+                        "chunk_id": cid,
+                        "input_files": chunks[cid],
+                        "row_count": 0,
+                        "wall_s": group_wall,
+                        "quarantined": quarantined.get(cid, []),
+                    },
+                )
+            mf.clear_stale_tmp(group_tmp)
+            continue
         pages = rd.read_parquet(group_files, include_paths=True)
         text_ds = pages.map_batches(
             extract_text_batch,

@@ -483,7 +483,6 @@ def q50_source_cap(sf_dir: str):
     )
 
 
-_EXPLODE_SQL = _EXPLODE_DOC_SQL = None  # rebound below
 _TOK_SQL = (
     "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
     "'[^a-z0-9]+'), x -> x <> '')) AS term FROM documents"
@@ -507,9 +506,11 @@ def q64_kwic(sf_dir: str):
     Output: (term, doc_id, pos) sorted by (term, doc_id).
 
     Shape: the q14 count shuffle picks the vocabulary (tiny, broadcast in
-    the task closure); the hit scan is ONE vectorized map_batches
-    (pc.find_substring per term); the per-term head uses the grouped
-    top-k combiner (k rows per (block, term) through the shuffle)."""
+    the task closure); the hit scan is ONE map_batches (str.find per
+    (term, doc) — CHARACTER positions, matching strpos; Arrow's
+    find_substring reports byte offsets and diverges on non-ASCII text);
+    the per-term head uses the grouped top-k combiner (k rows per
+    (block, term) through the shuffle)."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
@@ -519,17 +520,7 @@ def q64_kwic(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for text in t["text"].to_pylist():
-            for tok in _TOKEN_RE.findall(text.lower()):
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table(
-            {
-                "term": pa.array(list(counts.keys()), pa.string()),
-                "n_p": pa.array(list(counts.values()), pa.int64()),
-            }
-        )
+    from ..stages.textstats import term_count_partial as count_partial
 
     top = (
         docs.map_batches(count_partial, batch_format="pyarrow")
@@ -542,23 +533,25 @@ def q64_kwic(sf_dir: str):
     terms = list(top["term"])
 
     def hits(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        lower = pc.utf8_lower(t["text"].combine_chunks())
-        ids = t["doc_id"].combine_chunks()
+        # str.find, not pc.find_substring: Arrow reports BYTE offsets while
+        # the contract (and DuckDB strpos) is CHARACTER positions — they
+        # diverge on any non-ASCII prefix, and this engine models
+        # zh/fr/de/es corpora
+        texts = [x.lower() for x in t["text"].to_pylist()]
+        ids = t["doc_id"].to_pylist()
         out_t, out_d, out_p = [], [], []
         for term in terms:
-            pos = pc.find_substring(lower, term)
-            mask = pc.greater_equal(pos, 0)
-            sel_ids = pc.filter(ids, mask)
-            sel_pos = pc.cast(pc.add(pc.filter(pos, mask), 1), pa.int64())
-            out_t.append(pa.array([term] * len(sel_ids), pa.string()))
-            out_d.append(sel_ids)
-            out_p.append(sel_pos)
+            for did, tx in zip(ids, texts):
+                p = tx.find(term)
+                if p >= 0:
+                    out_t.append(term)
+                    out_d.append(did)
+                    out_p.append(p + 1)
         return pa.table(
             {
-                "term": pa.concat_arrays(out_t),
-                "doc_id": pa.concat_arrays(out_d),
-                "pos": pa.concat_arrays(out_p),
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "pos": pa.array(out_p, pa.int64()),
             }
         )
 
@@ -587,17 +580,7 @@ def q65_doc_term_matrix(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for text in t["text"].to_pylist():
-            for tok in _TOKEN_RE.findall(text.lower()):
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table(
-            {
-                "term": pa.array(list(counts.keys()), pa.string()),
-                "n_p": pa.array(list(counts.values()), pa.int64()),
-            }
-        )
+    from ..stages.textstats import term_count_partial as count_partial
 
     top = (
         docs.map_batches(count_partial, batch_format="pyarrow")
@@ -654,17 +637,7 @@ def q70_bpe_merges(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["text"])
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for text in t["text"].to_pylist():
-            for tok in _TOKEN_RE.findall(text.lower()):
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table(
-            {
-                "term": pa.array(list(counts.keys()), pa.string()),
-                "n_p": pa.array(list(counts.values()), pa.int64()),
-            }
-        )
+    from ..stages.textstats import term_count_partial as count_partial
 
     wc = (
         docs.map_batches(count_partial, batch_format="pyarrow")
@@ -694,8 +667,6 @@ QUERIES = {
     "q65_doc_term_matrix": q65_doc_term_matrix,
     "q70_bpe_merges": q70_bpe_merges,
 }
-
-_EXPLODE_SQL = _EXPLODE_DOC_SQL = _TOK_SQL
 
 ORACLE_SQL: dict[str, str] = {
     "q41_tfidf_top_terms": f"""
@@ -798,7 +769,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q64_kwic": f"""
         WITH counts AS (
-            SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM ({_EXPLODE_SQL})
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM ({_TOK_SQL})
             GROUP BY term
         ),
         top AS (
@@ -817,7 +788,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q65_doc_term_matrix": f"""
         WITH counts AS (
-            SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM ({_EXPLODE_SQL})
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM ({_TOK_SQL})
             GROUP BY term
         ),
         vocab AS (
@@ -827,7 +798,7 @@ ORACLE_SQL: dict[str, str] = {
             FROM counts ORDER BY n DESC, term LIMIT {DTM_V}
         )
         SELECT e.doc_id, v.term_id, CAST(COUNT(*) AS BIGINT) AS n
-        FROM ({_EXPLODE_DOC_SQL}) e
+        FROM ({_TOK_SQL}) e
         JOIN vocab v ON v.term = e.term
         GROUP BY e.doc_id, v.term_id
         ORDER BY e.doc_id, v.term_id

@@ -149,40 +149,35 @@ def cms_term_counts(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
 
     from ..functions import cms
-    from .textstats import _TOKEN_RE
+    from .textstats import term_count_partial
 
     docs = read_table(sf_dir, "documents", columns=["text"])
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for text in t["text"].to_pylist():
-            for tok in _TOKEN_RE.findall(text.lower()):
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table(
-            {
-                "term": pa.array(list(counts.keys()), pa.string()),
-                "n_p": pa.array(list(counts.values()), pa.int64()),
-            }
-        )
+    # ONE tokenize-and-count pass feeds BOTH sides: the exact top-k shuffle
+    # consumes the (term, n_p) partials directly, and the CMS blob is folded
+    # FROM those partials (CMS updates are linear in counts, so sketching
+    # the partial rows equals sketching the raw stream)
+    counts_ds = docs.map_batches(
+        term_count_partial, batch_format="pyarrow"
+    ).materialize()
 
     def cms_partial(t: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for text in t["text"].to_pylist():
-            for tok in _TOKEN_RE.findall(text.lower()):
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table(
-            {"cms": pa.array([cms.sketch_of(counts).tobytes()], pa.binary())}
+        m = cms.empty()
+        cms.update(
+            m,
+            t["term"].to_pylist(),
+            t["n_p"].combine_chunks().to_numpy(zero_copy_only=False),
         )
+        return pa.table({"cms": pa.array([m.tobytes()], pa.binary())})
 
     top = (
-        docs.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("term")
+        counts_ds.groupby("term")
         .aggregate(Sum("n_p", alias_name="n_exact"))
         .sort(["n_exact", "term"], descending=[True, False])
         .limit(CMS_TOP)
         .to_pandas()  # CMS_TOP rows
     )
-    blob = docs.map_batches(cms_partial, batch_format="pyarrow").aggregate(
+    blob = counts_ds.map_batches(cms_partial, batch_format="pyarrow").aggregate(
         _cms_agg("cms")
     )["cms"]
     m = np.frombuffer(blob, np.int64).reshape(cms.D, cms.W)

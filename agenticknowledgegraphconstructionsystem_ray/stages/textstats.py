@@ -153,3 +153,20 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
             "n_fps": pa.array([r[1] for r in res], pa.int64()),
         }
     )
+
+def term_count_partial(t: "pa.Table") -> "pa.Table":
+    """Per-block TOTAL term counts -> (term, n_p) rows: THE shared combiner
+    for every q14-family count shuffle (q14/q49/q64/q70/sk_cms). One
+    definition so a tokenization change cannot silently fork the counters."""
+    import pyarrow as pa
+
+    counts: dict[str, int] = {}
+    for text in t["text"].to_pylist():
+        for tok in _TOKEN_RE.findall(text.lower()):
+            counts[tok] = counts.get(tok, 0) + 1
+    return pa.table(
+        {
+            "term": pa.array(list(counts.keys()), pa.string()),
+            "n_p": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
