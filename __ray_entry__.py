@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         analytics,
         assembly,
         corpusstat,
+        fuzzy,
         gopher,
         graphalgo,
         kgqueries,
@@ -40,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     q: dict[str, Callable[[str], Any]] = dict(analytics.QUERIES)
+    q.update(fuzzy.QUERIES)
     q.update(training.QUERIES)
     q.update(mixture.QUERIES)
     q.update(temporal.QUERIES)
@@ -71,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_jaccard": graphalgo.kg_jaccard,
             "kg_walks": graphalgo.kg_walks,
             "kg_negatives": graphalgo.kg_negatives,
+            "kg_hits": graphalgo.kg_hits,
+            "kg_link_ra": graphalgo.kg_link_ra,
+            "kg_clustering": graphalgo.kg_clustering,
         }
     )
     return q
@@ -89,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         analytics,
         assembly,
         corpusstat,
+        fuzzy,
         gopher,
         mixture,
         scoring,
@@ -100,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
     goldens.ensure_kg_golden()
     return {
         **analytics.ORACLE_SQL,
+        **fuzzy.ORACLE_SQL,
         **training.ORACLE_SQL,
         **mixture.ORACLE_SQL,
         **temporal.ORACLE_SQL,

@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "19"  # v19: + BPE merges golden
+GOLDEN_VERSION = "20"  # v20: + SemDeDup, PQ-rerank, HITS goldens
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -785,7 +785,7 @@ def _seq_lineage(pages_dir: str) -> pa.Table:
     )
 
 
-def _seq_pq(sf_dir: str) -> pa.Table:
+def _seq_pq(sf_dir: str, k: int = 10) -> pa.Table:
     """Sequential PQ golden: same fixed-point kernels (km_quantize /
     km_assign / pq_encode) run on the whole matrix in one process — the
     distributed trainer's integer partial-sum merge must reproduce this
@@ -827,7 +827,6 @@ def _seq_pq(sf_dir: str) -> pa.Table:
         cents = new
     codes = pq_encode(mat, cents)
     query_ids = [0, 1, 2]
-    k = 10
     rows_q, rows_v, rows_r = [], [], []
     for qid in query_ids:
         qv = mat[ids == qid][0]
@@ -846,6 +845,121 @@ def _seq_pq(sf_dir: str) -> pa.Table:
             "rank": pa.array(rows_r, pa.int64()),
         }
     )
+
+
+def _seq_hits(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
+    """Sequential fixed-point HITS golden — same integer semantics as
+    :func:`..pipelines.graphalgo.hits` (distinct linked directed pairs,
+    L-infinity normalization by floor division each half-step, fixed
+    iteration count), plain dict orchestration."""
+    from .pipelines.graphalgo import HITS_ITERS, HITS_SCALE, HITS_TOP
+
+    node_ids = nodes_t["entity_id"].to_pylist()
+    pairs = {
+        (s, o)
+        for s, o in zip(
+            edges_t["subj_id"].to_pylist(), edges_t["obj_id"].to_pylist()
+        )
+        if s >= 0 and o >= 0
+    }
+
+    hub = {v: HITS_SCALE for v in node_ids}
+    auth = dict(hub)
+    for _ in range(HITS_ITERS):
+        raw = {v: 0 for v in node_ids}
+        for s, o in pairs:
+            raw[o] += hub[s]
+        mx = max(max(raw.values(), default=0), 1)
+        auth = {v: x * HITS_SCALE // mx for v, x in raw.items()}
+        raw = {v: 0 for v in node_ids}
+        for s, o in pairs:
+            raw[s] += auth[o]
+        mx = max(max(raw.values(), default=0), 1)
+        hub = {v: x * HITS_SCALE // mx for v, x in raw.items()}
+
+    rows = sorted(node_ids, key=lambda v: (-auth[v], v))[:HITS_TOP]
+    return pa.table(
+        {
+            "entity_id": pa.array(rows, pa.int64()),
+            "auth_fp": pa.array([auth[v] for v in rows], pa.int64()),
+            "hub_fp": pa.array([hub[v] for v in rows], pa.int64()),
+        }
+    )
+
+
+def _seq_semdedup(sf_dir: str) -> pa.Table:
+    """Sequential SemDeDup golden: the shared integer k-means kernels assign
+    clusters in one process, then the shared greedy kernel
+    (stages/similarity.semdedup_group_kernel) scans each cluster's members in
+    vec_id order — the distributed groupby("cluster") path must reproduce
+    this bit-for-bit (cluster membership is integer-exact; the group kernel
+    is literally the same function on the same sorted rows)."""
+    import numpy as np
+
+    from .stages.similarity import (
+        SD_ITERS,
+        SD_K,
+        km_assign,
+        km_quantize,
+        semdedup_group_kernel,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    raw = np.asarray(t["embedding"].to_pylist(), np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, raw = ids[order], raw[order]
+    q = km_quantize(raw)
+    cent = q[: SD_K].copy()  # vec_ids are 0..n-1 sorted, so seeds = ids < K
+    for _ in range(SD_ITERS):
+        cl, _ = km_assign(q, cent)
+        cent = cent.copy()
+        for j in range(SD_K):
+            sel = q[cl == j]
+            if len(sel):
+                cent[j] = sel.sum(axis=0) // len(sel)
+    cl, _ = km_assign(q, cent)
+    keep = np.ones(len(ids), dtype=bool)
+    for j in range(SD_K):
+        sel = cl == j
+        keep[sel] = semdedup_group_kernel(ids[sel], raw[sel])
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl, pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
+
+
+def _seq_pq_rerank(sf_dir: str) -> pa.Table:
+    """Sequential PQ+re-rank golden: the sequential PQ shortlist
+    (cand_mult*k) + the shared exact re-rank kernel over raw float64
+    embeddings."""
+    import numpy as np
+
+    from .stages.similarity import PQR_CAND_MULT, exact_rerank_kernel
+
+    k = 10
+    query_ids = [0, 1, 2]
+    shortlist = _seq_pq(sf_dir, k=PQR_CAND_MULT * k)
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    emb_by_id = {
+        int(i): np.asarray(v, np.float64)
+        for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+    sl_qid = shortlist["query_id"].to_numpy().astype(np.int64)
+    sl_vid = shortlist["vec_id"].to_numpy().astype(np.int64)
+    Q = np.stack([emb_by_id[q] for q in query_ids])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    cand_mat = np.stack([emb_by_id[int(v)] for v in sl_vid])
+    return exact_rerank_kernel(Q, query_ids, sl_vid, cand_mat, sl_qid, k)
 
 
 def _seq_bpe(sf_dir: str) -> pa.Table:
@@ -1063,6 +1177,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     tables["bfs"] = _seq_bfs(tables["nodes"], tables["edges"])
     tables["walks"] = _seq_walks(tables["nodes"], tables["edges"])
     tables["lineage"] = _seq_lineage(pages_dir)
+    tables["hits"] = _seq_hits(tables["nodes"], tables["edges"])
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
@@ -1080,6 +1195,8 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["mm_decode"] = _seq_media_decode(sf_dir)
         tables["mm_resize"] = _seq_media_resize(sf_dir)
         tables["kmeans"] = _seq_kmeans(sf_dir)
+        tables["semdedup"] = _seq_semdedup(sf_dir)
+        tables["pq_rerank"] = _seq_pq_rerank(sf_dir)
 
     import shutil
 
@@ -1148,6 +1265,88 @@ def _jaccard_sql() -> str:
         JOIN deg dv ON dv.node = c.v
         ORDER BY jaccard_ppm DESC, node_a, node_b
         LIMIT {JC_TOP}
+    """
+
+
+def _cc_sql() -> str:
+    """Unoriented wedge-closure mirror of
+    pipelines.graphalgo.clustering_coefficients — tri(v) = closed wedges
+    centered at v (each triangle contributes once per corner), integer ppm
+    with floor division. Independent algorithm, same exact quantity."""
+    from .pipelines.graphalgo import CC_SCALE, CC_TOP
+
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                            GREATEST(subj_id, obj_id) AS b
+            FROM {_g('edges')}
+            WHERE subj_id >= 0 AND obj_id >= 0 AND subj_id <> obj_id
+        ),
+        sym AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b, a FROM pairs
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src
+        ),
+        tri AS (
+            SELECT s1.src AS node, CAST(COUNT(*) AS BIGINT) AS tri
+            FROM sym s1
+            JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+            JOIN pairs p ON p.a = s1.dst AND p.b = s2.dst
+            GROUP BY s1.src
+        )
+        SELECT d.node AS entity_id, d.deg,
+               CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri_cnt,
+               CAST(
+                   CASE WHEN d.deg >= 2
+                        THEN 2 * COALESCE(t.tri, 0) * {CC_SCALE}
+                             // (d.deg * (d.deg - 1))
+                        ELSE 0 END AS BIGINT
+               ) AS cc_ppm
+        FROM deg d LEFT JOIN tri t ON t.node = d.node
+        ORDER BY cc_ppm DESC, entity_id
+        LIMIT {CC_TOP}
+    """
+
+
+def _ra_sql() -> str:
+    """Wedge self-join Resource-Allocation score over the golden edges —
+    same capped-center, integer-division semantics as
+    pipelines.graphalgo.resource_allocation_pairs."""
+    from .pipelines.graphalgo import RA_MAX_DEG, RA_MIN_COMMON, RA_SCALE, RA_TOP
+
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                            GREATEST(subj_id, obj_id) AS b
+            FROM {_g('edges')}
+            WHERE subj_id >= 0 AND obj_id >= 0 AND subj_id <> obj_id
+        ),
+        sym AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b, a FROM pairs
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src
+        ),
+        wed AS (
+            SELECT s1.dst AS u, s2.dst AS v,
+                   CAST({RA_SCALE} // dw.deg AS BIGINT) AS w
+            FROM sym s1
+            JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+            JOIN deg dw ON dw.node = s1.src
+            WHERE dw.deg <= {RA_MAX_DEG}
+        )
+        SELECT u AS node_a, v AS node_b,
+               CAST(COUNT(*) AS BIGINT) AS common,
+               CAST(SUM(w) AS BIGINT) AS ra_score
+        FROM wed GROUP BY u, v
+        HAVING COUNT(*) >= {RA_MIN_COMMON}
+        ORDER BY ra_score DESC, node_a, node_b
+        LIMIT {RA_TOP}
     """
 
 
@@ -1355,6 +1554,12 @@ def kg_oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": f"""
             SELECT query_id, vec_id, rank FROM {_g('ivf_topk')}
         """,
+        "dd_semdedup": f"""
+            SELECT vec_id, cluster, keep FROM {_g('semdedup')}
+        """,
+        "ann_pq_rerank": f"""
+            SELECT query_id, vec_id, rank FROM {_g('pq_rerank')}
+        """,
         "ann_pq_topk": f"""
             SELECT query_id, vec_id, rank FROM {_g('pq_topk')}
         """,
@@ -1387,6 +1592,11 @@ def kg_oracle_sql() -> dict[str, str]:
             SELECT entity_id, dist FROM {_g('bfs')}
         """,
         "kg_jaccard": _jaccard_sql(),
+        "kg_link_ra": _ra_sql(),
+        "kg_clustering": _cc_sql(),
+        "kg_hits": f"""
+            SELECT entity_id, auth_fp, hub_fp FROM {_g('hits')}
+        """,
         "kg_negatives": _negatives_sql(),
         "kg_walks": f"""
             SELECT start_id, step, node_id FROM {_g('walks')}

@@ -1,0 +1,267 @@
+"""Fuzzy record linkage: edit-distance similarity self-join via SymSpell
+deletion-neighborhood blocking.
+
+The reference canonicalizes entity surface forms through an exact alias
+dictionary (SURVEY.md D3, `entity-extraction-agent.ts` normalization); a
+web-scale corpus additionally needs the FUZZY form — find every record pair
+whose names differ by at most one edit (typos, OCR noise, crawl artifacts)
+without an all-pairs scan.
+
+Algorithm (public: Garbe's SymSpell / symmetric-delete spelling correction):
+a pair of strings with levenshtein distance <= 1 ALWAYS shares at least one
+key in {s} ∪ D1(s), where D1 is the set of single-character deletions —
+  * equal strings share s itself;
+  * a substitution at position i shares the delete-at-i variant;
+  * an insertion/deletion shares the shorter string (it IS a deletion
+    variant of the longer one).
+So: emit |s|+1 blocking keys per record (ONE map pass, Arrow-vectorized
+slicing per position), ONE groupby on the key, verify exact distance inside
+each group, then ONE pair-level groupby to dedupe pairs found under several
+keys (repeated characters make deletion variants collide). No distance
+computation ever crosses groups; no O(n^2) anywhere.
+
+Scale: group size is alphabet-bounded — a key of length L collects only
+strings within one edit of each other THROUGH that key (<= |alphabet| * L
+distinct forms), so the per-group verify is tiny regardless of corpus size.
+The real skew risk is many IDENTICAL names: those form a genuine duplicate
+class — quadratic in the class size BY PROBLEM DEFINITION (the answer set
+itself is quadratic), exactly like exact-dedup classes. At 100 TB, run exact
+dedup first (q13 shape) so identical-name classes collapse to one
+representative before the fuzzy pass.
+
+Oracle: DuckDB `levenshtein()` over the naive self-join (exact, quadratic —
+fine at driver scale, the point of the blocked plan is to avoid it at 100x).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.tables import read_table
+
+FJ_MAX_DIST = 1
+
+
+def _lev_le1(a: str, b: str) -> int | None:
+    """Exact levenshtein if <= 1, else None. Unit costs — matches DuckDB's
+    levenshtein() on these inputs."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return None
+    if la == lb:
+        diff = 0
+        for x, y in zip(a, b):
+            if x != y:
+                diff += 1
+                if diff > 1:
+                    return None
+        return 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else None
+
+
+def _deletion_keys(t: pa.Table, key_col: str, name_col: str) -> pa.Table:
+    """(blk, key, name) rows: the name itself plus every single-character
+    deletion variant. Vectorized per deletion position (Arrow slice+concat
+    kernels); the Python loop is over string LENGTH, not rows."""
+    names = pc.cast(t[name_col], pa.string())
+    keys = pc.cast(t[key_col], pa.int64())
+    lens = pc.utf8_length(names)
+    max_len = pc.max(lens).as_py() or 0
+
+    blks, out_keys, out_names = [names], [keys], [names]
+    big = 1 << 30
+    for i in range(max_len):
+        mask = pc.greater(lens, i)
+        if not pc.any(mask).as_py():
+            break
+        sub_n = pc.filter(names, mask)
+        variant = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(sub_n, 0, i),
+            pc.utf8_slice_codeunits(sub_n, i + 1, big),
+            "",
+        )
+        blks.append(variant)
+        out_keys.append(pc.filter(keys, mask))
+        out_names.append(sub_n)
+
+    def _cat(cols, typ):
+        return pa.chunked_array(
+            [pc.cast(c, typ) for c in cols], typ
+        ).combine_chunks()
+
+    return pa.table(
+        {
+            "blk": _cat(blks, pa.string()),
+            "key": _cat(out_keys, pa.int64()),
+            "name": _cat(out_names, pa.string()),
+        }
+    )
+
+
+def _verify_group(df: "pd.DataFrame") -> pa.Table:
+    """All pairs within one blocking key with exact distance <= FJ_MAX_DIST.
+    Group size is alphabet-bounded (module docstring), so the nested loop is
+    over a handful of rows."""
+    sub = df[["key", "name"]].drop_duplicates("key").sort_values("key")
+    keys = sub["key"].to_numpy()
+    names = sub["name"].to_numpy()
+    ka, kb, dist = [], [], []
+    n = len(keys)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = _lev_le1(names[i], names[j])
+            if d is not None:
+                ka.append(keys[i])
+                kb.append(keys[j])
+                dist.append(d)
+    return pa.table(
+        {
+            "key_a": pa.array(ka, pa.int64()),
+            "key_b": pa.array(kb, pa.int64()),
+            "dist": pa.array(dist, pa.int64()),
+        }
+    )
+
+
+def fuzzy_self_join(
+    ds, key_col: str, name_col: str
+):
+    """All record pairs (key_a < key_b) whose names are within edit distance
+    FJ_MAX_DIST, with the exact distance. One map pass + two groupbys."""
+    from ray.data.aggregate import Min
+
+    keyed = ds.map_batches(
+        lambda t: _deletion_keys(t, key_col, name_col),
+        batch_format="pyarrow",
+    )
+    pairs = keyed.groupby("blk").map_groups(
+        _verify_group, batch_format="pandas"
+    )
+    # a pair can surface under several shared deletion keys -> dedupe once
+    return (
+        pairs.groupby(["key_a", "key_b"])
+        .aggregate(Min("dist", alias_name="dist"))
+        .sort(["key_a", "key_b"])
+    )
+
+
+def q76_fuzzy_join(sf_dir: str):
+    """Customer-name fuzzy self-join: every customer pair whose names differ
+    by at most one edit. Oracle: DuckDB levenshtein() naive self-join."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return fuzzy_self_join(ds, "c_custkey", "c_name")
+
+
+QUERIES = {
+    "q76_fuzzy_join": q76_fuzzy_join,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q76_fuzzy_join": f"""
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= {FJ_MAX_DIST}
+        ORDER BY key_a, key_b
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution clusters: exact dedup -> fuzzy pairs -> transitive
+# closure. The canonical record-linkage recipe: collapse identical names
+# first (one groupby — this is what keeps the fuzzy stage safe from
+# quadratic identical-name classes), run the deletion-neighborhood join over
+# the DISTINCT names, then connected components over the pair graph so
+# chains of single edits (A~B, B~C) land in one cluster. Components run
+# fully driverless (min-label propagation; both edges and labels stay
+# distributed — stages/canonicalize.py).
+#
+# Oracle: DuckDB RECURSIVE CTE computing min reachable label over the
+# levenshtein pair graph — an independent transitive-closure algorithm.
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_clusters(ds, key_col: str, name_col: str):
+    """(name_key, cluster) for every DISTINCT name: name_key = smallest
+    ``key_col`` carrying the name, cluster = smallest name_key reachable
+    through edit-distance<=1 steps."""
+    from ray.data.aggregate import Min
+
+    from ..stages.canonicalize import label_propagation_components_driverless
+
+    names = ds.groupby(name_col).aggregate(
+        Min(key_col, alias_name="name_key")
+    )
+    pairs = fuzzy_self_join(names, "name_key", name_col)
+
+    def _pad(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 19, "0")
+
+    edge_rows = pairs.map_batches(
+        lambda t: pa.table({"a": _pad(t["key_a"]), "b": _pad(t["key_b"])}),
+        batch_format="pyarrow",
+    ).union(
+        # self-loops: names with no fuzzy neighbor form singleton clusters
+        names.map_batches(
+            lambda t: pa.table(
+                {"a": _pad(t["name_key"]), "b": _pad(t["name_key"])}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    labels = label_propagation_components_driverless(edge_rows)
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "name_key": pc.cast(t["node"], pa.int64()),
+                "cluster": pc.cast(t["label"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("name_key")
+
+
+def q77_fuzzy_clusters(sf_dir: str):
+    """Part-name entity resolution: cluster DISTINCT part names connected by
+    edit-distance<=1 chains. Oracle: DuckDB recursive-CTE transitive closure
+    over the naive levenshtein pair graph."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    return fuzzy_clusters(ds, "p_partkey", "p_name")
+
+
+QUERIES["q77_fuzzy_clusters"] = q77_fuzzy_clusters
+
+ORACLE_SQL["q77_fuzzy_clusters"] = f"""
+    WITH RECURSIVE names AS (
+        SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS name_key
+        FROM part GROUP BY p_name
+    ),
+    pairs AS (
+        SELECT a.name_key AS ka, b.name_key AS kb
+        FROM names a JOIN names b
+          ON a.name_key < b.name_key
+         AND levenshtein(a.p_name, b.p_name) <= {FJ_MAX_DIST}
+    ),
+    sym AS (
+        SELECT ka AS s, kb AS d FROM pairs
+        UNION ALL SELECT kb, ka FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT name_key, name_key FROM names
+        UNION
+        SELECT s.d, r.lab FROM reach r JOIN sym s ON s.s = r.node
+    )
+    SELECT node AS name_key, CAST(MIN(lab) AS BIGINT) AS cluster
+    FROM reach GROUP BY node ORDER BY name_key
+"""

@@ -1190,3 +1190,446 @@ def kg_negatives(sf_dir: str):
     edges = _kg_edges_ds(out)
     n_nodes = _kg_nodes_ds(out).count()
     return negative_samples(edges, n_nodes)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) — fixed-point integer power
+# iteration over the DIRECTED distinct-pair graph
+# ---------------------------------------------------------------------------
+# Same determinism contract as pagerank: integer scores scaled to HITS_SCALE,
+# int64 sums (order-free), floor-divided L-infinity normalization each half-
+# step (divide by the global max, an exact integer aggregate — the usual L2
+# norm would need a float sqrt). Per half-step: one score attach (tag-union
+# groupby), one sum shuffle, one Max aggregate; iterative state is the
+# node-sized score vector. Bit-identical to goldens._seq_hits at any
+# parallelism.
+#
+# Scale note: a raw sum is bounded by max_in_degree * HITS_SCALE <=
+# n_nodes * 1e6 — inside int64 to ~9e12 nodes.
+
+HITS_ITERS = 5
+HITS_SCALE = 10**6
+HITS_TOP = 50
+
+
+def hits(edges: "rd.Dataset", nodes: "rd.Dataset",
+         iters: int = HITS_ITERS, top: int = HITS_TOP) -> "rd.Dataset":
+    """``edges``: (subj_id, obj_id) int64 rows (deduped here); ``nodes``:
+    (entity_id), one row per node. Output: top ``top`` nodes by
+    (auth_fp desc, entity_id asc) with both scores."""
+    import pyarrow.compute as pc
+
+    n_parts = max(8, cluster_cpus())
+
+    pairs = (
+        edges.filter(expr="subj_id >= 0 and obj_id >= 0")
+        .groupby(["subj_id", "obj_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()  # reused twice per iteration
+    )
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": t["entity_id"],
+                "c": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+
+    zero = nodes.map_batches(base_rows, batch_format="pyarrow").materialize()
+
+    def init_score(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": t["node_id"],
+                "score": pa.array([HITS_SCALE] * len(t), pa.int64()),
+            }
+        )
+
+    hubs = zero.map_batches(init_score, batch_format="pyarrow").materialize()
+
+    def _half_step(scores: "rd.Dataset", src: str, dst: str) -> "rd.Dataset":
+        """new(dst) = normalize( sum over edges of score(src) )."""
+        contrib = _attach_i64(
+            pairs, ["subj_id", "obj_id"], src,
+            scores, "node_id", "score", "s", n_parts,
+        ).map_batches(
+            lambda t, _d=dst: pa.table({"node_id": t[_d], "c": t["s"]}),
+            batch_format="pyarrow",
+        )
+        raw = (
+            contrib.union(zero)
+            .groupby("node_id")
+            .aggregate(Sum("c", alias_name="s"))
+            .materialize()  # node-sized; consumed twice (max + rescale)
+        )
+        mx = max(int(raw.max("s") or 0), 1)
+
+        def rescale(t: pa.Table, _mx=mx) -> pa.Table:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node_id": t["node_id"],
+                    "score": pa.array(
+                        s * HITS_SCALE // _mx, pa.int64()
+                    ),
+                }
+            )
+
+        return raw.map_batches(rescale, batch_format="pyarrow").materialize()
+
+    auths = hubs
+    for _ in range(iters):
+        auths = _half_step(hubs, "subj_id", "obj_id")
+        hubs = _half_step(auths, "obj_id", "subj_id")
+
+    both = _attach_i64(
+        auths.map_batches(
+            lambda t: pa.table({"node_id": t["node_id"], "auth_fp": t["score"]}),
+            batch_format="pyarrow",
+        ),
+        ["node_id", "auth_fp"], "node_id",
+        hubs, "node_id", "score", "hub_fp", n_parts,
+    )
+    return (
+        both.map_batches(
+            lambda t: pa.table(
+                {
+                    "entity_id": pc.cast(t["node_id"], pa.int64()),
+                    "auth_fp": pc.cast(t["auth_fp"], pa.int64()),
+                    "hub_fp": pc.cast(t["hub_fp"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["auth_fp", "entity_id"], descending=[True, False])
+        .limit(top)
+    )
+
+
+def kg_hits(sf_dir: str):
+    """Driver query: HITS hubs/authorities over the materialized KG.
+    Oracle: golden file from the sequential recomputation
+    (goldens._seq_hits)."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = _kg_edges_ds(out)
+    nodes = _kg_nodes_ds(out)
+    return hits(edges, nodes)
+
+
+# ---------------------------------------------------------------------------
+# Resource-Allocation link prediction (Zhou/Lü/Zhang 2009) — like kg_jaccard
+# but weighting each shared neighbor by 1/deg(center), the index that
+# consistently beats common-neighbors on real graphs. Chosen over
+# Adamic-Adar's 1/log(deg) because 10^9 // deg is EXACT integer arithmetic:
+# the wedge contributions sum order-free in int64, so the distributed result
+# is bit-identical to the SQL mirror (float log summation would not be).
+# ---------------------------------------------------------------------------
+
+RA_SCALE = 10**9
+RA_MAX_DEG = 30     # hub guard, same semantics as jaccard_pairs
+RA_MIN_COMMON = 2
+RA_TOP = 100
+
+
+def resource_allocation_pairs(
+    edges: "rd.Dataset",
+    max_deg: int = RA_MAX_DEG,
+    min_common: int = RA_MIN_COMMON,
+    top: int = RA_TOP,
+) -> "rd.Dataset":
+    """Top non-adjacent-or-adjacent node pairs by RA score
+    ra_score = sum over shared neighbors w with deg(w) <= max_deg of
+    RA_SCALE // deg(w); deg(w) is the FULL symmetric degree (the wedge
+    group's own fan-out). Output: (node_a, node_b, common, ra_score) by
+    (ra_score desc, node_a, node_b), limit ``top``.
+
+    Shape: one wedge pass inside a coarse-bucket map_groups (per-center
+    work bounded by max_deg^2, contribution computed IN the group from its
+    own size — no degree attach needed), then ONE (u, v) groupby summing
+    int64 contributions. Nothing node- or edge-sized on the driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n_groups = max(8, cluster_cpus())
+
+    pairs = _distinct_undirected_pairs(edges)
+    sym = _symmetrize_pairs(pairs)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("_bk", pa.array(src % n_groups, pa.int64()))
+
+    def wedge_rows(df) -> pa.Table:
+        us, vs, ws = [], [], []
+        for _, g in df.groupby("src"):
+            d = g["dst"].to_numpy()
+            n = len(d)
+            if n < 2 or n > max_deg:
+                continue
+            w = RA_SCALE // n  # deg(center) == its distinct-neighbor count
+            d = np.sort(d)
+            iu, iv = np.triu_indices(n, k=1)
+            us.append(d[iu])
+            vs.append(d[iv])
+            ws.append(np.full(len(iu), w, np.int64))
+        if not us:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(us), pa.int64()),
+                "v": pa.array(np.concatenate(vs), pa.int64()),
+                "w": pa.array(np.concatenate(ws), pa.int64()),
+            }
+        )
+
+    return (
+        sym.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(wedge_rows, batch_format="pandas")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="common"), Sum("w", alias_name="ra"))
+        .filter(expr=f"common >= {min_common}")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node_a": pc.cast(t["u"], pa.int64()),
+                    "node_b": pc.cast(t["v"], pa.int64()),
+                    "common": pc.cast(t["common"], pa.int64()),
+                    "ra_score": pc.cast(t["ra"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["ra_score", "node_a", "node_b"],
+              descending=[True, False, False])
+        .limit(top)
+    )
+
+
+def kg_link_ra(sf_dir: str):
+    """Driver query: top entity pairs by Resource-Allocation link-prediction
+    score over the materialized KG. Oracle: DuckDB wedge self-join over the
+    sequential golden edges parquet (goldens.kg_oracle_sql)."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = _kg_edges_ds(out)
+    return resource_allocation_pairs(edges)
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (Watts-Strogatz 1998) — per-node triangle
+# participation over the undirected distinct-pair graph, integer ppm:
+#   cc_ppm(v) = 2 * tri(v) * 10^6 // (deg(v) * (deg(v) - 1))   for deg >= 2
+# Same degree-ordered orientation as ``triangles`` (a hub's edges all point
+# AT it, so no d^2 wedge blowup), but each closed wedge (center; x, y) is
+# kept as a row and credited to ALL THREE vertices — every triangle is found
+# exactly once (at its lowest-order vertex) and contributes once per corner.
+# Closure is checked by an int64-packed (x, y) key attach, NOT a per-pair
+# map_groups: the wedge stream stays vectorized end to end.
+#
+# Packing assumption (documented like the edge sort key): node ids fit in
+# 31 bits (key = x << 32 | y); asserted per batch. Isolated nodes (degree 0)
+# have no pair rows and are excluded — both here and in the SQL mirror.
+# ---------------------------------------------------------------------------
+
+CC_SCALE = 10**6
+CC_TOP = 100
+
+
+def clustering_coefficients(edges: "rd.Dataset", top: int = CC_TOP) -> "rd.Dataset":
+    """Top ``top`` nodes by (cc_ppm desc, entity_id asc) with degree and
+    triangle count. Exact; one extra shuffle vs the scalar census."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n_parts = max(8, cluster_cpus())
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["subj_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = t["obj_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = (s != o) & (s >= 0) & (o >= 0)
+        s, o = s[keep], o[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, o), pa.int64()),
+                "b": pa.array(np.maximum(s, o), pa.int64()),
+            }
+        )
+
+    pairs = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()  # reused: degree, orientation, closure markers
+    )
+
+    def endpoint_counts(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t["a"].combine_chunks().to_numpy(zero_copy_only=False),
+                t["b"].combine_chunks().to_numpy(zero_copy_only=False),
+            ]
+        )
+        ids, cnt = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "dp": pa.array(cnt.astype("int64"), pa.int64()),
+            }
+        )
+
+    deg = (
+        pairs.map_batches(endpoint_counts, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("dp", alias_name="deg"))
+        .materialize()  # node-sized; reused for orientation + final attach
+    )
+
+    with_da = _attach_i64(
+        pairs, ["a", "b"], "a", deg, "node", "deg", "da", n_parts
+    )
+    with_deg = _attach_i64(
+        with_da, ["a", "b", "da"], "b", deg, "node", "deg", "db", n_parts
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        da = t["da"].combine_chunks().to_numpy(zero_copy_only=False)
+        db = t["db"].combine_chunks().to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "dst": pa.array(np.where(a_first, b, a), pa.int64()),
+                "ddst": pa.array(np.where(a_first, db, da), pa.int64()),
+            }
+        )
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def _pack(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        assert x.max(initial=0) < (1 << 31) and y.max(initial=0) < (1 << 31), (
+            "clustering_coefficients packs (x, y) into int64: ids must fit "
+            "31 bits"
+        )
+        return (x << np.int64(32)) | y
+
+    def wedge_rows(df: "pd.DataFrame") -> pa.Table:
+        df = df.sort_values(["ddst", "dst"], kind="mergesort")
+        n = df["dst"].to_numpy()
+        k = len(n)
+        if k < 2:
+            return pa.table(
+                {
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                    "center": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                }
+            )
+        i, j = np.triu_indices(k, 1)
+        x, y = n[i], n[j]
+        center = np.full(len(i), df["src"].iloc[0], np.int64)
+        return pa.table(
+            {
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "center": pa.array(center, pa.int64()),
+                "key": pa.array(_pack(x, y), pa.int64()),
+            }
+        )
+
+    cand = oriented.groupby("src").map_groups(wedge_rows, batch_format="pandas")
+
+    markers = oriented.map_batches(
+        lambda t: pa.table(
+            {
+                "key": pa.array(
+                    _pack(
+                        t["src"].combine_chunks().to_numpy(zero_copy_only=False),
+                        t["dst"].combine_chunks().to_numpy(zero_copy_only=False),
+                    ),
+                    pa.int64(),
+                ),
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    closed = _attach_i64(
+        cand, ["x", "y", "center", "key"], "key",
+        markers, "key", "one", "_e", n_parts,
+    )
+
+    def corner_rows(t: pa.Table) -> pa.Table:
+        node = np.concatenate(
+            [
+                t["x"].combine_chunks().to_numpy(zero_copy_only=False),
+                t["y"].combine_chunks().to_numpy(zero_copy_only=False),
+                t["center"].combine_chunks().to_numpy(zero_copy_only=False),
+            ]
+        )
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "t": pa.array(np.ones(len(node), np.int64), pa.int64()),
+            }
+        )
+
+    tri = (
+        closed.map_batches(corner_rows, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("t", alias_name="tri"))
+    )
+
+    with_tri = _attach_i64(
+        deg, ["node", "deg"], "node", tri, "node", "tri", "tri_cnt",
+        n_parts, default=0,
+    )
+
+    def cc(t: pa.Table) -> pa.Table:
+        d = t["deg"].combine_chunks().to_numpy(zero_copy_only=False)
+        tr = t["tri_cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        denom = d * (d - 1)
+        ppm = np.where(denom > 0, 2 * tr * CC_SCALE // np.maximum(denom, 1), 0)
+        return pa.table(
+            {
+                "entity_id": pc.cast(t["node"], pa.int64()),
+                "deg": pa.array(d, pa.int64()),
+                "tri_cnt": pa.array(tr, pa.int64()),
+                "cc_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return (
+        with_tri.map_batches(cc, batch_format="pyarrow")
+        .sort(["cc_ppm", "entity_id"], descending=[True, False])
+        .limit(top)
+    )
+
+
+def kg_clustering(sf_dir: str):
+    """Driver query: local clustering coefficients over the materialized KG.
+    Oracle: DuckDB unoriented wedge join over the sequential golden edges
+    parquet (goldens._cc_sql) — an independent algorithm for the same exact
+    quantity."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = _kg_edges_ds(out)
+    return clustering_coefficients(edges)

@@ -512,6 +512,20 @@ def ann_ivf_topk(sf_dir: str):
     return similarity.ivf_topk(sf_dir, query_ids=[0, 1, 2], k=10)
 
 
+def ann_pq_rerank(sf_dir: str):
+    """PQ shortlist + exact cosine re-rank (stages/similarity.pq_rerank_topk)
+    — the production ANN recipe that closes code-only scoring's recall gap.
+    Golden-file oracle (goldens._seq_pq_rerank)."""
+    return similarity.pq_rerank_topk(sf_dir)
+
+
+def dd_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (stages/similarity.semdedup): integer-exact
+    k-means clustering + within-cluster greedy cosine dedup, keep verdict
+    per vector. Golden-file oracle (goldens._seq_semdedup)."""
+    return similarity.semdedup(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
@@ -709,6 +723,8 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ml_kmeans": ml_kmeans,
     "ann_pq_topk": ann_pq_topk,
+    "ann_pq_rerank": ann_pq_rerank,
+    "dd_semdedup": dd_semdedup,
 }
 
 

@@ -283,7 +283,70 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5):
     assignment pass emitting (vec_id, cluster, dist2). Empty clusters keep
     their previous centroid (deterministic, no re-seeding RNG)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans_centroids(ds, k, iters)
+    ref = ray.put(cent)
 
+    def assign(t: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        q = km_quantize(_matrix(t))
+        cl, d = km_assign(q, c)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(cl, pa.int64()),
+                "dist2": pa.array(d, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication over k-means clusters (Abbas et al. 2023,
+# arXiv:2303.09540): cluster the embedding space, then WITHIN each cluster
+# drop every vector whose cosine to an earlier-kept member exceeds tau. The
+# all-pairs work is confined to one cluster (choose k ~ N/1000 at 100 TB so
+# clusters stay a few thousand vectors: the per-group cost is |c|^2 * dim and
+# |c| * dim memory — the partitioning assumption this operator relies on).
+#
+# Shape: integer-exact distributed k-means (above) assigns clusters; ONE
+# groupby("cluster") shuffle moves each embedding once; the greedy scan runs
+# inside map_groups. Determinism: cluster membership is integer-exact, the
+# group kernel sorts members by vec_id and uses one fixed numpy evaluation
+# order, so the float cosine comparisons are bit-reproducible at any
+# parallelism — the sequential golden (goldens._seq_semdedup) shares this
+# kernel on the same sorted inputs.
+# ---------------------------------------------------------------------------
+
+SD_K = 8
+SD_ITERS = 5
+SD_TAU = 0.3  # matches the corpus's near-dup band (q24 uses the same)
+
+
+def semdedup_group_kernel(
+    vec_ids: np.ndarray, mat: np.ndarray, tau: float = SD_TAU
+) -> np.ndarray:
+    """Greedy keep mask for ONE cluster: members ascending by vec_id; drop a
+    member iff cosine >= tau against ANY EARLIER KEPT member (the smallest
+    vec_id of each near-dup set survives). Shared by pipeline AND golden —
+    inputs must already be sorted by vec_id."""
+    n = len(vec_ids)
+    keep = np.ones(n, dtype=bool)
+    if n < 2:
+        return keep
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = mat / norms
+    sims = m @ m.T
+    for i in range(1, n):
+        if np.any(sims[i, :i][keep[:i]] >= tau):
+            keep[i] = False
+    return keep
+
+
+def kmeans_centroids(ds, k: int, iters: int) -> np.ndarray:
+    """The training passes of ``kmeans_assign`` (shared): K
+    smallest-vec_id seeds, ``iters`` exact int64 Lloyd's rounds."""
     seeds = ds.filter(expr=f"vec_id < {k}").take_all()
     seeds.sort(key=lambda r: r["vec_id"])
     cent = km_quantize(np.array([r["embedding"] for r in seeds], np.float64))
@@ -318,22 +381,78 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5):
         nz = counts > 0
         cent = cent.copy()
         cent[nz] = sums[nz] // counts[nz, None]  # exact floor mean
+    return cent
 
+
+def semdedup(
+    sf_dir: str, k: int = SD_K, iters: int = SD_ITERS, tau: float = SD_TAU
+):
+    """Semantic dedup verdict per vector: (vec_id, cluster, keep) sorted by
+    vec_id. keep=false means an earlier-kept same-cluster member is within
+    cosine tau."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans_centroids(ds, k, iters)
     ref = ray.put(cent)
 
     def assign(t: pa.Table, _ref=ref) -> pa.Table:
         c = ray.get(_ref)
         q = km_quantize(_matrix(t))
-        cl, d = km_assign(q, c)
+        cl, _ = km_assign(q, c)
+        return t.append_column("cluster", pa.array(cl, pa.int64()))
+
+    def group_keep(df) -> pa.Table:
+        df = df.sort_values("vec_id", kind="mergesort")
+        ids = df["vec_id"].to_numpy()
+        mat = np.array(df["embedding"].tolist(), np.float64)
+        keep = semdedup_group_kernel(ids, mat, tau)
         return pa.table(
             {
-                "vec_id": t["vec_id"],
-                "cluster": pa.array(cl, pa.int64()),
-                "dist2": pa.array(d, pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(df["cluster"].to_numpy(), pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
             }
         )
 
-    return ds.map_batches(assign, batch_format="pyarrow").sort("vec_id")
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(group_keep, batch_format="pandas")
+        .sort("vec_id")
+    )
+
+
+def exact_rerank_kernel(
+    Q: np.ndarray,
+    qids: list[int],
+    cand_ids: np.ndarray,
+    cand_mat: np.ndarray,
+    cand_qid: np.ndarray,
+    k: int,
+) -> pa.Table:
+    """Exact cosine re-rank of per-query candidate shortlists (shared by
+    pipeline and golden): rank by (cos desc, vec_id asc). Q rows align with
+    qids; candidates carry their query via cand_qid."""
+    norms = np.linalg.norm(cand_mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cm = cand_mat / norms
+    out_q, out_v, out_r = [], [], []
+    for qi, qid in enumerate(qids):
+        sel = cand_qid == qid
+        ids, m = cand_ids[sel], cm[sel]
+        if not len(ids):
+            continue
+        sims = m @ Q[qi]
+        top = np.lexsort((ids, -sims))[:k]
+        out_q.extend([qid] * len(top))
+        out_v.extend(ids[top].tolist())
+        out_r.extend(range(1, len(top) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -505,4 +624,54 @@ def pq_topk(
             "vec_id": pa.array(rows_v, pa.int64()),
             "rank": pa.array(rows_r, pa.int64()),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ + exact re-rank — the production ANN recipe (shortlist with compressed
+# codes, then exact-score only the shortlist). Closes the known recall gap of
+# code-only scoring: the approximate pass casts a wide net (cand_mult * k per
+# query), the exact pass restores true cosine order within it. The exact pass
+# touches cand_mult * k * |queries| vectors total — independent of corpus
+# size, so the only corpus-scale work remains the PQ block scan.
+# ---------------------------------------------------------------------------
+
+PQR_CAND_MULT = 4
+
+
+def pq_rerank_topk(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    cand_mult: int = PQR_CAND_MULT,
+) -> pa.Table:
+    """PQ shortlist (cand_mult*k per query) -> exact cosine re-rank.
+    Output: (query_id, vec_id, rank) — rank by (true cos desc, vec_id asc).
+    Deterministic: integer PQ shortlist + the shared float64 re-rank kernel
+    (per-row dots are order-independent)."""
+    query_ids = sorted(set(query_ids or [0, 1, 2]))
+    shortlist = pq_topk(sf_dir, query_ids, k=cand_mult * k)
+
+    sl_qid = shortlist["query_id"].to_numpy()
+    sl_vid = shortlist["vec_id"].to_numpy()
+    need = pa.array(
+        sorted(set(sl_vid.tolist()) | set(query_ids)), pa.int64()
+    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rows = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(pc.index_in(t["vec_id"], value_set=need))),
+        batch_format="pyarrow",
+    ).take_all()  # |shortlist| + |queries| rows — corpus-size independent
+    emb_by_id = {
+        r["vec_id"]: np.asarray(r["embedding"], np.float64) for r in rows
+    }
+
+    Q = np.stack([emb_by_id[q] for q in query_ids])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    cand_mat = np.stack([emb_by_id[v] for v in sl_vid]) if len(sl_vid) else (
+        np.zeros((0, Q.shape[1]))
+    )
+    return exact_rerank_kernel(
+        Q, query_ids, sl_vid.astype(np.int64), cand_mat,
+        sl_qid.astype(np.int64), k,
     )

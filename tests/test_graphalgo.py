@@ -390,3 +390,211 @@ class TestNegativeSampling:
             for j in range(graphalgo.NEG_K)
         ]
         assert sorted(negs.dst) == sorted(want)
+
+
+class TestHITS:
+    def test_star_authority(self, ray_session):
+        # 1,2,3 all point at 0: node 0 is the sole authority,
+        # spokes are the (equal) hubs.
+        got = graphalgo.hits(
+            rd.from_arrow(_edges([(1, 0), (2, 0), (3, 0)])),
+            rd.from_arrow(_nodes([0, 1, 2, 3])),
+        ).to_pandas()
+        by_id = got.set_index("entity_id")
+        assert by_id.loc[0, "auth_fp"] == graphalgo.HITS_SCALE
+        assert by_id.loc[0, "hub_fp"] == 0
+        assert (
+            by_id.loc[1, "hub_fp"]
+            == by_id.loc[2, "hub_fp"]
+            == by_id.loc[3, "hub_fp"]
+            == graphalgo.HITS_SCALE
+        )
+        assert (by_id.loc[[1, 2, 3], "auth_fp"] == 0).all()
+
+    def test_duplicate_edges_collapse(self, ray_session):
+        once = graphalgo.hits(
+            rd.from_arrow(_edges([(0, 1), (1, 2)])),
+            rd.from_arrow(_nodes([0, 1, 2])),
+        ).to_pandas()
+        dup = graphalgo.hits(
+            rd.from_arrow(_edges([(0, 1), (1, 2)] * 4)),
+            rd.from_arrow(_nodes([0, 1, 2])),
+        ).to_pandas()
+        assert once.equals(dup)
+
+    def test_matches_sequential_on_random_graph(self, ray_session):
+        import numpy as np
+
+        from agenticknowledgegraphconstructionsystem_ray.goldens import _seq_hits
+
+        rng = np.random.default_rng(7)
+        n = 50
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(180, 2))
+            if a != b
+        ]
+        nodes_t, edges_t = _nodes(list(range(n))), _edges(pairs)
+        got = graphalgo.hits(
+            rd.from_arrow(edges_t), rd.from_arrow(nodes_t)
+        ).to_pandas()
+        want = _seq_hits(nodes_t, edges_t).to_pandas()
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    def test_unlinked_ids_ignored(self, ray_session):
+        base = graphalgo.hits(
+            rd.from_arrow(_edges([(0, 1), (1, 2)])),
+            rd.from_arrow(_nodes([0, 1, 2])),
+        ).to_pandas()
+        noisy = graphalgo.hits(
+            rd.from_arrow(_edges([(0, 1), (1, 2), (-1, 0), (1, -1)])),
+            rd.from_arrow(_nodes([0, 1, 2])),
+        ).to_pandas()
+        assert base.equals(noisy)
+
+
+class TestResourceAllocation:
+    def test_two_wedges(self, ray_session):
+        # 0 and 2 share centers 1 and 3, each center degree 2
+        got = graphalgo.resource_allocation_pairs(
+            rd.from_arrow(_edges([(0, 1), (1, 2), (0, 3), (3, 2)]))
+        ).to_pandas()
+        # the 4-cycle gives TWO pairs with 2 shared centers: (0,2) via
+        # centers 1/3 and (1,3) via centers 0/2 — all centers degree 2
+        assert list(got.itertuples(index=False, name=None)) == [
+            (0, 2, 2, 2 * (graphalgo.RA_SCALE // 2)),
+            (1, 3, 2, 2 * (graphalgo.RA_SCALE // 2)),
+        ]
+
+    def test_hub_center_excluded(self, ray_session):
+        # center 99 connects RA_MAX_DEG+1 spokes (disjoint from 0/1/2):
+        # contributes nothing; remaining centers give only common=1
+        hub_edges = [
+            (99, i) for i in range(100, 100 + graphalgo.RA_MAX_DEG + 1)
+        ]
+        got = graphalgo.resource_allocation_pairs(
+            rd.from_arrow(_edges(hub_edges + [(0, 1), (1, 2)]))
+        ).to_pandas()
+        assert len(got) == 0
+
+    def test_matches_duckdb_mirror(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        n = 40
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(160, 2))
+            if a != b
+        ]
+        edges_t = _edges(pairs)
+        got = graphalgo.resource_allocation_pairs(
+            rd.from_arrow(edges_t)
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("e", edges_t)
+        want = con.execute(f"""
+            WITH pairs AS (
+                SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                                GREATEST(subj_id, obj_id) AS b
+                FROM e WHERE subj_id >= 0 AND obj_id >= 0
+                  AND subj_id <> obj_id
+            ),
+            sym AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs
+            ),
+            deg AS (
+                SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM sym GROUP BY src
+            ),
+            wed AS (
+                SELECT s1.dst AS u, s2.dst AS v,
+                       CAST({graphalgo.RA_SCALE} // dw.deg AS BIGINT) AS w
+                FROM sym s1
+                JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+                JOIN deg dw ON dw.node = s1.src
+                WHERE dw.deg <= {graphalgo.RA_MAX_DEG}
+            )
+            SELECT u AS node_a, v AS node_b,
+                   CAST(COUNT(*) AS BIGINT) AS common,
+                   CAST(SUM(w) AS BIGINT) AS ra_score
+            FROM wed GROUP BY u, v
+            HAVING COUNT(*) >= {graphalgo.RA_MIN_COMMON}
+            ORDER BY ra_score DESC, node_a, node_b
+            LIMIT {graphalgo.RA_TOP}
+        """).df()
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+class TestClusteringCoefficients:
+    def test_triangle_graph_all_ones(self, ray_session):
+        got = graphalgo.clustering_coefficients(
+            rd.from_arrow(_edges([(0, 1), (1, 2), (2, 0)]))
+        ).to_pandas()
+        assert (got.cc_ppm == graphalgo.CC_SCALE).all()
+        assert (got.tri_cnt == 1).all() and (got.deg == 2).all()
+        assert sorted(got.entity_id) == [0, 1, 2]
+
+    def test_path_graph_all_zero(self, ray_session):
+        got = graphalgo.clustering_coefficients(
+            rd.from_arrow(_edges([(0, 1), (1, 2), (2, 3)]))
+        ).to_pandas()
+        assert (got.cc_ppm == 0).all() and (got.tri_cnt == 0).all()
+
+    def test_k4_complete(self, ray_session):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        got = graphalgo.clustering_coefficients(
+            rd.from_arrow(_edges(k4))
+        ).to_pandas()
+        # K4: every node has deg 3, sits in 3 triangles, cc = 1
+        assert (got.deg == 3).all()
+        assert (got.tri_cnt == 3).all()
+        assert (got.cc_ppm == graphalgo.CC_SCALE).all()
+
+    def test_paw_graph_mixed(self, ray_session):
+        # triangle 0-1-2 plus pendant 3 attached to 0
+        got = graphalgo.clustering_coefficients(
+            rd.from_arrow(_edges([(0, 1), (1, 2), (2, 0), (0, 3)]))
+        ).to_pandas().set_index("entity_id")
+        assert got.loc[0, "deg"] == 3 and got.loc[0, "tri_cnt"] == 1
+        assert got.loc[0, "cc_ppm"] == 2 * graphalgo.CC_SCALE // 6
+        assert got.loc[1, "cc_ppm"] == graphalgo.CC_SCALE
+        assert got.loc[3, "cc_ppm"] == 0 and got.loc[3, "deg"] == 1
+
+    def test_matches_bruteforce_on_random_graph(self, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        n = 40
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(200, 2))
+            if a != b
+        ]
+        got = graphalgo.clustering_coefficients(
+            rd.from_arrow(_edges(pairs)), top=n
+        ).to_pandas()
+        und = {(min(a, b), max(a, b)) for a, b in pairs}
+        adj = {v: set() for v in range(n)}
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        rows = []
+        for v in range(n):
+            d = len(adj[v])
+            if d == 0:
+                continue  # isolated nodes excluded (no pair rows)
+            nb = sorted(adj[v])
+            tri = sum(
+                1
+                for i in range(d)
+                for j in range(i + 1, d)
+                if nb[j] in adj[nb[i]]
+            )
+            cc = (2 * tri * graphalgo.CC_SCALE) // (d * (d - 1)) if d >= 2 else 0
+            rows.append((v, d, tri, cc))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        want = rows[: len(got)]
+        assert list(got.itertuples(index=False, name=None)) == want

@@ -163,3 +163,87 @@ def test_pq_codes_bounded():
     codes = pq_encode(mat, cents)
     assert codes.shape == (len(mat), PQ_M)
     assert codes.min() >= 0 and codes.max() < PQ_K
+
+
+class TestSemDeDup:
+    def test_kernel_identical_vectors_keep_first(self):
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            semdedup_group_kernel,
+        )
+
+        mat = np.tile(np.array([1.0, 2.0, 3.0]), (4, 1))
+        keep = semdedup_group_kernel(np.arange(4, dtype=np.int64), mat)
+        assert keep.tolist() == [True, False, False, False]
+
+    def test_kernel_greedy_earlier_kept_semantics(self):
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            semdedup_group_kernel,
+        )
+
+        # b is near a (dropped); c is near b but NOT near a -> c kept,
+        # because dropped members don't suppress later ones
+        a = np.array([1.0, 0.0])
+        b = np.array([np.cos(0.9), np.sin(0.9)])   # cos(a,b) ~= 0.62 >= tau
+        c = np.array([np.cos(1.8), np.sin(1.8)])   # cos(a,c) ~= -0.23 < tau
+        keep = semdedup_group_kernel(
+            np.arange(3, dtype=np.int64), np.stack([a, b, c]), tau=0.3
+        )
+        assert keep.tolist() == [True, False, True]
+
+    def test_matches_sequential_golden(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.goldens import _seq_semdedup
+
+        got = similarity.semdedup(SF).to_pandas()
+        want = _seq_semdedup(SF).to_pandas()
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    def test_smallest_id_of_each_dup_set_survives(self, ray_session):
+        got = similarity.semdedup(SF).to_pandas()
+        # every cluster keeps its smallest vec_id unconditionally
+        first = got.sort_values("vec_id").groupby("cluster").first()
+        assert first["keep"].all()
+
+
+class TestPQRerank:
+    def test_matches_sequential_golden(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.goldens import (
+            _seq_pq_rerank,
+        )
+
+        got = similarity.pq_rerank_topk(SF)
+        want = _seq_pq_rerank(SF)
+        assert got.equals(want)
+
+    def test_recall_not_worse_than_pq(self, ray_session):
+        brute = similarity.brute_force_topk(
+            SF, query_ids=[0, 1, 2], k=10
+        ).to_pydict()
+        pq_only = similarity.pq_topk(SF).to_pydict()
+        rr = similarity.pq_rerank_topk(SF).to_pydict()
+
+        def recall(res):
+            tot = 0.0
+            for q in (0, 1, 2):
+                b = {
+                    v
+                    for qq, v in zip(brute["query_id"], brute["vec_id"])
+                    if qq == q
+                }
+                a = {
+                    v
+                    for qq, v in zip(res["query_id"], res["vec_id"])
+                    if qq == q
+                }
+                tot += len(a & b) / len(b)
+            return tot / 3
+
+        assert recall(rr) >= recall(pq_only)
+
+    def test_ranks_dense_per_query(self, ray_session):
+        rr = similarity.pq_rerank_topk(SF).to_pydict()
+        for q in (0, 1, 2):
+            ranks = [
+                r for qq, r in zip(rr["query_id"], rr["rank"]) if qq == q
+            ]
+            assert ranks == list(range(1, len(ranks) + 1))
+            assert len(ranks) == 10
