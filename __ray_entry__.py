@@ -28,10 +28,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
         assembly,
+        attribution,
         corpusstat,
         fuzzy,
         gopher,
         graphalgo,
+        graphmetrics,
         kgqueries,
         mixture,
         scoring,
@@ -50,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(webclean.QUERIES)
     q.update(corpusstat.QUERIES)
     q.update(gopher.QUERIES)
+    q.update(attribution.QUERIES)
     q.update(
         {
             "kg_edges": kgqueries.kg_edges,
@@ -76,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_hits": graphalgo.kg_hits,
             "kg_link_ra": graphalgo.kg_link_ra,
             "kg_clustering": graphalgo.kg_clustering,
+            "kg_modularity": graphmetrics.kg_modularity,
         }
     )
     return q
@@ -93,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
     from agenticknowledgegraphconstructionsystem_ray.pipelines import (
         analytics,
         assembly,
+        attribution,
         corpusstat,
         fuzzy,
         gopher,
@@ -115,5 +120,6 @@ def oracle_sql() -> dict[str, str]:
         **webclean.ORACLE_SQL,
         **corpusstat.ORACLE_SQL,
         **gopher.ORACLE_SQL,
+        **attribution.ORACLE_SQL,
         **goldens.kg_oracle_sql(),
     }

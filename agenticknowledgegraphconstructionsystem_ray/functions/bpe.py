@@ -58,3 +58,20 @@ def cap_words(counts: dict[str, int], cap: int = WORD_CAP) -> list[tuple[str, in
     """Top-``cap`` words by (count desc, word asc) — the trainer trim,
     identical on both the distributed and sequential sides."""
     return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Tokenizer APPLICATION (stage 2): split ``word`` into characters and
+    replay the learned merges in rank order — the standard BPE encode rule
+    (each merge applied greedily left-to-right before the next rank).
+    Deterministic; shared by the distributed scorer and the sequential
+    golden per NOTES.md invariant 1."""
+    syms = list(word)
+    for a, b in merges:
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == a and syms[i + 1] == b:
+                syms[i : i + 2] = [a + b]
+            else:
+                i += 1
+    return syms

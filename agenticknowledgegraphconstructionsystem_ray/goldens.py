@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "20"  # v20: + SemDeDup, PQ-rerank, HITS goldens
+GOLDEN_VERSION = "23"  # v23: + dHash image near-dup goldens
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -987,6 +987,157 @@ def _seq_bpe(sf_dir: str) -> pa.Table:
     )
 
 
+def _seq_bpe_encode(sf_dir: str) -> pa.Table:
+    """Sequential tokenizer-application golden: sequential word counting +
+    the shared learn/encode kernels (functions/bpe.py) over every doc."""
+    import re
+
+    from .functions import bpe
+
+    token_re = re.compile(r"[a-z0-9]+")
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    counts: dict[str, int] = {}
+    docs_toks: list[list[str]] = []
+    for text in t["text"].to_pylist():
+        ts = token_re.findall(text.lower())
+        docs_toks.append(ts)
+        for tok in ts:
+            counts[tok] = counts.get(tok, 0) + 1
+    merges = [
+        (a, b) for a, b, _ in bpe.learn_merges(bpe.cap_words(counts))
+    ]
+    cache: dict[str, int] = {}
+    n_words, n_bpe = [], []
+    for ts in docs_toks:
+        total = 0
+        for w in ts:
+            n = cache.get(w)
+            if n is None:
+                n = len(bpe.encode_word(w, merges))
+                cache[w] = n
+            total += n
+        n_words.append(len(ts))
+        n_bpe.append(total)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+        }
+    )
+
+
+def _seq_zlib_ratio(sf_dir: str) -> pa.Table:
+    """Sequential compression-ratio golden (same shared kernel,
+    stages/textstats.zlib_ratio_batch, run on the whole table at once)."""
+    from .stages.textstats import zlib_ratio_batch
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return zlib_ratio_batch(t)
+
+
+def _seq_rrf(sf_dir: str, query_ids=(0, 1, 2), k: int = 10) -> pa.Table:
+    """Sequential RRF golden: one-process exact brute-force ranking + the
+    sequential PQ ranking, fused by the shared kernel
+    (stages/similarity.rrf_fuse_kernel)."""
+    import numpy as np
+
+    from .stages.similarity import rrf_fuse_kernel
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    rows_q, rows_v, rows_r = [], [], []
+    for qid in sorted(query_ids):
+        qn = Mn[pos[qid]]
+        mask = ids != qid
+        cids = ids[mask]
+        sims = Mn[mask] @ qn
+        top = np.lexsort((cids, -sims))[:k]
+        for rank, j in enumerate(top, 1):
+            rows_q.append(qid)
+            rows_v.append(int(cids[j]))
+            rows_r.append(rank)
+    exact = pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "vec_id": pa.array(rows_v, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+    return rrf_fuse_kernel([exact, _seq_pq(sf_dir, k=k)], k)
+
+
+def _seq_dhash(sf_dir: str) -> pa.Table:
+    """Sequential dHash golden: hashes computed DIRECTLY from the synthesis
+    formulas (no codec), via the shared kernel (stages/imagehash.dhash64) —
+    driver parity vs the encode->decode->hash pipeline proves real codec
+    inversion AND hash parity."""
+    from .stages.imagehash import dhash64, to_gray_i64
+    from .stages.multimodal import synth_blocks, synth_gif_rgb, synth_pixels
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    ids, hs = [], []
+    for d in sorted(t["doc_id"].to_pylist()):
+        k = d % 5
+        if k in (0, 1):
+            arr = synth_pixels(d)
+        elif k == 3:
+            arr = synth_gif_rgb(d)
+        elif k == 4:
+            arr = synth_blocks(d)
+        else:
+            continue  # WAV
+        ids.append(d)
+        hs.append(dhash64(to_gray_i64(arr)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "dhash": pa.array(hs, pa.int64()),
+        }
+    )
+
+
+def _seq_dhash_pairs(sf_dir: str) -> pa.Table:
+    """Sequential banded near-dup mirror over the formula-direct hashes —
+    same band split, bucket cap and hamming threshold as the distributed
+    path (shared kernels band_values / pairs_from_bucket)."""
+    from .stages.imagehash import band_values, pairs_from_bucket
+
+    h = _seq_dhash(sf_dir)
+    ids = h["media_id"].to_pylist()
+    hs = h["dhash"].to_pylist()
+    buckets: dict[int, list[int]] = {}
+    for i, mid in enumerate(ids):
+        for b, v in enumerate(band_values(hs[i])):
+            buckets.setdefault(b * 65536 + v, []).append(i)
+    best: dict[tuple[int, int], int] = {}
+    for members in buckets.values():
+        for a, b, d in pairs_from_bucket(
+            [ids[i] for i in members], [hs[i] for i in members]
+        ):
+            best.setdefault((a, b), d)
+    keys = sorted(best)
+    return pa.table(
+        {
+            "id_a": pa.array([k[0] for k in keys], pa.int64()),
+            "id_b": pa.array([k[1] for k in keys], pa.int64()),
+            "hamming": pa.array([best[k] for k in keys], pa.int64()),
+        }
+    )
+
+
 def _doc_ids(sf_dir: str) -> list[int]:
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     return t["doc_id"].to_pylist()
@@ -1192,6 +1343,11 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["hll_terms"] = _seq_hll_terms(sf_dir)
         tables["cms"] = _seq_cms(sf_dir)
         tables["bpe"] = _seq_bpe(sf_dir)
+        tables["bpe_encode"] = _seq_bpe_encode(sf_dir)
+        tables["zlib_ratio"] = _seq_zlib_ratio(sf_dir)
+        tables["rrf"] = _seq_rrf(sf_dir)
+        tables["dhash"] = _seq_dhash(sf_dir)
+        tables["dhash_pairs"] = _seq_dhash_pairs(sf_dir)
         tables["mm_decode"] = _seq_media_decode(sf_dir)
         tables["mm_resize"] = _seq_media_resize(sf_dir)
         tables["kmeans"] = _seq_kmeans(sf_dir)
@@ -1563,6 +1719,48 @@ def kg_oracle_sql() -> dict[str, str]:
         "ann_pq_topk": f"""
             SELECT query_id, vec_id, rank FROM {_g('pq_topk')}
         """,
+        "ann_rrf_topk": f"""
+            SELECT query_id, vec_id, rrf_ppm, rank FROM {_g('rrf')}
+        """,
+        "mm_dhash": f"""
+            SELECT media_id, dhash FROM {_g('dhash')}
+        """,
+        "mm_dhash_pairs": f"""
+            SELECT id_a, id_b, hamming FROM {_g('dhash_pairs')}
+        """,
+        "kg_modularity": f"""
+            WITH pairs AS (
+                SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                                GREATEST(subj_id, obj_id) AS b
+                FROM {_g('edges')}
+                WHERE subj_id >= 0 AND obj_id >= 0 AND subj_id <> obj_id
+            ),
+            typed AS (
+                SELECT na.ent_type AS ta, nb.ent_type AS tb
+                FROM pairs
+                JOIN {_g('nodes')} na ON na.entity_id = a
+                JOIN {_g('nodes')} nb ON nb.entity_id = b
+            ),
+            tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM typed),
+            stats AS (
+                SELECT ent_type,
+                       CAST(SUM(mi) AS HUGEINT) AS m_in,
+                       CAST(SUM(d) AS HUGEINT) AS d_sum
+                FROM (
+                    SELECT ta AS ent_type, 1 AS d,
+                           CASE WHEN ta = tb THEN 1 ELSE 0 END AS mi
+                    FROM typed
+                    UNION ALL
+                    SELECT tb, 1, 0 FROM typed
+                ) GROUP BY ent_type
+            )
+            SELECT ent_type,
+                   CAST(m_in AS BIGINT) AS m_in,
+                   CAST(d_sum AS BIGINT) AS d_sum,
+                   CAST((m_in * 4 * m - d_sum * d_sum) * 1000000
+                        // (4 * m * m) AS BIGINT) AS contrib_ppm
+            FROM stats, tot ORDER BY ent_type
+        """,
         "sk_hll_users": f"""
             SELECT event_type, n_users_est FROM {_g('hll_users')}
         """,
@@ -1574,6 +1772,14 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "q70_bpe_merges": f"""
             SELECT rank, sym_a, sym_b, n FROM {_g('bpe')}
+        """,
+        "tx_bpe_encode": f"""
+            SELECT doc_id, n_words, n_bpe_tokens FROM {_g('bpe_encode')}
+            ORDER BY doc_id
+        """,
+        "tx_zlib_ratio": f"""
+            SELECT doc_id, n_bytes, n_comp, ratio_ppm FROM {_g('zlib_ratio')}
+            ORDER BY doc_id
         """,
         "q75_split_leakage": f"""
             WITH f AS (

@@ -237,6 +237,12 @@ class _BloomScreen:
 def _coarse_gram_bucket(t: pa.Table) -> pa.Table:
     import polars as pl
 
+    if not t.num_rows:  # upstream unions can emit zero-column empty blocks
+        return pa.schema(
+            [("doc_id", pa.int64()), ("gram", pa.string()),
+             ("n_pos", pa.int64()), ("side", pa.int64()),
+             ("bkt", pa.int64())]
+        ).empty_table()
     grams = t["gram"].to_pylist()
     h = pl.Series(grams, dtype=pl.String).hash(seed=11)
     bkt = (h.to_numpy() % np.uint64(_VERIFY_BUCKETS)).astype(np.int64)
@@ -249,10 +255,16 @@ def _coarse_gram_bucket(t: pa.Table) -> pa.Table:
     return t.append_column("bkt", pa.array(bkt, pa.int64()))
 
 
-def _verify_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+def _verify_bucket(df: "pd.DataFrame") -> pa.Table:
     """Within one coarse bucket: zero out candidate rows whose gram is not
     truly in the eval set, then pre-sum per doc (combiner before the global
-    doc_id groupby). Sentinels ("" grams) pass through with 0."""
+    doc_id groupby). Sentinels ("" grams) pass through with 0.
+
+    Returns Arrow with an EXPLICIT schema: a pandas return here produces
+    zero-column empty blocks for group-less partitions, and Ray's schema
+    unification over those (PandasBlockSchema(names=[])) intermittently
+    corrupts the downstream groupby's dtypes — the one observed source of
+    flaky dd_bloom runs."""
     ev = set(df.loc[df["side"] == 0, "gram"])
     cand = df[df["side"] == 1]
     n_hits = cand["n_pos"].where(cand["gram"].isin(ev), 0)
@@ -261,7 +273,18 @@ def _verify_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         .groupby("doc_id", as_index=False, sort=False)["n_hits"]
         .sum()
     )
-    return out
+    import numpy as np
+
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                out["doc_id"].to_numpy(dtype=np.int64, copy=False), pa.int64()
+            ),
+            "n_hits": pa.array(
+                out["n_hits"].to_numpy(dtype=np.int64, copy=False), pa.int64()
+            ),
+        }
+    )
 
 
 def dd_bloom_decontaminate(sf_dir: str):
@@ -312,6 +335,11 @@ def dd_bloom_decontaminate(sf_dir: str):
     )
 
     def finalize(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("is_eval", pa.int64()),
+                 ("n_hits", pa.int64()), ("contaminated", pa.int64())]
+            ).empty_table()
         ids = t["doc_id"]
         n_hits = pc.cast(t["sum(n_hits)"], pa.int64())
         is_eval = pa.array(

@@ -221,7 +221,14 @@ def q56_corpus_sample(sf_dir: str) -> pd.DataFrame:
     docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
 
     def block_min_k(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["skey", "doc_id"], kind="mergesort").head(SAMPLE_K)
+        # reset_index: a pandas-format block can carry its index through
+        # to_pandas() depending on which block format the sort picks —
+        # returning a permuted index makes the output frame nondeterministic
+        return (
+            df.sort_values(["skey", "doc_id"], kind="mergesort")
+            .head(SAMPLE_K)
+            .reset_index(drop=True)
+        )
 
     sample = (
         docs.map_batches(_sample_key, batch_format="pyarrow")
@@ -229,6 +236,7 @@ def q56_corpus_sample(sf_dir: str) -> pd.DataFrame:
         .sort(["skey", "doc_id"])
         .limit(SAMPLE_K)
         .to_pandas()  # K rows
+        .reset_index(drop=True)
     )
     sample["rk"] = np.arange(len(sample), dtype=np.int64)
     return sample[["doc_id", "source", "n_chars", "rk"]]

@@ -1,0 +1,135 @@
+"""Partition-quality metrics over the materialized KG entity graph.
+
+Reference parity: the reference stores typed entities (concept types are a
+closed enum — validation-agent.ts's type vocabulary; see SURVEY.md §2 M9)
+but never measures how strongly the link structure follows the typing.
+Newman modularity of the ent_type partition is that measure — the standard
+"is this graph assortative by label?" statistic, computed here in EXACT
+integer arithmetic so the distributed result is bit-identical to a
+sequential mirror.
+
+Definition: over the distinct undirected entity graph (self-loops dropped)
+with m edges, for each type c with m_c within-type edges and total degree
+d_c:  contrib(c) = m_c/m - (d_c / 2m)^2, Q = sum_c contrib(c). We emit
+contrib_ppm(c) = floor((m_c * 4m - d_c^2) * 10^6 / (4 m^2)) — one integer
+formula both sides compute identically (Python big ints here, HUGEINT in
+the DuckDB oracle, so no int64 overflow at any scale).
+
+Scale shape (100 TB): ONE distinct-pair dedup groupby (shared helper), TWO
+coarse-bucket attach shuffles to type both endpoints (node-sized lookup,
+never broadcast), then a per-block combiner that reduces each block to at
+most |type-enum| rows before the final tiny groupby. The driver only ever
+sees the |types|-row aggregate. The type dictionary itself IS tiny (closed
+enum) and is the only thing collected.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .graphalgo import (
+    _attach_i64,
+    _distinct_undirected_pairs,
+    _kg_edges_ds,
+)
+from ..runtime import cluster_cpus
+
+MOD_PPM = 10**6
+
+
+def type_modularity(edges: "rd.Dataset", nodes_typed: "rd.Dataset"):
+    """(ent_type, m_in, d_sum, contrib_ppm) sorted by ent_type.
+
+    ``edges``: (subj_id, obj_id) int64 rows; ``nodes_typed``:
+    (entity_id, ent_type) rows. Types present only on isolated nodes do
+    not appear (they have no degree mass)."""
+    import numpy as np
+
+    n_groups = max(8, cluster_cpus())
+
+    # closed-enum type dictionary: the one intentionally tiny collect
+    type_rows = nodes_typed.groupby("ent_type").count().take_all()
+    types = sorted(r["ent_type"] for r in type_rows)
+    code_of = {t: i for i, t in enumerate(types)}
+
+    def encode(t: pa.Table) -> pa.Table:
+        codes = [code_of[v] for v in t["ent_type"].to_pylist()]
+        return pa.table(
+            {
+                "entity_id": pa.compute.cast(t["entity_id"], pa.int64()),
+                "tcode": pa.array(codes, pa.int64()),
+            }
+        )
+
+    lut = nodes_typed.map_batches(encode, batch_format="pyarrow")
+    pairs = _distinct_undirected_pairs(edges)
+    typed = _attach_i64(
+        _attach_i64(pairs, ["a", "b"], "a", lut, "entity_id", "tcode",
+                    "ta", n_groups),
+        ["a", "b", "ta"], "b", lut, "entity_id", "tcode", "tb", n_groups,
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        """Block combiner: reduce a block of typed pairs to per-type
+        (m_in, d_sum) partials — at most |types| rows out per block."""
+        ta = t["ta"].combine_chunks().to_numpy(zero_copy_only=False)
+        tb = t["tb"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = len(types)
+        d = np.bincount(ta, minlength=k) + np.bincount(tb, minlength=k)
+        m_in = np.bincount(ta[ta == tb], minlength=k)
+        keep = d > 0
+        return pa.table(
+            {
+                "tcode": pa.array(np.flatnonzero(keep), pa.int64()),
+                "m_in": pa.array(m_in[keep].astype(np.int64), pa.int64()),
+                "d_sum": pa.array(d[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        typed.map_batches(combine, batch_format="pyarrow")
+        .groupby("tcode")
+        .aggregate(Sum("m_in"), Sum("d_sum"))
+        .take_all()  # |types| rows — the intended tiny result
+    )
+    m = sum(int(r["sum(d_sum)"]) for r in agg) // 2
+    rows = []
+    for r in sorted(agg, key=lambda r: int(r["tcode"])):
+        m_in = int(r["sum(m_in)"])
+        d_sum = int(r["sum(d_sum)"])
+        # Python big ints: exact at any scale. TRUNCATING division (not
+        # floor) — DuckDB's HUGEINT // truncates toward zero and contribs
+        # can be negative, so mirror that semantic exactly.
+        num = (m_in * 4 * m - d_sum * d_sum) * MOD_PPM
+        den = 4 * m * m
+        contrib = num // den if num >= 0 else -((-num) // den)
+        rows.append((types[int(r["tcode"])], m_in, d_sum, contrib))
+    return pa.table(
+        {
+            "ent_type": pa.array([r[0] for r in rows], pa.string()),
+            "m_in": pa.array([r[1] for r in rows], pa.int64()),
+            "d_sum": pa.array([r[2] for r in rows], pa.int64()),
+            "contrib_ppm": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def kg_modularity(sf_dir: str):
+    """Driver query: ent_type-partition modularity decomposition of the
+    materialized KG entity graph. Oracle: DuckDB HUGEINT mirror over the
+    sequential golden nodes/edges parquet (goldens.kg_oracle_sql)."""
+    import glob
+    import os
+
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = _kg_edges_ds(out)
+    nodes_typed = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+        columns=["entity_id", "ent_type"],
+    )
+    return type_modularity(edges, nodes_typed)

@@ -339,6 +339,89 @@ def q61_percentile_rank(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# q80: weighted systematic sample (integer-exact weighted sampling
+# without randomness — the deterministic form of weighted reservoir
+# sampling a data-mixing pipeline uses to draw a token-budget-proportional
+# subset: heavy documents are picked with probability proportional to
+# weight, and a document heavier than the stride can absorb several picks)
+# ---------------------------------------------------------------------------
+
+WS_K = 100  # sample size (thresholds)
+
+
+def q80_weighted_sample(sf_dir: str, k: int = WS_K):
+    """Systematic sampling over the cumulative weight line: with W = total
+    n_chars, thresholds t_j = (j * W) // k for j in 0..k-1 land in document
+    i's interval [cum_{i-1}, cum_i) under doc_id order. Output: every doc
+    holding >= 1 threshold as (doc_id, w, n_picks), sorted by doc_id.
+    Exactly k picks total; expected picks per doc proportional to weight —
+    all integer arithmetic, so the SQL mirror is bit-exact.
+
+    Shape: ONE doc_id sort, then the per-block offset prefix scan (one
+    int64 per block to the driver, q44/q61's mechanism); each block then
+    resolves its own picks with two vectorized searchsorted calls against
+    the broadcast k-threshold array. No per-row driver state; threshold
+    array is k integers regardless of corpus size."""
+    import ray
+    import ray.data as rd
+
+    docs = (
+        read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        .sort("doc_id")
+        .materialize()
+    )
+    refs = docs.to_arrow_refs()
+
+    @ray.remote
+    def _wsum(t: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        if not t.num_rows:  # sort can emit empty zero-column blocks
+            return 0
+        return int(pc.sum(t["n_chars"]).as_py() or 0)
+
+    sums = ray.get([_wsum.remote(r) for r in refs])
+    total = int(sum(sums))
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]) if sums else []
+    thresholds = np.array([(j * total) // k for j in range(k)], np.int64)
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("w", pa.int64()), ("n_picks", pa.int64())]
+    )
+
+    @ray.remote
+    def _pick(t: pa.Table, off: int) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if not t.num_rows:
+            return schema.empty_table()
+        w = (
+            pc.cast(t["n_chars"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cum = off + np.cumsum(w)
+        n = np.searchsorted(thresholds, cum, side="left") - np.searchsorted(
+            thresholds, cum - w, side="left"
+        )
+        sel = n > 0
+        ids = (
+            t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)[sel]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "w": pa.array(w[sel], pa.int64()),
+                "n_picks": pa.array(n[sel], pa.int64()),
+            }
+        )
+
+    return rd.from_arrow_refs(
+        [_pick.remote(r, int(off)) for r, off in zip(refs, offsets)]
+    ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # driver registration
 # ---------------------------------------------------------------------------
 
@@ -346,6 +429,7 @@ QUERIES = {
     "q59_mixture_sample": q59_mixture_sample,
     "q60_term_pmi": q60_term_pmi,
     "q61_percentile_rank": q61_percentile_rank,
+    "q80_weighted_sample": q80_weighted_sample,
 }
 
 _BUDGET_SQL = "CASE " + " ".join(
@@ -418,5 +502,23 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, lang, n_chars, rk,
                CAST(rk * 100 // cnt AS BIGINT) AS pct
         FROM ranked ORDER BY doc_id
+    """,
+    "q80_weighted_sample": f"""
+        WITH c AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                   SUM(CAST(n_chars AS BIGINT)) OVER (
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM documents
+        ),
+        tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM documents),
+        th AS (
+            SELECT CAST((j * total) // {WS_K} AS BIGINT) AS t
+            FROM tot, (SELECT unnest(range(0, {WS_K})) AS j)
+        )
+        SELECT c.doc_id, c.w, CAST(COUNT(*) AS BIGINT) AS n_picks
+        FROM c JOIN th ON th.t >= c.cum - c.w AND th.t < c.cum
+        GROUP BY c.doc_id, c.w
+        ORDER BY c.doc_id
     """,
 }

@@ -656,6 +656,93 @@ def q70_bpe_merges(sf_dir: str):
         }
     )
 
+# ---------------------------------------------------------------------------
+# tx_bpe_encode: tokenizer APPLICATION (stage 2 of q70's trainer)
+# ---------------------------------------------------------------------------
+
+
+def _learn_corpus_merges(sf_dir: str) -> list[tuple[str, str]]:
+    """q70's distributed trainer, returning just the (left, right) merge
+    sequence: ONE word-count shuffle -> capped table -> deterministic loop."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import bpe
+    from ..stages.textstats import term_count_partial as count_partial
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    wc = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()  # vocabulary-sized trainer state; capped next
+    )
+    capped = bpe.cap_words(dict(zip(wc["term"], wc["n"].astype(int))))
+    return [(a, b) for a, b, _ in bpe.learn_merges(capped)]
+
+
+class _BpeScorer:
+    """Actor-pool stage: encode every token of every document with the
+    broadcast merge list. The merge table is fetched ONCE per actor; the
+    word -> token-count cache is actor-lifetime (vocabulary-bounded), so a
+    repeated word is encoded once per actor, not once per occurrence."""
+
+    def __init__(self, ref) -> None:
+        import ray
+
+        from ..functions.bpe import encode_word
+
+        self.merges = ray.get(ref)
+        self._encode = encode_word
+        self._cache: dict[str, int] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..stages.textstats import _TOKEN_RE
+
+        n_words, n_bpe = [], []
+        for text in t["text"].to_pylist():
+            ts = _TOKEN_RE.findall(text.lower())
+            total = 0
+            for w in ts:
+                n = self._cache.get(w)
+                if n is None:
+                    n = len(self._encode(w, self.merges))
+                    self._cache[w] = n
+                total += n
+            n_words.append(len(ts))
+            n_bpe.append(total)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            }
+        )
+
+
+def tx_bpe_encode(sf_dir: str):
+    """Per-document token counts under the CORPUS-LEARNED BPE vocabulary —
+    the tokenizer-application operator every training-data pipeline runs
+    after q70's merge learning (token budgets, sequence-length planning).
+    Output: (doc_id, n_words, n_bpe_tokens) sorted by doc_id.
+
+    Shape: the trainer's one word-count shuffle, then a broadcast of the
+    tiny merge list and ONE map pass over the corpus (actor pool with a
+    vocabulary-bounded per-actor encode cache). Golden-file oracle
+    (goldens._seq_bpe_encode — sequential word count + the same shared
+    encode kernel)."""
+    import ray
+
+    merges = _learn_corpus_merges(sf_dir)
+    ref = ray.put(merges)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        _BpeScorer,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).sort("doc_id")
+
+
 QUERIES = {
     "q41_tfidf_top_terms": q41_tfidf_top_terms,
     "q42_inverted_index": q42_inverted_index,
@@ -666,6 +753,7 @@ QUERIES = {
     "q64_kwic": q64_kwic,
     "q65_doc_term_matrix": q65_doc_term_matrix,
     "q70_bpe_merges": q70_bpe_merges,
+    "tx_bpe_encode": tx_bpe_encode,
 }
 
 ORACLE_SQL: dict[str, str] = {

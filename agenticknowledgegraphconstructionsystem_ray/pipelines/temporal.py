@@ -728,6 +728,65 @@ def q68_event_pairs(sf_dir: str):
         .sort(["type_a", "type_b"])
     )
 
+# ---------------------------------------------------------------------------
+# q79: weekly retention cohort matrix
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def q79_retention_cohorts(sf_dir: str):
+    """Classic product-analytics retention matrix: cohort = the Monday-start
+    week of each user's FIRST event; for every later week the user is active
+    in, count them once at (cohort_week, week_offset). Output:
+    (cohort_week, week_offset, n_users) sorted.
+
+    Shape: per-block DISTINCT (user, week) combiner (bounds block output by
+    users x weeks seen in the block, cutting the shuffle well below event
+    volume) -> ONE user_id shuffle where each user's tiny week set resolves
+    its cohort + offsets -> a (weeks x offsets)-sized final count groupby.
+    The user dimension is never collected anywhere; per-group state is one
+    user's distinct weeks."""
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def distinct_user_weeks(t: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(t["ts"], unit="week")
+        sub = pa.table({"user_id": t["user_id"], "week": wk})
+        return sub.group_by(["user_id", "week"]).aggregate([])
+
+    def per_user(df) -> pa.Table:
+        w = np.unique(
+            df["week"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        cw = int(w.min())
+        return pa.table(
+            {
+                "cw_us": pa.array(np.full(len(w), cw, np.int64)),
+                "week_offset": pa.array((w - cw) // _WEEK_US, pa.int64()),
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": pc.cast(t["cw_us"], pa.timestamp("us")),
+                "week_offset": t["week_offset"],
+                "n_users": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(distinct_user_weeks, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["cw_us", "week_offset"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(finalize, batch_format="pyarrow")
+        .sort(["cohort_week", "week_offset"])
+    )
+
+
 QUERIES = {
     "q33_asof_join": q33_asof_join,
     "q34_range_join_bands": q34_range_join_bands,
@@ -740,4 +799,17 @@ QUERIES = {
     "q62_funnel": q62_funnel,
     "q66_value_outliers": q66_value_outliers,
     "q68_event_pairs": q68_event_pairs,
+    "q79_retention_cohorts": q79_retention_cohorts,
 }
+
+ORACLE_SQL["q79_retention_cohorts"] = """
+    WITH wk AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    ),
+    f AS (SELECT user_id, MIN(aw) AS cw FROM wk GROUP BY user_id)
+    SELECT CAST(f.cw AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', f.cw, w.aw) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM wk w JOIN f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

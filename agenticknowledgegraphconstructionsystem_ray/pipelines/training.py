@@ -463,6 +463,19 @@ def tx_fingerprints(sf_dir: str):
     )
 
 
+def tx_zlib_ratio(sf_dir: str):
+    """Compression-ratio quality scoring (stages/textstats.zlib_ratio_batch):
+    the standard cheap repetition/gibberish proxy a crawl pipeline runs
+    beside q26's heuristics. Map-only, zero shuffles before the output sort.
+    Golden-file oracle (goldens._seq_zlib_ratio, same shared kernel run
+    sequentially — zlib output is deterministic per (input, level))."""
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(textstats.zlib_ratio_batch, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def sk_hll_users(sf_dir: str):
     """HyperLogLog approximate distinct users per event_type (stages/sketch):
     4 KiB register partials per block instead of shuffling the key set."""
@@ -517,6 +530,35 @@ def ann_pq_rerank(sf_dir: str):
     — the production ANN recipe that closes code-only scoring's recall gap.
     Golden-file oracle (goldens._seq_pq_rerank)."""
     return similarity.pq_rerank_topk(sf_dir)
+
+
+def mm_dhash(sf_dir: str):
+    """Perceptual dHash over the REAL-codec image corpus
+    (stages/imagehash.dhash_features): encode -> actual PNG/BMP/GIF/JPEG
+    decode -> 64-bit integer difference hash. Golden-file oracle computes
+    the hash straight from the synthesis formulas (goldens._seq_dhash) —
+    parity proves codec inversion + hash parity."""
+    from ..stages import imagehash
+
+    return imagehash.dhash_features(sf_dir)
+
+
+def mm_dhash_pairs(sf_dir: str):
+    """Banded hamming near-dup image pairs over the dHash corpus
+    (stages/imagehash.dhash_pairs) — the image-side SimHash/LSH dedup.
+    Golden-file oracle: sequential banding mirror with shared kernels
+    (goldens._seq_dhash_pairs)."""
+    from ..stages import imagehash
+
+    return imagehash.dhash_pairs(sf_dir)
+
+
+def ann_rrf_topk(sf_dir: str):
+    """Reciprocal-rank fusion of the exact brute-force ranking and the PQ
+    approximate ranking (stages/similarity.rrf_topk) — hybrid-search
+    ensembling; fusion itself touches k*|queries| rows. Golden-file oracle
+    (goldens._seq_rrf, shared fusion kernel)."""
+    return similarity.rrf_topk(sf_dir)
 
 
 def dd_semdedup(sf_dir: str):
@@ -716,6 +758,7 @@ QUERIES = {
     "dd_minhash_keep": dd_minhash_keep,
     "dd_simhash_keep": dd_simhash_keep,
     "tx_fingerprints": tx_fingerprints,
+    "tx_zlib_ratio": tx_zlib_ratio,
     "sk_hll_users": sk_hll_users,
     "sk_hll_terms": sk_hll_terms,
     "sk_cms_terms": sk_cms_terms,
@@ -724,6 +767,9 @@ QUERIES = {
     "ml_kmeans": ml_kmeans,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
+    "ann_rrf_topk": ann_rrf_topk,
+    "mm_dhash": mm_dhash,
+    "mm_dhash_pairs": mm_dhash_pairs,
     "dd_semdedup": dd_semdedup,
 }
 

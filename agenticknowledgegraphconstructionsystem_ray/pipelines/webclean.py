@@ -329,6 +329,146 @@ def q53_dup_spans(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# q78: corpus-level span dedup WITH REMOVAL + reassembly (the C4 /
+# ExactSubstr recipe: q53 detects duplication, this one rewrites the corpus)
+# ---------------------------------------------------------------------------
+
+_DD_W = 8  # tokens per non-overlapping span (tail span keeps the remainder)
+
+
+def _doc_spans(t: pa.Table) -> pa.Table:
+    """Non-overlapping _DD_W-token spans: (doc_id, sidx, gram). The last
+    span carries the tail (>= 1 token). Zero-token docs emit no rows."""
+    ids, sidx, grams = [], [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        ts = _TOKEN_RE.findall(text.lower())
+        for s in range((len(ts) + _DD_W - 1) // _DD_W):
+            ids.append(doc_id)
+            sidx.append(s)
+            grams.append(" ".join(ts[s * _DD_W : (s + 1) * _DD_W]))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "sidx": pa.array(sidx, pa.int64()),
+            "gram": pa.array(grams, pa.string()),
+        }
+    )
+
+
+def q78_span_dedup(sf_dir: str):
+    """Global first-occurrence span dedup with document REASSEMBLY: every
+    _DD_W-token span keeps only its lexicographically-first occurrence by
+    (doc_id, sidx) across the whole corpus; each document is rebuilt from
+    its surviving spans in order (a fully-duplicated document comes back
+    empty). Per-doc output: n_spans, n_kept, text_dedup.
+
+    Shape (nothing driver-sized anywhere):
+      span explode -> ONE shuffle on a coarse content-hash bucket of the
+      gram (equal grams co-locate; groups number ~cpus*8, same pattern as
+      q53) -> vectorized within-bucket first-occurrence -> ONE doc_id
+      groupby reassembles (kept spans sorted by sidx) -> tag-union with the
+      per-doc span counts so undeduped and fully-deduped docs both emit.
+    The shuffles carry each span's text at most twice (bucket pass + the
+    kept subset's reassembly pass) — no broadcast set, no all-pairs work;
+    skew-safe because bucket keys are content hashes of W-token strings.
+
+    Reference analog: SURVEY §2 D-family corpus dedup, removal variant
+    (Lee et al. 2022 ExactSubstr; C4's three-sentence span rule) — exact
+    ANSI-SQL oracle (window row_number over span occurrences)."""
+    from ..runtime import cluster_cpus
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    spans = docs.map_batches(_doc_spans, batch_format="pyarrow")
+
+    n_buckets = max(4, cluster_cpus() * 8)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        b = [
+            int.from_bytes(
+                hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+            )
+            % n_buckets
+            for g in t["gram"].to_pylist()
+        ]
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def first_occurrence(df):
+        # within one bucket: per gram keep the (doc_id, sidx)-min row;
+        # vectorized sort + drop_duplicates, no per-gram Python
+        kept = df.sort_values(["gram", "doc_id", "sidx"], kind="mergesort")
+        kept = kept.drop_duplicates("gram")
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(), pa.int64()),
+                "sidx": pa.array(kept["sidx"].to_numpy(), pa.int64()),
+                "gram": pa.array(kept["gram"].tolist(), pa.string()),
+            }
+        )
+
+    kept = (
+        spans.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_occurrence, batch_format="pandas")
+    )
+
+    def reassemble(df):
+        df = df.sort_values("sidx", kind="mergesort")
+        return pa.table(
+            {
+                "doc_id": pa.array([int(df["doc_id"].iloc[0])], pa.int64()),
+                "n_spans": pa.array([0], pa.int64()),
+                "n_kept": pa.array([len(df)], pa.int64()),
+                "text_dedup": pa.array(
+                    [" ".join(df["gram"].tolist())], pa.string()
+                ),
+            }
+        )
+
+    rebuilt = kept.groupby("doc_id").map_groups(
+        reassemble, batch_format="pandas"
+    )
+
+    def base(t: pa.Table) -> pa.Table:
+        n_spans = [
+            (len(_TOKEN_RE.findall(x.lower())) + _DD_W - 1) // _DD_W
+            for x in t["text"].to_pylist()
+        ]
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_spans": pa.array(n_spans, pa.int64()),
+                "n_kept": pa.array(np.zeros(n, np.int64)),
+                "text_dedup": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def combine(df):
+        # tag-union combine: the base row carries n_spans, the rebuilt row
+        # (absent for fully-deduped or empty docs) carries n_kept + text
+        return pa.table(
+            {
+                "doc_id": pa.array([int(df["doc_id"].iloc[0])], pa.int64()),
+                "n_spans": pa.array([int(df["n_spans"].sum())], pa.int64()),
+                "n_kept": pa.array([int(df["n_kept"].sum())], pa.int64()),
+                "text_dedup": pa.array(
+                    ["".join(df["text_dedup"].tolist())], pa.string()
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(base, batch_format="pyarrow")
+        .union(rebuilt)
+        .groupby("doc_id")
+        .map_groups(combine, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver registration
 # ---------------------------------------------------------------------------
 
@@ -336,6 +476,7 @@ QUERIES = {
     "q51_redact_pii": q51_redact_pii,
     "q52_boilerplate_ngrams": q52_boilerplate_ngrams,
     "q53_dup_spans": q53_dup_spans,
+    "q78_span_dedup": q78_span_dedup,
 }
 
 _AUG_SQL = _augment_sql_expr()
@@ -448,5 +589,49 @@ ORACLE_SQL: dict[str, str] = {
                CAST(len(t.ts) - COALESCE(c.n_removed, 0) AS BIGINT) AS n_kept
         FROM tok t LEFT JOIN cov c USING (doc_id)
         ORDER BY t.doc_id
+    """,
+    "q78_span_dedup": f"""
+        WITH tok AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '') AS ts
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, s AS sidx,
+                   array_to_string(
+                       list_slice(ts, s * {_DD_W} + 1,
+                                  LEAST((s + 1) * {_DD_W}, len(ts))),
+                       ' ') AS g
+            FROM (
+                SELECT doc_id, ts,
+                       unnest(range(0, (len(ts) + {_DD_W} - 1) // {_DD_W}))
+                           AS s
+                FROM tok
+            )
+        ),
+        kept AS (
+            SELECT doc_id, sidx, g,
+                   row_number() OVER (
+                       PARTITION BY g ORDER BY doc_id, sidx
+                   ) AS rk
+            FROM spans
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(g, ' ' ORDER BY sidx) AS text_dedup
+            FROM kept WHERE rk = 1 GROUP BY doc_id
+        ),
+        counts AS (
+            SELECT doc_id,
+                   CAST((len(ts) + {_DD_W} - 1) // {_DD_W} AS BIGINT)
+                       AS n_spans
+            FROM tok
+        )
+        SELECT c.doc_id, c.n_spans,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(r.text_dedup, '') AS text_dedup
+        FROM counts c LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY c.doc_id
     """,
 }

@@ -675,3 +675,62 @@ def pq_rerank_topk(
         Q, query_ids, sl_vid.astype(np.int64), cand_mat,
         sl_qid.astype(np.int64), k,
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion — combine heterogeneous retrieval lists (Cormack,
+# Clarke & Buettcher 2009). The standard recipe for merging an exact scan's
+# ranking with an approximate index's: rrf(v) = sum over lists of
+# 1 / (K0 + rank_list(v)). Integer ppm (10^6 // (K0 + rank)) keeps the
+# fused scores order-free-summable and the golden bit-exact.
+# ---------------------------------------------------------------------------
+
+RRF_K0 = 60
+RRF_TOP = 10
+
+
+def rrf_fuse_kernel(lists: list[pa.Table], k: int = RRF_TOP) -> pa.Table:
+    """Shared fusion kernel (pipeline AND golden): each input table has
+    (query_id, vec_id, rank); output (query_id, vec_id, rrf_ppm, rank) —
+    per query the top ``k`` by (rrf_ppm desc, vec_id asc). Input sizes are
+    k * |queries| rows per list — corpus-size independent."""
+    scores: dict[tuple[int, int], int] = {}
+    for t in lists:
+        for qid, vid, rk in zip(
+            t["query_id"].to_pylist(),
+            t["vec_id"].to_pylist(),
+            t["rank"].to_pylist(),
+        ):
+            key = (qid, vid)
+            scores[key] = scores.get(key, 0) + 1_000_000 // (RRF_K0 + rk)
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for (qid, vid), s in scores.items():
+        by_q.setdefault(qid, []).append((vid, s))
+    out_q, out_v, out_s, out_r = [], [], [], []
+    for qid in sorted(by_q):
+        members = sorted(by_q[qid], key=lambda vs: (-vs[1], vs[0]))[:k]
+        for rank, (vid, s) in enumerate(members, 1):
+            out_q.append(qid)
+            out_v.append(vid)
+            out_s.append(s)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "rrf_ppm": pa.array(out_s, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+def rrf_topk(sf_dir: str, query_ids: list[int] | None = None,
+             k: int = RRF_TOP) -> pa.Table:
+    """Fuse the exact brute-force ranking with the PQ approximate ranking —
+    the retrieval-ensembling operator (hybrid search). Both inputs are the
+    engine's own distributed scans; the fusion itself touches only
+    k * |queries| rows per list."""
+    query_ids = sorted(set(query_ids or [0, 1, 2]))
+    exact = brute_force_topk(sf_dir, query_ids, k=k)
+    approx = pq_topk(sf_dir, query_ids, k=k)
+    return rrf_fuse_kernel([exact, approx], k)

@@ -154,6 +154,34 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
         }
     )
 
+ZLIB_LEVEL = 6  # fixed level: zlib output is deterministic per (input, level)
+
+
+def zlib_ratio_batch(t: pa.Table) -> pa.Table:
+    """Compression-ratio quality proxy (the classic cheap repetition /
+    gibberish detector: highly repetitive text compresses far below prose,
+    random noise barely compresses). ratio_ppm = deflated bytes * 1e6 //
+    raw utf-8 bytes; integer-only output (NOTES invariant 2). Each row is
+    one C zlib call — the batch loop is not the hot path."""
+    import zlib
+
+    n_bytes, n_comp, ratio = [], [], []
+    for text in t["text"].to_pylist():
+        raw = text.encode("utf-8")
+        comp = zlib.compress(raw, ZLIB_LEVEL)
+        n_bytes.append(len(raw))
+        n_comp.append(len(comp))
+        ratio.append(len(comp) * 1_000_000 // max(len(raw), 1))
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "n_comp": pa.array(n_comp, pa.int64()),
+            "ratio_ppm": pa.array(ratio, pa.int64()),
+        }
+    )
+
+
 def term_count_partial(t: "pa.Table") -> "pa.Table":
     """Per-block TOTAL term counts -> (term, n_p) rows: THE shared combiner
     for every q14-family count shuffle (q14/q49/q64/q70/sk_cms). One

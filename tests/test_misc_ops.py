@@ -319,3 +319,50 @@ def test_split_leakage_matches_bruteforce(ray_session):
     )
     assert got["n_pairs"][0] == pairs.num_rows
     assert got["n_leaking"][0] == leak
+
+
+def test_retention_cohorts_bruteforce(ray_session):
+    """q79 equals a plain-pandas recomputation at sf0.001."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import temporal
+
+    sf = "/root/testdata/sf0.001"
+    got = temporal.q79_retention_cohorts(sf).to_pandas()
+    ev = pq.read_table(sf + "/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    # Monday-start week floor
+    wk = ev["ts"].dt.floor("D") - pd.to_timedelta(
+        ev["ts"].dt.weekday, unit="D"
+    )
+    df = pd.DataFrame({"user_id": ev["user_id"], "week": wk}).drop_duplicates()
+    first = df.groupby("user_id")["week"].min().rename("cw")
+    j = df.join(first, on="user_id")
+    j["week_offset"] = ((j["week"] - j["cw"]).dt.days // 7).astype(np.int64)
+    want = (
+        j.groupby(["cw", "week_offset"])["user_id"]
+        .nunique()
+        .rename("n_users")
+        .reset_index()
+        .rename(columns={"cw": "cohort_week"})
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    assert (got["cohort_week"] == want["cohort_week"]).all()
+    assert (got["week_offset"].to_numpy() == want["week_offset"].to_numpy()).all()
+    assert (got["n_users"].to_numpy() == want["n_users"].to_numpy()).all()
+
+
+def test_retention_cohort_zero_offset_is_cohort_size(ray_session):
+    """Every cohort's offset-0 row counts the whole cohort (each user is
+    active in their own first week by construction)."""
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import temporal
+
+    got = temporal.q79_retention_cohorts("/root/testdata/sf0.001").to_pandas()
+    per_cohort = got.groupby("cohort_week")
+    for _, g in per_cohort:
+        zero = g.loc[g["week_offset"] == 0, "n_users"]
+        assert len(zero) == 1
+        assert (g["n_users"] <= zero.iloc[0]).all()

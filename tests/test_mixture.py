@@ -153,3 +153,60 @@ def test_percentile_rank_laws(ray_session):
             .values.tolist()
         )
         assert (g["pct"] == g["rk"] * 100 // len(g)).all()
+
+
+class TestWeightedSample:
+    def test_exactly_k_picks_and_proportionality(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import mixture
+
+        out = mixture.q80_weighted_sample("/root/testdata/sf0.001").to_pandas()
+        assert out["n_picks"].sum() == mixture.WS_K
+        assert (out["n_picks"] >= 1).all()
+        # systematic sampling law: a doc's picks never exceed
+        # ceil(w / stride) where stride = W // K (heavy docs absorb more)
+        import pyarrow.parquet as pq
+
+        W = (
+            pq.read_table(
+                "/root/testdata/sf0.001/documents.parquet",
+                columns=["n_chars"],
+            )["n_chars"]
+            .to_pandas()
+            .sum()
+        )
+        stride = W / mixture.WS_K
+        assert (out["n_picks"] <= (out["w"] / stride) + 1).all()
+
+    def test_bruteforce_parity(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import mixture
+
+        w = [5, 1, 1, 50, 1, 10, 1, 1]  # one heavy doc absorbs several picks
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(w)), pa.int64()),
+                "text": pa.array(["x"] * len(w), pa.string()),
+                "lang": pa.array(["en"] * len(w)),
+                "source": pa.array(["s"] * len(w)),
+                "n_chars": pa.array(w, pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        k = 7
+        out = (
+            mixture.q80_weighted_sample(str(tmp_path), k=k)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        W = sum(w)
+        cum = 0
+        want: dict[int, int] = {}
+        ths = [(j * W) // k for j in range(k)]
+        for i, wi in enumerate(w):
+            lo, cum = cum, cum + wi
+            n = sum(1 for tth in ths if lo <= tth < cum)
+            if n:
+                want[i] = n
+        assert dict(zip(out.index, out["n_picks"])) == want

@@ -274,3 +274,77 @@ def test_bpe_kernel_merge_application():
     merges = bpe.learn_merges([("abc", 10), ("abd", 4), ("xy", 1)], k=2)
     assert merges[0] == ("a", "b", 14)
     assert merges[1] == ("ab", "c", 10)
+
+
+class TestBpeEncode:
+    def test_encode_word_replays_merges_in_order(self):
+        from agenticknowledgegraphconstructionsystem_ray.functions.bpe import encode_word
+
+        # rank order matters: ("a","b") first fuses ab, then ("ab","c")
+        assert encode_word("abc", [("a", "b"), ("ab", "c")]) == ["abc"]
+        # reversed ranks: ("ab","c") never matches raw chars, ("a","b") does
+        assert encode_word("abc", [("ab", "c"), ("a", "b")]) == ["ab", "c"]
+        # greedy left-to-right within one rank
+        assert encode_word("aaa", [("a", "a")]) == ["aa", "a"]
+        assert encode_word("x", []) == ["x"]
+
+    def test_no_merges_means_char_count(self):
+        from agenticknowledgegraphconstructionsystem_ray.functions.bpe import encode_word
+
+        assert len(encode_word("hello", [])) == 5
+
+    def test_corpus_encode_laws(self, ray_session):
+        """n_words <= n_bpe_tokens <= total alnum chars; merges only shrink."""
+        import pyarrow.parquet as pq
+        import re
+
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import scoring
+
+        sf = "/root/testdata/sf0.001"
+        got = scoring.tx_bpe_encode(sf).to_pandas().set_index("doc_id")
+        tok = re.compile(r"[a-z0-9]+")
+        docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+        for _, r in docs.iterrows():
+            ts = tok.findall(r["text"].lower())
+            row = got.loc[r["doc_id"]]
+            assert row["n_words"] == len(ts)
+            assert row["n_words"] <= row["n_bpe_tokens"] <= sum(len(w) for w in ts)
+
+
+class TestZlibRatio:
+    def test_repetition_compresses_below_noise(self):
+        import pyarrow as pa
+
+        from agenticknowledgegraphconstructionsystem_ray.stages.textstats import zlib_ratio_batch
+
+        rep = "spam ham " * 200
+        # deterministic pseudo-noise (md5 hex chains) — incompressible-ish
+        import hashlib
+
+        chunks, h = [], b"seed"
+        for _ in range(100):
+            h = hashlib.md5(h).digest()
+            chunks.append(h.hex())
+        noise = " ".join(chunks)
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([rep, noise], pa.string()),
+            }
+        )
+        out = zlib_ratio_batch(t).to_pandas().set_index("doc_id")
+        assert out.loc[0, "ratio_ppm"] < out.loc[1, "ratio_ppm"]
+        assert out.loc[0, "n_bytes"] == len(rep.encode())
+
+    def test_ratio_formula_exact(self):
+        import pyarrow as pa
+        import zlib
+
+        from agenticknowledgegraphconstructionsystem_ray.stages import textstats
+
+        s = "alpha beta gamma"
+        t = pa.table({"doc_id": pa.array([7], pa.int64()), "text": [s]})
+        out = textstats.zlib_ratio_batch(t)
+        comp = zlib.compress(s.encode(), textstats.ZLIB_LEVEL)
+        assert out["n_comp"][0].as_py() == len(comp)
+        assert out["ratio_ppm"][0].as_py() == len(comp) * 1_000_000 // len(s.encode())

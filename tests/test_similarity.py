@@ -247,3 +247,54 @@ class TestPQRerank:
             ]
             assert ranks == list(range(1, len(ranks) + 1))
             assert len(ranks) == 10
+
+
+class TestRrfFusion:
+    def test_kernel_fuses_and_ranks(self):
+        import pyarrow as pa
+
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            RRF_K0,
+            rrf_fuse_kernel,
+        )
+
+        l1 = pa.table(
+            {
+                "query_id": pa.array([0, 0], pa.int64()),
+                "vec_id": pa.array([10, 11], pa.int64()),
+                "rank": pa.array([1, 2], pa.int64()),
+            }
+        )
+        l2 = pa.table(
+            {
+                "query_id": pa.array([0, 0], pa.int64()),
+                "vec_id": pa.array([11, 12], pa.int64()),
+                "rank": pa.array([1, 2], pa.int64()),
+            }
+        )
+        out = rrf_fuse_kernel([l1, l2], k=3).to_pandas().set_index("vec_id")
+        # 11 appears in both lists -> highest fused score
+        assert out.index.tolist()[0] == 11 or out.loc[11, "rank"] == 1
+        s1 = 1_000_000 // (RRF_K0 + 1)
+        s2 = 1_000_000 // (RRF_K0 + 2)
+        assert out.loc[11, "rrf_ppm"] == s2 + s1
+        assert out.loc[10, "rrf_ppm"] == s1
+        assert out.loc[12, "rrf_ppm"] == s2
+        # tie between 10 (s1) and 12 (s2): s1 > s2 so 10 ranks above 12
+        assert out.loc[10, "rank"] < out.loc[12, "rank"]
+
+    def test_rrf_contains_exact_top1(self, ray_session):
+        """The exact scan's #1 neighbor always survives fusion (it holds
+        the max single-list score and can only gain)."""
+        from agenticknowledgegraphconstructionsystem_ray.stages import similarity
+
+        sf = "/root/testdata/sf0.001"
+        exact = similarity.brute_force_topk(sf, [0, 1, 2], k=10).to_pandas()
+        fused = similarity.rrf_topk(sf, [0, 1, 2], k=10).to_pandas()
+        for qid in (0, 1, 2):
+            top1 = exact.loc[
+                (exact["query_id"] == qid) & (exact["rank"] == 1), "vec_id"
+            ].iloc[0]
+            assert top1 in set(
+                fused.loc[fused["query_id"] == qid, "vec_id"]
+            )

@@ -162,3 +162,71 @@ class TestDupSpans:
         )
         assert (out["n_dup_windows"] == 2).all()
         assert (out["n_covered"] == 9).all()
+
+
+class TestSpanDedup:
+    def _write(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        return str(tmp_path)
+
+    def test_full_duplicate_comes_back_empty(self, ray_session, tmp_path):
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        out = (
+            webclean.q78_span_dedup(self._write(tmp_path, [text, text]))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # doc 0 keeps everything (first occurrence), doc 1 loses all spans
+        assert out.loc[0, "n_kept"] == out.loc[0, "n_spans"] == 2
+        assert out.loc[0, "text_dedup"] == text
+        assert out.loc[1, "n_kept"] == 0
+        assert out.loc[1, "text_dedup"] == ""
+
+    def test_partial_overlap_keeps_unique_tail(self, ray_session, tmp_path):
+        span = "a b c d e f g h"  # exactly one 8-token span
+        out = (
+            webclean.q78_span_dedup(
+                self._write(
+                    tmp_path, [f"{span} x y z", f"{span} p q r"]
+                )
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "text_dedup"] == f"{span} x y z"
+        # doc 1's first span is a duplicate; its 3-token tail survives
+        assert out.loc[1, "n_spans"] == 2 and out.loc[1, "n_kept"] == 1
+        assert out.loc[1, "text_dedup"] == "p q r"
+
+    def test_within_doc_repeat_dropped(self, ray_session, tmp_path):
+        span = "a b c d e f g h"
+        out = (
+            webclean.q78_span_dedup(self._write(tmp_path, [f"{span} {span}"]))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "n_spans"] == 2 and out.loc[0, "n_kept"] == 1
+        assert out.loc[0, "text_dedup"] == span
+
+    def test_unique_docs_roundtrip_normalized_text(self, ray_session, tmp_path):
+        texts = ["One two THREE four five six seven eight nine", "ten eleven"]
+        out = (
+            webclean.q78_span_dedup(self._write(tmp_path, texts))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        for i, tx in enumerate(texts):
+            norm = " ".join(webclean._TOKEN_RE.findall(tx.lower()))
+            assert out.loc[i, "text_dedup"] == norm
+            assert out.loc[i, "n_kept"] == out.loc[i, "n_spans"]
