@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         gopher,
         graphalgo,
         graphmetrics,
+        itemsets,
         kgqueries,
         mixture,
         scoring,
@@ -53,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(corpusstat.QUERIES)
     q.update(gopher.QUERIES)
     q.update(attribution.QUERIES)
+    q.update(itemsets.QUERIES)
     q.update(
         {
             "kg_edges": kgqueries.kg_edges,
@@ -80,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_link_ra": graphalgo.kg_link_ra,
             "kg_clustering": graphalgo.kg_clustering,
             "kg_modularity": graphmetrics.kg_modularity,
+            "kg_assortativity": graphmetrics.kg_assortativity,
         }
     )
     return q
@@ -101,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         corpusstat,
         fuzzy,
         gopher,
+        itemsets,
         mixture,
         scoring,
         temporal,
@@ -121,5 +125,6 @@ def oracle_sql() -> dict[str, str]:
         **corpusstat.ORACLE_SQL,
         **gopher.ORACLE_SQL,
         **attribution.ORACLE_SQL,
+        **itemsets.ORACLE_SQL,
         **goldens.kg_oracle_sql(),
     }

@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "23"  # v23: + dHash image near-dup goldens
+GOLDEN_VERSION = "24"  # v24: + gear-CDC chunk-dedup golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -1138,6 +1138,41 @@ def _seq_dhash_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def _seq_cdc(sf_dir: str) -> pa.Table:
+    """Sequential gear-CDC chunk-dedup golden: one-process pass with the
+    SHARED chunking kernel (stages/cdc.doc_chunk_rows); global first
+    occurrence per chunk hash = smallest (doc_id, offset)."""
+    from .stages.cdc import doc_chunk_rows
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows: list[tuple[int, int, int, int]] = []
+    for d, tx in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        rows.extend(doc_chunk_rows(d, tx))
+    first: dict[int, tuple[int, int]] = {}
+    for h, d, off, ln in sorted(rows, key=lambda r: (r[1], r[2])):
+        first.setdefault(h, (d, off))
+    agg: dict[int, list[int]] = {}
+    for h, d, off, ln in rows:
+        dup = int(first[h] != (d, off))
+        a = agg.setdefault(d, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += ln
+        a[2] += dup
+        a[3] += ln * dup
+    ids = sorted(agg)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chunks": pa.array([agg[i][0] for i in ids], pa.int64()),
+            "n_bytes": pa.array([agg[i][1] for i in ids], pa.int64()),
+            "dup_chunks": pa.array([agg[i][2] for i in ids], pa.int64()),
+            "dup_bytes": pa.array([agg[i][3] for i in ids], pa.int64()),
+        }
+    )
+
+
 def _doc_ids(sf_dir: str) -> list[int]:
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     return t["doc_id"].to_pylist()
@@ -1348,6 +1383,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["rrf"] = _seq_rrf(sf_dir)
         tables["dhash"] = _seq_dhash(sf_dir)
         tables["dhash_pairs"] = _seq_dhash_pairs(sf_dir)
+        tables["cdc"] = _seq_cdc(sf_dir)
         tables["mm_decode"] = _seq_media_decode(sf_dir)
         tables["mm_resize"] = _seq_media_resize(sf_dir)
         tables["kmeans"] = _seq_kmeans(sf_dir)
@@ -1727,6 +1763,42 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "mm_dhash_pairs": f"""
             SELECT id_a, id_b, hamming FROM {_g('dhash_pairs')}
+        """,
+        "tx_cdc": f"""
+            SELECT doc_id, n_chunks, n_bytes, dup_chunks, dup_bytes
+            FROM {_g('cdc')}
+        """,
+        "kg_assortativity": f"""
+            WITH pairs AS (
+                SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                                GREATEST(subj_id, obj_id) AS b
+                FROM {_g('edges')}
+                WHERE subj_id >= 0 AND obj_id >= 0 AND subj_id <> obj_id
+            ),
+            deg AS (
+                SELECT node, CAST(COUNT(*) AS HUGEINT) AS deg
+                FROM (SELECT a AS node FROM pairs
+                      UNION ALL SELECT b FROM pairs)
+                GROUP BY node
+            ),
+            xy AS (
+                SELECT d1.deg AS x, d2.deg AS y
+                FROM pairs JOIN deg d1 ON d1.node = a
+                           JOIN deg d2 ON d2.node = b
+            ),
+            s AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+                       SUM(x * y) AS se, SUM(x + y) AS ss,
+                       SUM(x * x + y * y) AS sq
+                FROM xy
+            )
+            SELECT CAST(m AS BIGINT) AS m, CAST(se AS BIGINT) AS se,
+                   CAST(ss AS BIGINT) AS ss, CAST(sq AS BIGINT) AS sq,
+                   CAST(CASE WHEN 2 * m * sq - ss * ss = 0 THEN 0
+                        ELSE ((4 * m * se - ss * ss) * 1000000)
+                             // (2 * m * sq - ss * ss) END AS BIGINT)
+                       AS r_ppm
+            FROM s
         """,
         "kg_modularity": f"""
             WITH pairs AS (

@@ -133,3 +133,110 @@ def kg_modularity(sf_dir: str):
         columns=["entity_id", "ent_type"],
     )
     return type_modularity(edges, nodes_typed)
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity
+# ---------------------------------------------------------------------------
+# Newman's degree assortativity r over the distinct undirected graph, in
+# EXACT integer arithmetic: with M edges and per-edge endpoint degrees
+# (x_e, y_e), let Se = sum x*y, Ss = sum (x+y), Sq = sum (x^2+y^2); then
+#   r = (4*M*Se - Ss^2) / (2*M*Sq - Ss^2)
+# (the standard formula cleared of fractions). We report r_ppm with the
+# same truncating division as DuckDB; a zero denominator (every degree
+# equal, e.g. a cycle) is reported as 0 by convention on both sides.
+#
+# Scale shape: degree table via one groupby over endpoint counts; two
+# coarse-bucket attaches put (deg_a, deg_b) on each pair; a per-block
+# combiner reduces each block to ONE partial (m, se, ss, sq) row, so the
+# driver sees n_blocks rows. Sums are carried as Python big ints on the
+# driver side of the final reduce (Sq grows like M * deg_max^2 — beyond
+# int64 on extreme hub graphs, so the tiny final reduce must not be int64).
+
+
+def degree_assortativity(edges: "rd.Dataset") -> pa.Table:
+    """One row: (m, se, ss, sq, r_ppm) over the distinct undirected graph
+    of ``edges`` ((subj_id, obj_id) int64 rows; self-loops dropped)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    n_groups = max(8, cluster_cpus())
+    pairs = _distinct_undirected_pairs(edges).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b]), pa.int64())}
+        )
+
+    deg = (
+        pairs.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count())
+    )
+
+    def deg_i64(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "deg": pc.cast(t["count()"], pa.int64()),
+            }
+        )
+
+    deg = deg.map_batches(deg_i64, batch_format="pyarrow")
+    withx = _attach_i64(pairs, ["a", "b"], "a", deg, "node", "deg",
+                        "x", n_groups)
+    withxy = _attach_i64(withx, ["a", "b", "x"], "b", deg, "node", "deg",
+                         "y", n_groups)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                [("m", pa.int64()), ("se", pa.int64()),
+                 ("ss", pa.int64()), ("sq", pa.int64())]
+            ).empty_table()
+        x = t["x"].combine_chunks().to_numpy(zero_copy_only=False)
+        y = t["y"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "m": pa.array([t.num_rows], pa.int64()),
+                "se": pa.array([int((x * y).sum())], pa.int64()),
+                "ss": pa.array([int(x.sum() + y.sum())], pa.int64()),
+                "sq": pa.array([int((x * x).sum() + (y * y).sum())],
+                               pa.int64()),
+            }
+        )
+
+    parts = withxy.map_batches(combine, batch_format="pyarrow").take_all()
+    m = sum(int(p["m"]) for p in parts)
+    se = sum(int(p["se"]) for p in parts)
+    ss = sum(int(p["ss"]) for p in parts)
+    sq = sum(int(p["sq"]) for p in parts)
+    num = (4 * m * se - ss * ss) * MOD_PPM
+    den = 2 * m * sq - ss * ss
+    if den == 0:
+        r = 0
+    else:
+        r = num // den if (num >= 0) == (den > 0) else -(abs(num) // abs(den))
+    return pa.table(
+        {
+            "m": pa.array([m], pa.int64()),
+            "se": pa.array([se], pa.int64()),
+            "ss": pa.array([ss], pa.int64()),
+            "sq": pa.array([sq], pa.int64()),
+            "r_ppm": pa.array([r], pa.int64()),
+        }
+    )
+
+
+def kg_assortativity(sf_dir: str):
+    """Driver query: degree assortativity of the materialized KG entity
+    graph. Oracle: DuckDB HUGEINT mirror over the golden edges parquet."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    return degree_assortativity(_kg_edges_ds(out))

@@ -553,6 +553,16 @@ def mm_dhash_pairs(sf_dir: str):
     return imagehash.dhash_pairs(sf_dir)
 
 
+def tx_cdc(sf_dir: str):
+    """Gear-CDC chunk dedup rollup (stages/cdc.cdc_dedup_stats): per-doc
+    (n_chunks, n_bytes, dup_chunks, dup_bytes) where dup = not the global
+    first occurrence of the chunk hash. Golden-file oracle
+    (goldens._seq_cdc, shared chunking kernel)."""
+    from ..stages.cdc import cdc_dedup_stats
+
+    return cdc_dedup_stats(sf_dir)
+
+
 def ann_rrf_topk(sf_dir: str):
     """Reciprocal-rank fusion of the exact brute-force ranking and the PQ
     approximate ranking (stages/similarity.rrf_topk) — hybrid-search
@@ -770,6 +780,7 @@ QUERIES = {
     "ann_rrf_topk": ann_rrf_topk,
     "mm_dhash": mm_dhash,
     "mm_dhash_pairs": mm_dhash_pairs,
+    "tx_cdc": tx_cdc,
     "dd_semdedup": dd_semdedup,
 }
 
