@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         itemsets,
         kgqueries,
         mixture,
+        pareto,
         scoring,
         temporal,
         training,
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(gopher.QUERIES)
     q.update(attribution.QUERIES)
     q.update(itemsets.QUERIES)
+    q.update(pareto.QUERIES)
     q.update(
         {
             "kg_edges": kgqueries.kg_edges,
@@ -106,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         gopher,
         itemsets,
         mixture,
+        pareto,
         scoring,
         temporal,
         training,
@@ -126,5 +129,6 @@ def oracle_sql() -> dict[str, str]:
         **gopher.ORACLE_SQL,
         **attribution.ORACLE_SQL,
         **itemsets.ORACLE_SQL,
+        **pareto.ORACLE_SQL,
         **goldens.kg_oracle_sql(),
     }

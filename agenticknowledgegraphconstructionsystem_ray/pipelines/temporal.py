@@ -400,6 +400,88 @@ def q40_orders_no_returns(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# q83: Markov transition matrix over consecutive events (lead/lag shape)
+# ---------------------------------------------------------------------------
+
+def q83_event_transitions(sf_dir: str):
+    """Transition counts + integer-ppm probabilities between CONSECUTIVE
+    event types per user (the window ``lead()`` shape; reference analog:
+    ordered per-paper processing, database.ts:76, generalized to per-key
+    sequences).
+
+    Shape: ONE hash shuffle on user_id; inside each group events are sorted
+    by (ts, event_id) and adjacent-pair counts are pre-aggregated (each
+    group emits at most |types|^2 rows — a combiner), then a tiny global
+    groupby sums them. p_ppm = floor(1e6 * n / n_src) is integer-exact.
+    At 100 TB: the per-user groups are small and the aggregated matrix is
+    |types|^2 regardless of corpus size — nothing corpus-sized moves after
+    the single shuffle."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def pair_counts(g) -> dict:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return {"src": np.array([], dtype=object), "dst": np.array([], dtype=object),
+                    "n": np.array([], np.int64)}
+        import pandas as pd
+
+        df = pd.DataFrame({"src": et[:-1], "dst": et[1:]})
+        c = df.groupby(["src", "dst"], sort=False).size().reset_index(name="n")
+        return {"src": c["src"].to_numpy(), "dst": c["dst"].to_numpy(),
+                "n": c["n"].to_numpy().astype(np.int64)}
+
+    agg = (
+        ds.groupby("user_id")
+        .map_groups(pair_counts, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # the aggregated matrix is <= |types|^2 rows: finalize driver-side
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    import pandas as pd
+
+    df = t.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    totals = df.groupby("src")["n"].transform("sum")
+    df["p_ppm"] = (1_000_000 * df["n"]) // totals
+    return pa.table(
+        {
+            "src": pa.array(df["src"], pa.string()),
+            "dst": pa.array(df["dst"], pa.string()),
+            "n": pa.array(df["n"], pa.int64()),
+            "p_ppm": pa.array(df["p_ppm"], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84: ordered grouped collect (string_agg / array_agg with ORDER BY shape)
+# ---------------------------------------------------------------------------
+
+def q84_user_paths(sf_dir: str):
+    """Per user: the '>'-joined sequence of its FIRST 5 event types in
+    (ts, event_id) order plus the total event count — the deterministic
+    ordered-collect (``string_agg(... ORDER BY ...)``) operator.
+
+    Shape: one hash shuffle on user_id; per group a bounded head-5 join —
+    output is one short row per user, never proportional to events."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def collect(g) -> dict:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        return {
+            "user_id": np.array([int(g["user_id"].iloc[0])], np.int64),
+            "path5": np.array([">".join(et[:5])], dtype=object),
+            "n_events": np.array([len(et)], np.int64),
+        }
+
+    return ds.groupby("user_id").map_groups(collect, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -800,7 +882,39 @@ QUERIES = {
     "q66_value_outliers": q66_value_outliers,
     "q68_event_pairs": q68_event_pairs,
     "q79_retention_cohorts": q79_retention_cohorts,
+    "q83_event_transitions": q83_event_transitions,
+    "q84_user_paths": q84_user_paths,
 }
+
+ORACLE_SQL["q83_event_transitions"] = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    t AS (SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+          FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           CAST((1000000 * n) //
+                CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS BIGINT)
+               AS p_ppm
+    FROM t ORDER BY src, dst
+"""
+
+ORACLE_SQL["q84_user_paths"] = """
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path5,
+           CAST(MAX(n) AS BIGINT) AS n_events
+    FROM r WHERE rn <= 5 GROUP BY user_id
+"""
 
 ORACLE_SQL["q79_retention_cohorts"] = """
     WITH wk AS (

@@ -77,6 +77,9 @@ FAST_QUERIES = [
     "q72_source_quality",
     "q73_langid_confusion",
     "q74_threshold_sweep",
+    "q83_event_transitions",
+    "q84_user_paths",
+    "q85_pareto_parts",
 ]
 
 
