@@ -265,3 +265,48 @@ ORACLE_SQL["q77_fuzzy_clusters"] = f"""
     SELECT node AS name_key, CAST(MIN(lab) AS BIGINT) AS cluster
     FROM reach GROUP BY node ORDER BY name_key
 """
+
+
+# ---------------------------------------------------------------------------
+# q86: exact set-similarity self-join (prefix filtering) — stages/setsim.py
+# ---------------------------------------------------------------------------
+
+
+def q86_setsim_join(sf_dir: str):
+    """Document pairs whose distinct word-3-gram sets have Jaccard >= 1/2,
+    with exact intersection/union counts — lossless prefix-filtered
+    candidate generation + distributed verification (stages/setsim.py)."""
+    from ..stages.setsim import setsim_pairs
+
+    return setsim_pairs(sf_dir)
+
+
+QUERIES["q86_setsim_join"] = q86_setsim_join
+
+ORACLE_SQL["q86_setsim_join"] = """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS term
+        FROM words, UNNEST(generate_series(1, greatest(0, len(w) - 2))) AS t(g)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        FROM sh a JOIN sh b USING (term)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(i AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - i AS BIGINT) AS n_union,
+           CAST((1000000 * i) // (sa.n + sb.n - i) AS BIGINT) AS jac_ppm
+    FROM inter
+    JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+    WHERE 3 * i >= sa.n + sb.n
+    ORDER BY doc_a, doc_b
+"""

@@ -80,6 +80,7 @@ FAST_QUERIES = [
     "q83_event_transitions",
     "q84_user_paths",
     "q85_pareto_parts",
+    "q86_setsim_join",
 ]
 
 
