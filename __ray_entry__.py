@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         temporal,
         training,
         webclean,
+        weblinks,
     )
 
     q: dict[str, Callable[[str], Any]] = dict(analytics.QUERIES)
@@ -86,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_modularity": graphmetrics.kg_modularity,
             "kg_assortativity": graphmetrics.kg_assortativity,
         }
+    )
+    q.update(weblinks.QUERIES
     )
     return q
 

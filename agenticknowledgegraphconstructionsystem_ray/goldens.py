@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "24"  # v24: + gear-CDC chunk-dedup golden
+GOLDEN_VERSION = "25"  # v25: + web link-graph goldens (synth v3)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -1173,6 +1173,77 @@ def _seq_cdc(sf_dir: str) -> pa.Table:
     )
 
 
+def _seq_weblinks_tables(pages_dir: str) -> tuple[pa.Table, pa.Table, pa.Table]:
+    """Sequential web-graph goldens (weblink_stats, host_graph, host_rank):
+    shared pure kernel (functions/weblinks.py), plain-dict aggregation, and
+    the sequential fixed-point PageRank over the distinct external host
+    graph (reuses _seq_pagerank's integer semantics verbatim)."""
+    from .functions.weblinks import host_id, host_of, resolve_outlinks
+
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    stat_rows: list[tuple[str, int, int, int]] = []
+    edge_counts: dict[tuple[str, str], int] = {}
+    hosts: set[str] = set()
+    ext_pairs: set[tuple[str, str]] = set()
+    for f in files:
+        t = pq.read_table(f, columns=["url", "html"])
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            src = host_of(url)
+            hosts.add(src)
+            links = resolve_outlinks(url, html)
+            stat_rows.append(
+                (
+                    url,
+                    len(links),
+                    sum(1 for _, _, i in links if not i),
+                    len({h for _, h, _ in links}),
+                )
+            )
+            for _, dst, internal in links:
+                k = (src, dst)
+                edge_counts[k] = edge_counts.get(k, 0) + 1
+                if not internal:
+                    hosts.add(dst)
+                    ext_pairs.add((src, dst))
+
+    stat_rows.sort()
+    stats = pa.table(
+        {
+            "url": pa.array([r[0] for r in stat_rows], pa.string()),
+            "n_links": pa.array([r[1] for r in stat_rows], pa.int64()),
+            "n_external": pa.array([r[2] for r in stat_rows], pa.int64()),
+            "n_hosts": pa.array([r[3] for r in stat_rows], pa.int64()),
+        }
+    )
+    ekeys = sorted(edge_counts)
+    graph = pa.table(
+        {
+            "src_host": pa.array([k[0] for k in ekeys], pa.string()),
+            "dst_host": pa.array([k[1] for k in ekeys], pa.string()),
+            "n_links": pa.array([edge_counts[k] for k in ekeys], pa.int64()),
+        }
+    )
+    id_of = {h: host_id(h) for h in hosts}
+    host_by_id = {v: k for k, v in id_of.items()}
+    nodes_t = pa.table({"entity_id": pa.array(sorted(id_of.values()), pa.int64())})
+    edges_t = pa.table(
+        {
+            "subj_id": pa.array([id_of[a] for a, b in ext_pairs], pa.int64()),
+            "obj_id": pa.array([id_of[b] for a, b in ext_pairs], pa.int64()),
+        }
+    )
+    pr = _seq_pagerank(nodes_t, edges_t)
+    rank = pa.table(
+        {
+            "host": pa.array(
+                [host_by_id[i] for i in pr["entity_id"].to_pylist()], pa.string()
+            ),
+            "rank_fp": pr["rank_fp"],
+        }
+    )
+    return stats, graph, rank
+
+
 def _doc_ids(sf_dir: str) -> list[int]:
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     return t["doc_id"].to_pylist()
@@ -1364,6 +1435,11 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     tables["walks"] = _seq_walks(tables["nodes"], tables["edges"])
     tables["lineage"] = _seq_lineage(pages_dir)
     tables["hits"] = _seq_hits(tables["nodes"], tables["edges"])
+    (
+        tables["weblink_stats"],
+        tables["host_graph"],
+        tables["host_rank"],
+    ) = _seq_weblinks_tables(pages_dir)
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
@@ -1691,6 +1767,13 @@ def kg_oracle_sql() -> dict[str, str]:
         "kg_docs_triples": f"""
             SELECT url, n_mentions, n_triples FROM {_g('docs_triples')}
         """,
+        "wg_outlinks": f"""
+            SELECT url, n_links, n_external, n_hosts FROM {_g('weblink_stats')}
+        """,
+        "wg_host_graph": f"""
+            SELECT src_host, dst_host, n_links FROM {_g('host_graph')}
+        """,
+        "wg_host_rank": f"SELECT host, rank_fp FROM {_g('host_rank')}",
         "kg_pagerank": f"""
             SELECT entity_id, rank_fp FROM {_g('pagerank')}
         """,

@@ -208,10 +208,20 @@ def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
         .drop_columns(["_n"])
     )
     deg = pairs.groupby("subj_id").aggregate(Count(alias_name="deg"))
-    adj = _attach_i64(
-        pairs, ["subj_id", "obj_id"], "subj_id",
-        deg, "subj_id", "deg", "deg", n_parts,
-    ).materialize()  # edge-partitioned adjacency with out-degree, built once
+    # Bound the loop-state partition count: a groupby inherits its input's
+    # block count, so a many-block edge source (e.g. 64 read tasks) would
+    # run every one of the 2*iters shuffles below over hundreds of
+    # near-empty partitions — measured 10-100x wall blowup vs n_parts
+    # blocks. repartition is row-identical; n_parts scales with the
+    # cluster, so at real scale blocks stay ~CPU-count-sized.
+    adj = (
+        _attach_i64(
+            pairs, ["subj_id", "obj_id"], "subj_id",
+            deg, "subj_id", "deg", "deg", n_parts,
+        )
+        .repartition(n_parts)
+        .materialize()
+    )  # edge-partitioned adjacency with out-degree, built once
 
     def base_rows(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -221,7 +231,11 @@ def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
             }
         )
 
-    zero = nodes.map_batches(base_rows, batch_format="pyarrow").materialize()
+    zero = (
+        nodes.map_batches(base_rows, batch_format="pyarrow")
+        .repartition(n_parts)
+        .materialize()
+    )
 
     def init_rank(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -253,6 +267,7 @@ def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
             .groupby("node_id")
             .aggregate(Sum("c", alias_name="s"))
             .map_batches(finish, batch_format="pyarrow")
+            .repartition(n_parts)  # union grows block count; re-bound it
         ).materialize()  # node-sized iterative state
 
     return (
@@ -523,6 +538,7 @@ def kcore(edges: "rd.Dataset", k: int = KCORE_K,
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
+        .repartition(max(8, cluster_cpus()))  # bound loop-shuffle partitions
         .materialize()
     )
     n_alive = alive.count()
@@ -645,9 +661,14 @@ def kcore(edges: "rd.Dataset", k: int = KCORE_K,
             )
             alive = _drop_low_broadcast(alive, _ray.put(low)).materialize()
         else:
-            alive = _drop_low_bucketed(
-                _drop_low_bucketed(alive, low_ds, "a", "b"), low_ds, "b", "a"
-            ).materialize()
+            alive = (
+                _drop_low_bucketed(
+                    _drop_low_bucketed(alive, low_ds, "a", "b"),
+                    low_ds, "b", "a",
+                )
+                .repartition(n_groups)
+                .materialize()
+            )
         n_alive = alive.count()
     raise RuntimeError(
         f"k-core peel did not converge in {max_rounds} rounds (k={k})"
@@ -779,7 +800,7 @@ def bfs_hops(
     # distinct undirected pairs, both orientations, self-loops dropped
     pairs = _distinct_undirected_pairs(edges)
 
-    sym = _symmetrize_pairs(pairs).materialize()
+    sym = _symmetrize_pairs(pairs).repartition(n_groups).materialize()
 
     def seed_rows(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -829,6 +850,7 @@ def bfs_hops(
             labels.union(cand)
             .groupby("node")
             .aggregate(Min("dist", alias_name="dist"))
+            .repartition(n_groups)  # union grows block count; re-bound it
             .materialize()
         )
     raise RuntimeError(f"BFS did not drain its frontier in {max_rounds} rounds")
@@ -1025,7 +1047,11 @@ def random_walks(
             }
         )
 
-    sym_routed = sym.map_batches(route_sym, batch_format="pyarrow").materialize()
+    sym_routed = (
+        sym.map_batches(route_sym, batch_format="pyarrow")
+        .repartition(n_groups)  # bound loop-shuffle partitions
+        .materialize()
+    )
 
     def init_walks(t: pa.Table) -> pa.Table:
         ids = pc.cast(t["entity_id"], pa.int64())
@@ -1226,6 +1252,7 @@ def hits(edges: "rd.Dataset", nodes: "rd.Dataset",
         .groupby(["subj_id", "obj_id"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
+        .repartition(n_parts)  # bound loop-shuffle partition count
         .materialize()  # reused twice per iteration
     )
 
@@ -1237,7 +1264,11 @@ def hits(edges: "rd.Dataset", nodes: "rd.Dataset",
             }
         )
 
-    zero = nodes.map_batches(base_rows, batch_format="pyarrow").materialize()
+    zero = (
+        nodes.map_batches(base_rows, batch_format="pyarrow")
+        .repartition(n_parts)
+        .materialize()
+    )
 
     def init_score(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1262,6 +1293,7 @@ def hits(edges: "rd.Dataset", nodes: "rd.Dataset",
             contrib.union(zero)
             .groupby("node_id")
             .aggregate(Sum("c", alias_name="s"))
+            .repartition(n_parts)  # union grows block count; re-bound it
             .materialize()  # node-sized; consumed twice (max + rescale)
         )
         mx = max(int(raw.max("s") or 0), 1)

@@ -188,7 +188,7 @@ def _cluster_cpus() -> int:
     return cluster_cpus()
 
 
-LAYOUT_VERSION = "5"  # bump when the on-disk output layout changes
+LAYOUT_VERSION = "6"  # v6: synth v3 corpus (cross-host related links)
 
 
 def _config_fingerprint(cfg: "KGConfig") -> str:

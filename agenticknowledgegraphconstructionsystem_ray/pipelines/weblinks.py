@@ -1,0 +1,204 @@
+"""Web link-graph family over the Common-Crawl-style pages corpus (wg_*).
+
+The Common-Crawl-signature capability next to the KG pipeline: the same
+``pages(url, warc_ts, html, text, lang)`` table carries an implicit web
+graph in its ``<a href>``s. Three driver queries:
+
+- ``wg_outlinks``   — per-page outlink stats (count / external / distinct
+                      hosts): ONE stateless map pass, nothing shuffles.
+- ``wg_host_graph`` — (src_host, dst_host, n_links) edge aggregation: map
+                      pass emitting per-block PARTIAL pair counts (combiner;
+                      the hub-host skew planted by synth v3 lands on the
+                      partials, not the shuffle), then one groupby-sum.
+- ``wg_host_rank``  — host-level PageRank over the distinct EXTERNAL host
+                      graph, reusing the integer fixed-point BSP engine
+                      (pipelines/graphalgo.pagerank). Node ids are
+                      hash-derived (functions/weblinks.host_id) so id
+                      assignment needs no global coordination; only the
+                      top-k labels are resolved back to host strings
+                      (broadcast of k ids, never a host dictionary).
+
+Reference analog: the citation edges fetched per paper
+(``fetch_citing_papers.py:140-264``) are the reference's document->document
+link graph; here the edge evidence is crawled HTML itself.
+
+Oracles: sequential golden recomputation (goldens._seq_weblinks /
+_seq_host_rank) shares the pure kernel (functions/weblinks.py) and redoes
+the aggregation with plain dicts — the distributed plan is checked
+bit-for-bit against it at sf0.01.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .. import synth
+from ..functions.weblinks import host_id, host_of, resolve_outlinks
+from .kgqueries import sf_of
+
+
+def pages_dataset(sf_dir: str) -> rd.Dataset:
+    pages_dir = synth.ensure_pages(sf_of(sf_dir))
+    return rd.read_parquet(pages_dir, columns=["url", "html"])
+
+
+def wg_outlinks(sf_dir: str):
+    """Per-page outlink stats; pages without links (empty / script-only
+    documents) appear with zeros — the dangling-host edge case."""
+    ds = pages_dataset(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        urls, n_links, n_ext, n_hosts = [], [], [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            links = resolve_outlinks(url, html)
+            urls.append(url)
+            n_links.append(len(links))
+            n_ext.append(sum(1 for _, _, internal in links if not internal))
+            n_hosts.append(len({h for _, h, _ in links}))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "n_links": pa.array(n_links, pa.int64()),
+                "n_external": pa.array(n_ext, pa.int64()),
+                "n_hosts": pa.array(n_hosts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow").sort("url")
+
+
+def _pair_partials(t: pa.Table) -> pa.Table:
+    """Per-block (src_host, dst_host) partial counts — the combiner that
+    absorbs the planted hub-host skew before the shuffle."""
+    counts: dict[tuple[str, str], int] = {}
+    for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+        src = host_of(url)
+        for _, dst, _ in resolve_outlinks(url, html):
+            k = (src, dst)
+            counts[k] = counts.get(k, 0) + 1
+    return pa.table(
+        {
+            "src_host": pa.array([k[0] for k in counts], pa.string()),
+            "dst_host": pa.array([k[1] for k in counts], pa.string()),
+            "n_p": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+def wg_host_graph(sf_dir: str):
+    """Host->host link multiplicities (internal links appear as self-edges)."""
+    ds = pages_dataset(sf_dir)
+    return (
+        ds.map_batches(_pair_partials, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_p", alias_name="n_links"))
+        .sort(["src_host", "dst_host"])
+    )
+
+
+def wg_host_rank(sf_dir: str):
+    """PageRank over the distinct external host graph: (host, rank_fp),
+    top PR_TOP by (rank desc, host-id asc)."""
+    from .graphalgo import pagerank
+
+    ds = pages_dataset(sf_dir)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        # distinct-within-block external host pairs + every seen host as a
+        # node row (subj == obj tags a node-only row, filtered below)
+        pairs: set[tuple[int, int]] = set()
+        hosts: set[int] = set()
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            src = host_id(host_of(url))
+            hosts.add(src)
+            for _, dst_h, internal in resolve_outlinks(url, html):
+                if internal:
+                    continue
+                dst = host_id(dst_h)
+                hosts.add(dst)
+                if dst != src:
+                    pairs.add((src, dst))
+        s = [p[0] for p in pairs] + sorted(hosts)
+        o = [p[1] for p in pairs] + sorted(hosts)
+        is_edge = [True] * len(pairs) + [False] * len(hosts)
+        return pa.table(
+            {
+                "subj_id": pa.array(s, pa.int64()),
+                "obj_id": pa.array(o, pa.int64()),
+                "is_edge": pa.array(is_edge, pa.bool_()),
+            }
+        )
+
+    tagged = ds.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    edges = tagged.filter(lambda r: r["is_edge"]).select_columns(
+        ["subj_id", "obj_id"]
+    )
+    nodes = (
+        tagged.groupby("subj_id")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table({"entity_id": t["subj_id"]}),
+            batch_format="pyarrow",
+        )
+    )
+    top = pagerank(edges, nodes)  # (entity_id, rank_fp), PR_TOP rows
+
+    # resolve the k winning ids back to host strings: broadcast the id set,
+    # filter the (tiny per block) host rows distributed, collect k rows
+    top_t = pa.concat_tables(
+        [b for b in top.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    want = set(top_t["entity_id"].to_pylist())
+    want_ref = ray.put(want)
+
+    def host_labels(t: pa.Table, ref=want_ref) -> pa.Table:
+        w = ray.get(ref) if hasattr(ref, "hex") else ref
+        seen: dict[int, str] = {}
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            h = host_of(url)
+            hid = host_id(h)
+            if hid in w:
+                seen[hid] = h
+            for _, dst_h, _ in resolve_outlinks(url, html):
+                did = host_id(dst_h)
+                if did in w:
+                    seen[did] = dst_h
+        return pa.table(
+            {
+                "hid": pa.array(list(seen.keys()), pa.int64()),
+                "host": pa.array(list(seen.values()), pa.string()),
+            }
+        )
+
+    labels: dict[int, str] = {}
+    for b in ds.map_batches(host_labels, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        labels.update(zip(b["hid"].to_pylist(), b["host"].to_pylist()))
+
+    order = np.lexsort(
+        (
+            top_t["entity_id"].to_numpy(zero_copy_only=False),
+            -top_t["rank_fp"].to_numpy(zero_copy_only=False),
+        )
+    )
+    ids = top_t["entity_id"].to_numpy(zero_copy_only=False)[order]
+    ranks = top_t["rank_fp"].to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "host": pa.array([labels[int(i)] for i in ids], pa.string()),
+            "rank_fp": pa.array(ranks, pa.int64()),
+        }
+    )
+
+
+QUERIES = {
+    "wg_outlinks": wg_outlinks,
+    "wg_host_graph": wg_host_graph,
+    "wg_host_rank": wg_host_rank,
+}

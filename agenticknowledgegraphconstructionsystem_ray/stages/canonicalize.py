@@ -344,7 +344,14 @@ def label_propagation_components_driverless(edges, max_rounds: int = 50):
             }
         )
 
-    edge_rows = edges.map_batches(explode, batch_format="pyarrow").materialize()
+    from ..runtime import cluster_cpus
+
+    n_parts = max(8, cluster_cpus())
+    edge_rows = (
+        edges.map_batches(explode, batch_format="pyarrow")
+        .repartition(n_parts)  # bound the per-round shuffle partition count
+        .materialize()
+    )
 
     # initial labels: every node labels itself
     labels = (
@@ -396,6 +403,7 @@ def label_propagation_components_driverless(edges, max_rounds: int = 50):
             .map_groups(attach, batch_format="pandas")
             .groupby("node")
             .aggregate(Min("cand", alias_name="label"))
+            .repartition(n_parts)  # union grows block count; re-bound it
             .materialize()
         )
 

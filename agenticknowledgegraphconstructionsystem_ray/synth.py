@@ -116,6 +116,36 @@ _ZIPF_EXP = 1.1
 _MIN_SENTS = 20
 _MAX_SENTS = 60
 
+# Cross-host "related" links (v3): targets are pure arithmetic in the page
+# index — no rng draws — so the planted triple/entity streams are unchanged
+# while the corpus gains a real web graph: 4 spread links (multiplicative
+# stride over the 1000 hosts) + 4 hub links (every page cites hosts 0-3:
+# planted head-host skew for the link-graph groupbys). Pages i%11==0 add an
+# UNQUOTED href (attribute-syntax edge case); i%13==0 add fragment-only and
+# javascript: targets (must be skipped by the extractor). The anchor texts
+# are entity- and predicate-free filler so extraction semantics of the KG
+# pipeline are untouched (goldens recompute regardless — GOLDEN_VERSION).
+_LINK_PRIMES = (101, 211, 307, 409)
+_N_SITES = 1000
+
+
+def _related_html(i: int) -> str:
+    links = [
+        f'<a href="https://site-{(i * p + k) % _N_SITES}.example/page/'
+        f'{(i * 13 + k) % 50000}">related record {i} {k}</a>'
+        for k, p in enumerate(_LINK_PRIMES)
+    ]
+    links += [
+        f'<a href="https://site-{k}.example/hub/{k}">hub list {k}</a>'
+        for k in range(4)
+    ]
+    if i % 11 == 0:
+        links.append(f"<a href=/raw/{i}>raw archive</a>")
+    if i % 13 == 0:
+        links.append('<a href="#top">top</a>')
+        links.append('<a href="javascript:void(0)">noop</a>')
+    return "<section><h2>related</h2>" + " ".join(links) + "</section>"
+
 
 def entity_universe(n: int = N_ENTITIES) -> list[dict]:
     """Deterministic entity table: canonical name, acronym alias, optional
@@ -196,7 +226,7 @@ def _page_html(i: int, rng: np.random.Generator, ents: list[dict], weights: np.n
         f"<html><head><title>Crawl record {i}</title>{_STYLE_HTML}</head>"
         f"<body>{_NAV_HTML}<h1>crawl record {i}</h1>{_SCRIPT_HTML}"
         f"<main>{''.join(paras)}</main>{_SIDEBAR_HTML}"
-        f"<ul>{items}</ul>{unclosed}{_FOOTER_HTML}"
+        f"<ul>{items}</ul>{unclosed}{_related_html(i)}{_FOOTER_HTML}"
         f"<!-- comment {i} --></body></html>"
     )
     return html.encode("utf-8")
@@ -250,7 +280,7 @@ def write_pages(
     """
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    tag = f"v2:{n_rows}:{n_files}:{seed}"  # v2: CC-weight pages
+    tag = f"v3:{n_rows}:{n_files}:{seed}"  # v3: + cross-host related links
     bounds = shard_bounds(n_rows, n_files)
     paths = [os.path.join(out_dir, f"pages-{s:05d}.parquet") for s, _, _ in bounds]
     if os.path.exists(marker) and open(marker).read() == tag:
