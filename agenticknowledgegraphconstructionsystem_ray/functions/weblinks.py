@@ -58,12 +58,37 @@ def host_of(url: str) -> str:
 
 
 def resolve_outlinks(page_url: str, html: bytes | None) -> list[tuple[str, str, bool]]:
-    """[(dst_url, dst_host, is_internal)] for every followed href."""
-    src_host = host_of(page_url)
+    """[(dst_url, dst_host, is_internal)] for every followed href.
+
+    Hot path: absolute http(s) targets and root-relative paths — the two
+    shapes covering ~all real links — resolve with string slicing (one
+    urlsplit per PAGE, none per link); everything else falls back to
+    RFC-3986 ``urljoin``. Both paths produce byte-identical results, and
+    the kernel is shared with the sequential golden either way."""
+    parts = urlsplit(page_url)
+    src_host = parts.netloc.lower()
+    base_root = f"{parts.scheme}://{parts.netloc}"
+    base_dir = page_url.rsplit("/", 1)[0] + "/" if "/" in parts.path else base_root + "/"
     out = []
     for href in extract_hrefs(html):
-        dst = urljoin(page_url, href)
-        h = host_of(dst)
+        # (uppercase schemes fall through to urljoin, which lowercases them)
+        if href.startswith(("https://", "http://")):
+            dst = href
+            rest = href[href.index("//") + 2 :]
+            h = rest.split("/", 1)[0].split("?", 1)[0].split("#", 1)[0].lower()
+        elif href[0] == "/" and not href.startswith("//") and "/." not in href:
+            dst = base_root + href
+            h = src_host
+        elif (
+            "/" not in href and ":" not in href and "?" not in href
+            and "#" not in href and href not in (".", "..")
+            and not parts.query and not parts.fragment
+        ):
+            dst = base_dir + href
+            h = src_host
+        else:
+            dst = urljoin(page_url, href)
+            h = host_of(dst)
         if not h:
             continue
         out.append((dst, h, h == src_host))

@@ -188,7 +188,7 @@ def _cluster_cpus() -> int:
     return cluster_cpus()
 
 
-LAYOUT_VERSION = "6"  # v6: synth v3 corpus (cross-host related links)
+LAYOUT_VERSION = "7"  # v7: synth v4 corpus (lowercase anchor text)
 
 
 def _config_fingerprint(cfg: "KGConfig") -> str:

@@ -130,13 +130,18 @@ _N_SITES = 1000
 
 
 def _related_html(i: int) -> str:
+    # anchor text must stay lowercase with no digit-initial token runs:
+    # the NER kernel treats capitalized/digit token runs as entity mentions
+    # (functions/triples._mention_runs), and "related record 17 3" planted
+    # ~4 spurious entities per page (196k nodes at sf0.1) before r17/k3
+    # style tokens fixed it.
     links = [
         f'<a href="https://site-{(i * p + k) % _N_SITES}.example/page/'
-        f'{(i * 13 + k) % 50000}">related record {i} {k}</a>'
+        f'{(i * 13 + k) % 50000}">related record r{i} k{k}</a>'
         for k, p in enumerate(_LINK_PRIMES)
     ]
     links += [
-        f'<a href="https://site-{k}.example/hub/{k}">hub list {k}</a>'
+        f'<a href="https://site-{k}.example/hub/{k}">hub list k{k}</a>'
         for k in range(4)
     ]
     if i % 11 == 0:
@@ -280,7 +285,7 @@ def write_pages(
     """
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    tag = f"v3:{n_rows}:{n_files}:{seed}"  # v3: + cross-host related links
+    tag = f"v4:{n_rows}:{n_files}:{seed}"  # v4: lowercase link anchor text
     bounds = shard_bounds(n_rows, n_files)
     paths = [os.path.join(out_dir, f"pages-{s:05d}.parquet") for s, _, _ in bounds]
     if os.path.exists(marker) and open(marker).read() == tag:

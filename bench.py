@@ -205,6 +205,9 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
 
         timed("q59_mixture_sample", mixture.q59_mixture_sample)
         timed("q67_bloom_semijoin", assembly.q67_bloom_semijoin)
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import weblinks
+
+        timed("wg_host_graph", weblinks.wg_host_graph)
 
     total = round(sum(queries.values()), 3)
     out = {

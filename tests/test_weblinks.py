@@ -115,3 +115,40 @@ def test_wg_outlinks_matches_sequential(ray_session, tmp_path):
     # a regular page has the 60 boilerplate internals + 8 related links
     n_links, n_ext, n_hosts = rows["https://site-1.example/page/1"]
     assert n_links >= 68 and n_ext >= 4
+
+
+def test_fast_path_matches_urljoin_fuzz():
+    """The sliced fast paths in resolve_outlinks must be byte-identical to
+    pure urljoin+urlsplit resolution on randomized href compositions."""
+    import random
+
+    from urllib.parse import urljoin, urlsplit
+
+    def slow(page_url, href):
+        dst = urljoin(page_url, href)
+        h = urlsplit(dst).netloc.lower()
+        return (dst, h, h == urlsplit(page_url).netloc.lower()) if h else None
+
+    rng = random.Random(5)
+    pages = [
+        "https://site-3.example/page/9",
+        "https://h.example",
+        "http://a.b.example/x/y/z",
+    ]
+    pieces = [
+        "/a", "b", ".", "..", "x.html", "https://o.example",
+        "http://q.example/p", "//cdn.example/j", "?k=v", "#f", ":80",
+        "HTTPS://U.example", "site", "/",
+    ]
+    for page in pages:
+        for _ in range(400):
+            href = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 3)))
+            if (
+                not href
+                or href.startswith("#")
+                or href.lower().startswith(("javascript:", "mailto:", "tel:", "data:"))
+            ):
+                continue
+            got = resolve_outlinks(page, f'<a href="{href}">t</a>'.encode())
+            want = slow(page, href)
+            assert got == ([want] if want else []), (page, href)
