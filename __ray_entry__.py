@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_docs_triples": kgqueries.kg_docs_triples,
             "kg_validation_issues": kgqueries.kg_validation_issues,
             "kg_lineage": kgqueries.kg_lineage,
+            "kg_edge_history": kgqueries.kg_edge_history,
             "kg_pagerank": graphalgo.kg_pagerank,
             "kg_degree_stats": graphalgo.kg_degree_stats,
             "kg_components": graphalgo.kg_components,

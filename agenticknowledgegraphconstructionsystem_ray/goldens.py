@@ -1774,6 +1774,36 @@ def kg_oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links FROM {_g('host_graph')}
         """,
         "wg_host_rank": f"SELECT host, rank_fp FROM {_g('host_rank')}",
+        "wg_reciprocity": f"""
+            WITH d AS (
+                SELECT DISTINCT src_host AS s, dst_host AS t
+                FROM {_g('host_graph')} WHERE src_host <> dst_host
+            ),
+            u AS (
+                SELECT LEAST(s, t) AS lo, GREATEST(s, t) AS hi,
+                       CAST(SUM(CASE WHEN s < t THEN 1 ELSE 2 END) AS BIGINT)
+                           AS m
+                FROM d GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT CAST(SUM(CASE WHEN m = 3 THEN 2 ELSE 1 END) AS BIGINT)
+                           AS n_pairs,
+                       CAST(SUM(CASE WHEN m = 3 THEN 2 ELSE 0 END) AS BIGINT)
+                           AS n_recip
+                FROM u
+            )
+            SELECT n_pairs, n_recip,
+                   CAST((1000000 * n_recip) // n_pairs AS BIGINT) AS recip_ppm
+            FROM c
+        """,
+        "kg_edge_history": f"""
+            SELECT subj_id, pred, obj_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   MIN(warc_ts) AS first_ts,
+                   MAX(warc_ts) AS last_ts
+            FROM {_g('edges')}
+            GROUP BY 1, 2, 3
+        """,
         "kg_pagerank": f"""
             SELECT entity_id, rank_fp FROM {_g('pagerank')}
         """,

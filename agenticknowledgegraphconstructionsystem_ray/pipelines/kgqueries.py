@@ -360,3 +360,57 @@ def kg_lineage(sf_dir: str):
             "status": pa.array([m["status"] for m in ms], pa.string()),
         }
     )
+
+
+def kg_edge_history(sf_dir: str):
+    """Temporal summary per distinct (subj_id, pred, obj_id) triple over the
+    materialized edges: how many pages assert it and the first/last crawl
+    timestamp — the temporal-KG shape (edge provenance over crawl time).
+    One groupby over the (already deduplicated per url) edge table; url
+    count == row count by the D4 dedup invariant. Oracle: SQL over the
+    golden edges parquet."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min
+
+    out = _ensure_run(sf_dir)
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges", "**", "*.parquet"),
+                         recursive=True)),
+        columns=["subj_id", "pred", "obj_id", "warc_ts"],
+    )
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj_id": t["subj_id"],
+                "pred": t["pred"],
+                "obj_id": t["obj_id"],
+                "ts_us": pc.cast(t["warc_ts"], pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj_id": t["subj_id"],
+                "pred": t["pred"],
+                "obj_id": t["obj_id"],
+                "n_pages": pc.cast(t["n_pages"], pa.int64()),
+                "first_ts": pc.cast(t["first_us"], pa.timestamp("us")),
+                "last_ts": pc.cast(t["last_us"], pa.timestamp("us")),
+            }
+        )
+
+    return (
+        edges.map_batches(to_us, batch_format="pyarrow")
+        .groupby(["subj_id", "pred", "obj_id"])
+        .aggregate(
+            Count(alias_name="n_pages"),
+            Min("ts_us", alias_name="first_us"),
+            Max("ts_us", alias_name="last_us"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

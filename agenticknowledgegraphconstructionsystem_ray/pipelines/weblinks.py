@@ -202,3 +202,80 @@ QUERIES = {
     "wg_host_graph": wg_host_graph,
     "wg_host_rank": wg_host_rank,
 }
+
+
+def wg_reciprocity(sf_dir: str):
+    """Host-graph reciprocity: of the distinct EXTERNAL directed host pairs
+    (src != dst), how many have the reverse edge too — one row
+    (n_pairs, n_recip, recip_ppm). Shape: the per-block pair combiner,
+    a distinct-pair groupby on the UNORDERED key carrying a direction
+    bitmask partial, and a two-int global reduce."""
+    from ray.data.aggregate import Sum
+
+    ds = pages_dataset(sf_dir)
+
+    def unordered(t: pa.Table) -> pa.Table:
+        lo, hi, dmask = [], [], []
+        seen: set[tuple[str, str]] = set()
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            src = host_of(url)
+            for _, dst, internal in resolve_outlinks(url, html):
+                if internal or dst == src:
+                    continue
+                k = (src, dst)
+                if k in seen:
+                    continue
+                seen.add(k)
+                a, b = (src, dst) if src < dst else (dst, src)
+                lo.append(a)
+                hi.append(b)
+                dmask.append(1 if src < dst else 2)
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.string()),
+                "hi": pa.array(hi, pa.string()),
+                "dmask": pa.array(dmask, pa.int64()),
+            }
+        )
+
+    def tally(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        fwd = (m & 1) > 0
+        rev = (m & 2) > 0
+        n_dir = int(fwd.sum() + rev.sum())
+        n_rec = int((fwd & rev).sum()) * 2  # both directions count
+        return pa.table(
+            {
+                "n_pairs_p": pa.array([n_dir], pa.int64()),
+                "n_recip_p": pa.array([n_rec], pa.int64()),
+            }
+        )
+
+    # distinct (pair, direction) rows first, then OR the direction bits via
+    # Sum (each bit appears at most once after the dedup groupby)
+    dedup = (
+        ds.map_batches(unordered, batch_format="pyarrow")
+        .groupby(["lo", "hi", "dmask"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby(["lo", "hi"])
+        .aggregate(Sum("dmask", alias_name="m"))
+    )
+    out = dedup.map_batches(tally, batch_format="pyarrow").sum(
+        ["n_pairs_p", "n_recip_p"]
+    )
+    n_pairs = int(out["sum(n_pairs_p)"])
+    n_recip = int(out["sum(n_recip_p)"])
+    return pa.table(
+        {
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "n_recip": pa.array([n_recip], pa.int64()),
+            "recip_ppm": pa.array(
+                [(1_000_000 * n_recip) // n_pairs if n_pairs else 0], pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["wg_reciprocity"] = wg_reciprocity
