@@ -1649,6 +1649,12 @@ def _negatives_sql() -> str:
     """
 
 
+def _stop_en_sql() -> str:
+    from .stages.textstats import LANG_STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+
+
 def kg_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the kg_* driver queries, reading the sequential
     golden parquet. Pinned to the driver's correctness scale (sf0.01)."""
@@ -1795,6 +1801,28 @@ def kg_oracle_sql() -> dict[str, str]:
             SELECT n_pairs, n_recip,
                    CAST((1000000 * n_recip) // n_pairs AS BIGINT) AS recip_ppm
             FROM c
+        """,
+        "wg_host_quality": f"""
+            WITH q AS (
+                SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                       length(list_filter(regexp_split_to_array(lower(text),
+                              '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
+                       length(list_intersect(
+                           list_distinct(list_filter(regexp_split_to_array(
+                               lower(text), '[^a-z0-9]+'), x -> x <> '')),
+                           {_stop_en_sql()})) AS stop_hits_en,
+                       length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+                FROM {_g('text')}
+            )
+            SELECT host,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(SUM(CASE WHEN n_tokens >= 50 AND stop_hits_en >= 3
+                                  AND n_punct * 4 <= n_tokens
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(SUM(CASE WHEN n_tokens < 10 OR stop_hits_en = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM q GROUP BY host ORDER BY host
         """,
         "kg_edge_history": f"""
             SELECT subj_id, pred, obj_id,

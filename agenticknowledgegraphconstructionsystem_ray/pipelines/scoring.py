@@ -892,3 +892,128 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY e.doc_id, v.term_id
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# q87: bigram LM surprisal — q49's integer-exact perplexity-filter shape
+# lifted to adjacent-token bigrams (order-sensitive context, one notch of
+# real LM-ness up from the unigram model; same broadcast-top-V scale story)
+# ---------------------------------------------------------------------------
+
+def q87_bigram_surprisal(sf_dir: str):
+    """Per-document bigram surprisal: train corpus-wide adjacent-pair
+    counts (per-block partials -> one groupby), broadcast the exact top-V
+    bigram table once, score each document in one map pass.
+    surprisal(b) = digits10(total_bigrams // count(b)), OOV =
+    digits10(total_bigrams) + 1 — identical quantization to q49 so both
+    scores are driver-hash-stable."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in t["text"].to_pylist():
+            toks = _TOKEN_RE.findall(text.lower())
+            for i in range(len(toks) - 1):
+                b = toks[i] + " " + toks[i + 1]
+                counts[b] = counts.get(b, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n_p": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .materialize()  # bigram-vocab-sized, consumed twice (total + top-V)
+    )
+    total = int(counts.sum("n"))
+
+    def block_topv(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        keep = np.lexsort((terms, -n))[:_LM_VOCAB]
+        return pa.table(
+            {
+                "term": pa.array(terms[keep].tolist(), pa.string()),
+                "n": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    cand = counts.map_batches(block_topv, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["n"], r["term"]))
+    vocab = {r["term"]: len(str(total // r["n"])) for r in cand[:_LM_VOCAB]}
+    ref = ray.put((vocab, len(str(total)) + 1))
+
+    class ScoreBigram:
+        def __init__(self, ref) -> None:
+            self.w, self.oov = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            w, oov = self.w, self.oov
+            n_bi, scores = [], []
+            for text in t["text"].to_pylist():
+                toks = _TOKEN_RE.findall(text.lower())
+                s = 0
+                for i in range(len(toks) - 1):
+                    s += w.get(toks[i] + " " + toks[i + 1], oov)
+                n_bi.append(max(0, len(toks) - 1))
+                scores.append(s)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_bigrams": pa.array(n_bi, pa.int64()),
+                    "lm2_score": pa.array(scores, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        ScoreBigram,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    ).sort("doc_id")
+
+
+QUERIES["q87_bigram_surprisal"] = q87_bigram_surprisal
+
+ORACLE_SQL["q87_bigram_surprisal"] = f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, w[g] || ' ' || w[g+1] AS term
+        FROM words, UNNEST(generate_series(1, greatest(0, len(w) - 1))) AS t(g)
+    ),
+    cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY term),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM bi),
+    vocab AS (
+        SELECT term, cnt FROM (
+            SELECT term, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, term) AS rk
+            FROM cnt
+        ) WHERE rk <= {_LM_VOCAB}
+    ),
+    per_bi AS (
+        SELECT b.doc_id,
+               CASE WHEN v.term IS NULL
+                    THEN length(CAST(tot.total AS VARCHAR)) + 1
+                    ELSE length(CAST((tot.total // v.cnt) AS VARCHAR))
+               END AS s
+        FROM bi b CROSS JOIN tot LEFT JOIN vocab v USING (term)
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(s) AS BIGINT) AS lm2_score
+        FROM per_bi GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(a.lm2_score, 0) AS BIGINT) AS lm2_score
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+"""

@@ -279,3 +279,75 @@ def wg_reciprocity(sf_dir: str):
 
 
 QUERIES["wg_reciprocity"] = wg_reciprocity
+
+
+def wg_host_quality(sf_dir: str):
+    """Per-host quality profile over the EXTRACTED page text: page count,
+    high/low-quality page counts (q26's integer-exact bucket rules) and
+    total tokens — the host-level signal a crawl-curation pipeline ranks
+    and prunes domains by. Shape: reuses the KG pipeline's extracted-text
+    parquet (resume-shared), per-block per-host partial sums (combiner),
+    ONE host groupby. Oracle: SQL over the golden text parquet."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.textstats import _PUNCT_RE, _TOKEN_RE, LANG_STOPWORDS
+    from . import kg
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    ds = kg.text_dataset(out, columns=["url", "text"])
+    stop_set = frozenset(LANG_STOPWORDS["en"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for url, text in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+            host = host_of(url)
+            lower = text.lower()
+            toks = _TOKEN_RE.findall(lower)
+            nt = len(toks)
+            se = len(set(toks) & stop_set)
+            npunct = len(_PUNCT_RE.findall(text))
+            high = 1 if (nt >= 50 and se >= 3 and npunct * 4 <= nt) else 0
+            low = 1 if (nt < 10 or se == 0) else 0
+            a = agg.setdefault(host, [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += high
+            a[2] += low
+            a[3] += nt
+        hosts = sorted(agg)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_pages_p": pa.array([agg[h][0] for h in hosts], pa.int64()),
+                "n_high_p": pa.array([agg[h][1] for h in hosts], pa.int64()),
+                "n_low_p": pa.array([agg[h][2] for h in hosts], pa.int64()),
+                "tok_p": pa.array([agg[h][3] for h in hosts], pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"],
+                "n_pages": t["n_pages"],
+                "n_high": t["n_high"],
+                "n_low": t["n_low"],
+                "sum_tokens": t["sum_tokens"],
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            _Sum("n_pages_p", alias_name="n_pages"),
+            _Sum("n_high_p", alias_name="n_high"),
+            _Sum("n_low_p", alias_name="n_low"),
+            _Sum("tok_p", alias_name="sum_tokens"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("host")
+    )
+
+
+QUERIES["wg_host_quality"] = wg_host_quality

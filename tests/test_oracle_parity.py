@@ -81,6 +81,7 @@ FAST_QUERIES = [
     "q84_user_paths",
     "q85_pareto_parts",
     "q86_setsim_join",
+    "q87_bigram_surprisal",
 ]
 
 
