@@ -57,20 +57,21 @@ def host_of(url: str) -> str:
     return urlsplit(url).netloc.lower()
 
 
-def resolve_outlinks(page_url: str, html: bytes | None) -> list[tuple[str, str, bool]]:
-    """[(dst_url, dst_host, is_internal)] for every followed href.
-
-    Hot path: absolute http(s) targets and root-relative paths — the two
-    shapes covering ~all real links — resolve with string slicing (one
-    urlsplit per PAGE, none per link); everything else falls back to
-    RFC-3986 ``urljoin``. Both paths produce byte-identical results, and
-    the kernel is shared with the sequential golden either way."""
+def _make_resolver(page_url: str):
+    """(href) -> (dst_url, dst_host) | None, with the page's base context
+    precomputed once. Hot path: absolute http(s) targets and
+    root/bare-relative paths — the shapes covering ~all real links —
+    resolve with string slicing (no per-link urlsplit); everything else
+    (dot segments, scheme-relative, uppercase schemes, exotic shapes)
+    falls back to RFC-3986 ``urljoin``. Fuzz-tested byte-identical to pure
+    urljoin resolution."""
     parts = urlsplit(page_url)
     src_host = parts.netloc.lower()
     base_root = f"{parts.scheme}://{parts.netloc}"
     base_dir = page_url.rsplit("/", 1)[0] + "/" if "/" in parts.path else base_root + "/"
-    out = []
-    for href in extract_hrefs(html):
+    plain_base = not parts.query and not parts.fragment
+
+    def resolve(href: str):
         # (uppercase schemes fall through to urljoin, which lowercases them)
         if href.startswith(("https://", "http://")):
             dst = href
@@ -81,16 +82,27 @@ def resolve_outlinks(page_url: str, html: bytes | None) -> list[tuple[str, str, 
             h = src_host
         elif (
             "/" not in href and ":" not in href and "?" not in href
-            and "#" not in href and href not in (".", "..")
-            and not parts.query and not parts.fragment
+            and "#" not in href and href not in (".", "..") and plain_base
         ):
             dst = base_dir + href
             h = src_host
         else:
             dst = urljoin(page_url, href)
             h = host_of(dst)
-        if not h:
+        return (dst, h) if h else None
+
+    return src_host, resolve
+
+
+def resolve_outlinks(page_url: str, html: bytes | None) -> list[tuple[str, str, bool]]:
+    """[(dst_url, dst_host, is_internal)] for every followed href."""
+    src_host, resolve = _make_resolver(page_url)
+    out = []
+    for href in extract_hrefs(html):
+        r = resolve(href)
+        if r is None:
             continue
+        dst, h = r
         out.append((dst, h, h == src_host))
     return out
 
@@ -102,3 +114,42 @@ def host_id(host: str) -> int:
     collision could only merge two hosts' rank mass, never crash)."""
     d = hashlib.blake2b(host.encode("utf-8"), digest_size=8).digest()
     return int.from_bytes(d, "big") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+_ANCHOR_RE = re.compile(
+    rb"<a\b[^>]*?\bhref\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
+    rb"[^>]*>(.*?)</a\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_INNER_TAG_RE = re.compile(r"<[^>]*>")
+_ANCHOR_WS_RE = re.compile(r"\s+")
+
+
+def extract_anchor_links(
+    page_url: str, html: bytes | None
+) -> list[tuple[str, str, bool, str]]:
+    """[(dst_url, dst_host, is_internal, anchor_text)] for every followed
+    href whose ``<a>`` element is properly CLOSED (unclosed anchors carry no
+    delimitable text; ``extract_hrefs`` still counts them as links).
+    Anchor text is tag-stripped, entity-unescaped, whitespace-collapsed."""
+    if not html:
+        return []
+    from html import unescape
+
+    src_host, resolve = _make_resolver(page_url)
+    out = []
+    for m in _ANCHOR_RE.finditer(bytes(html)):
+        v = next(g for g in m.groups()[:3] if g is not None)
+        href = v.decode("utf-8", errors="replace").strip()
+        if not href or href.startswith("#"):
+            continue
+        if href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        r = resolve(href)
+        if r is None:
+            continue
+        dst, h = r
+        text = _INNER_TAG_RE.sub(" ", m.group(4).decode("utf-8", errors="replace"))
+        text = _ANCHOR_WS_RE.sub(" ", unescape(text)).strip()
+        out.append((dst, h, h == src_host, text))
+    return out

@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "26"  # v26: synth v4 (lowercase anchor text)
+GOLDEN_VERSION = "27"  # v27: + anchor-term index golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -1244,6 +1244,41 @@ def _seq_weblinks_tables(pages_dir: str) -> tuple[pa.Table, pa.Table, pa.Table]:
     return stats, graph, rank
 
 
+def _seq_anchor_terms(pages_dir: str) -> pa.Table:
+    """Sequential anchor-term index golden: shared extract_anchor_links
+    kernel, dict aggregation, per-host top-k by (n desc, term asc)."""
+    import re as _re
+
+    from .functions.weblinks import extract_anchor_links
+    from .pipelines.weblinks import ANCHOR_TOPK
+
+    term_re = _re.compile(r"[a-z0-9]+")
+    counts: dict[tuple[str, str], int] = {}
+    for f in sorted(glob.glob(os.path.join(pages_dir, "*.parquet"))):
+        t = pq.read_table(f, columns=["url", "html"])
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            for _, h, internal, text in extract_anchor_links(url, html):
+                if internal:
+                    continue
+                for tok in term_re.findall(text.lower()):
+                    counts[(tok, h)] = counts.get((tok, h), 0) + 1
+    by_host: dict[str, list[tuple[int, str]]] = {}
+    for (tok, h), n in counts.items():
+        by_host.setdefault(h, []).append((n, tok))
+    rows = []
+    for h in sorted(by_host):
+        top = sorted(by_host[h], key=lambda x: (-x[0], x[1]))[:ANCHOR_TOPK]
+        rows.extend((h, tok, n) for n, tok in top)
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pa.table(
+        {
+            "dst_host": pa.array([r[0] for r in rows], pa.string()),
+            "term": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _doc_ids(sf_dir: str) -> list[int]:
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     return t["doc_id"].to_pylist()
@@ -1440,6 +1475,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["host_graph"],
         tables["host_rank"],
     ) = _seq_weblinks_tables(pages_dir)
+    tables["anchor_terms"] = _seq_anchor_terms(pages_dir)
     if os.path.isdir(sf_dir):
         tables["docs_triples"] = _compute_docs_triples_golden(sf_dir)
         tables["dd_minhash"] = _seq_minhash_pairs(sf_dir)
@@ -1780,6 +1816,9 @@ def kg_oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links FROM {_g('host_graph')}
         """,
         "wg_host_rank": f"SELECT host, rank_fp FROM {_g('host_rank')}",
+        "wg_anchor_terms": f"""
+            SELECT dst_host, term, n FROM {_g('anchor_terms')}
+        """,
         "wg_reciprocity": f"""
             WITH d AS (
                 SELECT DISTINCT src_host AS s, dst_host AS t

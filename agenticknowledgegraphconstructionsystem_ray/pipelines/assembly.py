@@ -1122,3 +1122,85 @@ ORACLE_SQL["q74_threshold_sweep"] = f"""
                AS recall_ppm
     FROM conf ORDER BY thr
 """
+
+
+# ---------------------------------------------------------------------------
+# q88: calibration bins (reliability diagram) for the q47 quality score
+# against the Gopher-rule verdict — the model-eval sibling of q74: instead
+# of sweeping a decision threshold, bucket documents by score and measure
+# the empirical positive rate per bucket.
+# ---------------------------------------------------------------------------
+
+CALIB_BIN_W = 200
+CALIB_BIN_MAX = 7  # scores >= CALIB_BIN_W * CALIB_BIN_MAX clamp to the top bin
+
+
+def q88_calibration_bins(sf_dir: str):
+    """Per score bin (floor(score / CALIB_BIN_W), clamped to
+    [0, CALIB_BIN_MAX]): doc count, Gopher-keep count, keep-rate ppm.
+    ONE map pass emits per-block (bin, n, pos) partials; a <=8-row groupby
+    finishes. Integer-exact end to end."""
+    from ..pipelines.gopher import _gopher_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        feats = np.array(
+            [doc_features(x) for x in texts], dtype=np.int64
+        ).reshape(len(texts), 4)
+        score = feats @ np.asarray(QUALITY_W, np.int64)
+        truth = _gopher_batch(t)["keep"].to_numpy().astype(np.int64)
+        bins = np.clip(score // CALIB_BIN_W, 0, CALIB_BIN_MAX)
+        ids, inv = np.unique(bins, return_inverse=True)
+        n = np.bincount(inv, minlength=len(ids)).astype(np.int64)
+        pos = np.bincount(inv, weights=truth, minlength=len(ids)).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(ids, pa.int64()),
+                "n_p": pa.array(n, pa.int64()),
+                "pos_p": pa.array(pos, pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = t["n_pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin": t["bin"],
+                "n": pa.array(n, pa.int64()),
+                "n_pos": pa.array(pos, pa.int64()),
+                "keep_rate_ppm": pa.array(
+                    np.where(n > 0, pos * 1_000_000 // np.maximum(n, 1), 0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("pos_p", alias_name="n_pos"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("bin")
+    )
+
+
+QUERIES["q88_calibration_bins"] = q88_calibration_bins
+
+ORACLE_SQL["q88_calibration_bins"] = f"""
+    WITH score AS ({ORACLE_SQL["q47_quality_classifier"]}),
+    truth AS ({_GOPHER_SQL["q57_gopher_rules"]}),
+    binned AS (
+        SELECT greatest(least(s.score // {CALIB_BIN_W}, {CALIB_BIN_MAX}), 0)
+                   AS bin,
+               g.keep
+        FROM score s JOIN truth g USING (doc_id)
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(keep) AS BIGINT) AS n_pos,
+           CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS keep_rate_ppm
+    FROM binned GROUP BY bin ORDER BY bin
+"""

@@ -135,7 +135,7 @@ def wg_host_rank(sf_dir: str):
         )
 
     tagged = ds.map_batches(edge_rows, batch_format="pyarrow").materialize()
-    edges = tagged.filter(lambda r: r["is_edge"]).select_columns(
+    edges = tagged.filter(expr="is_edge == True").select_columns(
         ["subj_id", "obj_id"]
     )
     nodes = (
@@ -351,3 +351,59 @@ def wg_host_quality(sf_dir: str):
 
 
 QUERIES["wg_host_quality"] = wg_host_quality
+
+
+ANCHOR_TOPK = 5
+_ANCHOR_TERM_RE = None  # compiled lazily in workers
+
+
+def _anchor_term_re():
+    global _ANCHOR_TERM_RE
+    if _ANCHOR_TERM_RE is None:
+        import re
+
+        _ANCHOR_TERM_RE = re.compile(r"[a-z0-9]+")
+    return _ANCHOR_TERM_RE
+
+
+def wg_anchor_terms(sf_dir: str):
+    """Inverted anchor-text index: for every EXTERNAL link target host, the
+    top-{ANCHOR_TOPK} terms other pages use when linking to it — the classic
+    web-search relevance signal (anchor text describes the TARGET, not the
+    source). Shape: per-block (term, dst_host) count partials (combiner),
+    ONE groupby-sum, then the grouped top-k combiner (stages/topk.py) so
+    the shuffle carries at most k rows per (block, host)."""
+    from ..functions.weblinks import extract_anchor_links
+    from ..stages.topk import grouped_topk
+
+    ds = pages_dataset(sf_dir)
+    term_re = _anchor_term_re()
+
+    def partials(t: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            for _, h, internal, text in extract_anchor_links(url, html):
+                if internal:
+                    continue
+                for tok in term_re.findall(text.lower()):
+                    k = (tok, h)
+                    counts[k] = counts.get(k, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array([k[0] for k in counts], pa.string()),
+                "dst_host": pa.array([k[1] for k in counts], pa.string()),
+                "n_p": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["term", "dst_host"])
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+    return grouped_topk(
+        agg, "dst_host", by=["n", "term"], descending=[True, False], k=ANCHOR_TOPK
+    ).select_columns(["dst_host", "term", "n"]).sort(["dst_host", "term"])
+
+
+QUERIES["wg_anchor_terms"] = wg_anchor_terms
