@@ -152,3 +152,34 @@ def test_fast_path_matches_urljoin_fuzz():
             got = resolve_outlinks(page, f'<a href="{href}">t</a>'.encode())
             want = slow(page, href)
             assert got == ([want] if want else []), (page, href)
+
+
+def test_extract_anchor_links():
+    from agenticknowledgegraphconstructionsystem_ray.functions.weblinks import (
+        extract_anchor_links,
+    )
+
+    base = "https://s.example/a/b"
+    html = (
+        b'<a href="https://o.example/p">Hello <b>World</b> &amp; co</a>'
+        b'<a href="/x">  spaced\n  text </a>'
+        b'<a href="#f">frag</a>'
+        b'<a href="/y">unclosed'
+    )
+    got = extract_anchor_links(base, html)
+    assert got == [
+        ("https://o.example/p", "o.example", False, "Hello World & co"),
+        ("https://s.example/x", "s.example", True, "spaced text"),
+    ]
+    assert extract_anchor_links(base, None) == []
+    assert extract_anchor_links(base, b"<a href=") == []
+
+
+def test_anchor_links_empty_text_and_attrs():
+    from agenticknowledgegraphconstructionsystem_ray.functions.weblinks import (
+        extract_anchor_links,
+    )
+
+    html = b'<a class="z" href=/raw/7 rel="nofollow"></a>'
+    got = extract_anchor_links("https://s.example/p/1", html)
+    assert got == [("https://s.example/raw/7", "s.example", True, "")]
