@@ -1017,3 +1017,134 @@ ORACLE_SQL["q87_bigram_surprisal"] = f"""
     FROM documents d LEFT JOIN agg a USING (doc_id)
     ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q89: BM25 top-k retrieval, integer-exact (Robertson/Sparck-Jones BM25 with
+# k1 = 6/5, b = 3/4 — the standard constants as exact rationals, and the
+# digits10-quantized idf from q49, so every score is a BIGINT both here and
+# in the SQL oracle).
+#
+# With N docs, T total tokens, df(t) docs containing t, tf term frequency
+# and dl document length:
+#     tf-part  = tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl*N/T)
+#              = 22*T*tf   / (10*T*tf + 3*T + 9*dl*N)          (exact ints)
+#     idf_q(t) = digits10((2N + 1) // (2*df + 1))              (monotone)
+#     score    = sum over query terms of idf_q * tf_part_ppm
+#
+# Shape: corpus stats (N, T, df of the 3 query terms) from two tiny
+# aggregates, broadcast as plain ints; ONE scoring map pass; per-block
+# top-k combiner rows -> driver merge of blocks*k rows (the ann_brute
+# pattern). Nothing vocabulary- or corpus-sized moves.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("data", "model", "training")
+BM25_K = 20
+
+
+def q89_bm25_topk(sf_dir: str):
+    """Top-{BM25_K} documents for the fixed query {BM25_QUERY} by
+    integer-exact BM25, ties broken by doc_id asc."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    qterms = list(BM25_QUERY)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        n, tok = 0, 0
+        dfp = {q: 0 for q in qterms}
+        for text in t["text"].to_pylist():
+            toks = _TOKEN_RE.findall(text.lower())
+            n += 1
+            tok += len(toks)
+            s = set(toks)
+            for q in qterms:
+                if q in s:
+                    dfp[q] += 1
+        return pa.table(
+            {
+                "n_p": pa.array([n], pa.int64()),
+                "tok_p": pa.array([tok], pa.int64()),
+                **{
+                    f"df_{i}_p": pa.array([dfp[q]], pa.int64())
+                    for i, q in enumerate(qterms)
+                },
+            }
+        )
+
+    stats = docs.map_batches(stats_partial, batch_format="pyarrow").sum(
+        ["n_p", "tok_p"] + [f"df_{i}_p" for i in range(len(qterms))]
+    )
+    N = int(stats["sum(n_p)"])
+    T = int(stats["sum(tok_p)"])
+    idf = {
+        q: len(str((2 * N + 1) // (2 * int(stats[f"sum(df_{i}_p)"]) + 1)))
+        for i, q in enumerate(qterms)
+    }
+    ref = ray.put((idf, T, N))
+
+    def score_topk(t: pa.Table, _ref=ref) -> pa.Table:
+        idf_, T_, N_ = ray.get(_ref) if hasattr(_ref, "hex") else _ref
+        ids, scores = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall(text.lower())
+            dl = len(toks)
+            s = 0
+            for q, w in idf_.items():
+                tf = toks.count(q)
+                if tf:
+                    part = (1_000_000 * 22 * T_ * tf) // (
+                        10 * T_ * tf + 3 * T_ + 9 * dl * N_
+                    )
+                    s += w * part
+            if s > 0:
+                ids.append(doc_id)
+                scores.append(s)
+        # per-block top-k combiner: only k rows per block survive
+        order = np.lexsort((np.array(ids), -np.array(scores)))[:BM25_K] if ids else []
+        return pa.table(
+            {
+                "doc_id": pa.array([ids[i] for i in order], pa.int64()),
+                "bm25_ppm": pa.array([scores[i] for i in order], pa.int64()),
+            }
+        )
+
+    cand = docs.map_batches(score_topk, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["bm25_ppm"], r["doc_id"]))
+    top = cand[:BM25_K]
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in top], pa.int64()),
+            "bm25_ppm": pa.array([r["bm25_ppm"] for r in top], pa.int64()),
+        }
+    )
+
+
+QUERIES["q89_bm25_topk"] = q89_bm25_topk
+
+_BM25_TERMS_SQL = ", ".join(f"'{q}'" for q in BM25_QUERY)
+
+ORACLE_SQL["q89_bm25_topk"] = f"""
+    WITH tok AS ({_TOK_SQL}),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM tok),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen
+           FROM tok GROUP BY doc_id),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE term IN ({_BM25_TERMS_SQL})
+           GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(SUM(
+                   length(CAST((2 * n.nd + 1) // (2 * df.df + 1) AS VARCHAR))
+                   * ((1000000 * 22 * t.tt * tf.tf)
+                      // (10 * t.tt * tf.tf + 3 * t.tt + 9 * dl.dlen * n.nd))
+               ) AS BIGINT) AS bm25_ppm
+        FROM tf
+        JOIN df USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN n CROSS JOIN t
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25_ppm FROM scored
+    WHERE bm25_ppm > 0
+    ORDER BY bm25_ppm DESC, doc_id LIMIT {BM25_K}
+"""
