@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_lineage": kgqueries.kg_lineage,
             "kg_edge_history": kgqueries.kg_edge_history,
             "kg_pagerank": graphalgo.kg_pagerank,
+            "kg_ppr": graphalgo.kg_ppr,
             "kg_degree_stats": graphalgo.kg_degree_stats,
             "kg_components": graphalgo.kg_components,
             "kg_triangles": graphalgo.kg_triangles,

@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "27"  # v27: + anchor-term index golden
+GOLDEN_VERSION = "28"  # v28: + personalized-pagerank golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -629,6 +629,47 @@ def _seq_pagerank(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
     rank = {v: PR_SCALE for v in node_ids}
     for _ in range(PR_ITERS):
         nxt = {v: PR_BASE for v in node_ids}
+        for s, outs in succ.items():
+            share = (rank[s] * PR_DAMP_NUM // PR_DAMP_DEN) // len(outs)
+            for o in outs:
+                nxt[o] += share
+        rank = nxt
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:PR_TOP]
+    return pa.table(
+        {
+            "entity_id": pa.array([k for k, _ in top], pa.int64()),
+            "rank_fp": pa.array([v for _, v in top], pa.int64()),
+        }
+    )
+
+
+def _seq_ppr(nodes_t: pa.Table, edges_t: pa.Table, seed_mod: int) -> pa.Table:
+    """Sequential personalized-PageRank golden — _seq_pagerank with the
+    teleport mass (init + per-round base) restricted to seed nodes."""
+    from .pipelines.graphalgo import (
+        PR_BASE,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        PR_TOP,
+    )
+
+    node_ids = nodes_t["entity_id"].to_pylist()
+    pairs = {
+        (s, o)
+        for s, o in zip(
+            edges_t["subj_id"].to_pylist(), edges_t["obj_id"].to_pylist()
+        )
+        if s >= 0 and o >= 0
+    }
+    succ: dict[int, list[int]] = {}
+    for s, o in pairs:
+        succ.setdefault(s, []).append(o)
+
+    rank = {v: (PR_SCALE if v % seed_mod == 0 else 0) for v in node_ids}
+    for _ in range(PR_ITERS):
+        nxt = {v: (PR_BASE if v % seed_mod == 0 else 0) for v in node_ids}
         for s, outs in succ.items():
             share = (rank[s] * PR_DAMP_NUM // PR_DAMP_DEN) // len(outs)
             for o in outs:
@@ -1464,6 +1505,9 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     alias = synth.alias_dict()
     tables = _compute_kg_golden(pages_dir, alias)
     tables["pagerank"] = _seq_pagerank(tables["nodes"], tables["edges"])
+    from .pipelines.graphalgo import PPR_SEED_MOD
+
+    tables["ppr"] = _seq_ppr(tables["nodes"], tables["edges"], PPR_SEED_MOD)
     tables["components"] = _seq_components(tables["nodes"], tables["edges"])
     tables["kcore"] = _seq_kcore(tables["edges"])
     tables["bfs"] = _seq_bfs(tables["nodes"], tables["edges"])
@@ -1871,6 +1915,7 @@ def kg_oracle_sql() -> dict[str, str]:
             FROM {_g('edges')}
             GROUP BY 1, 2, 3
         """,
+        "kg_ppr": f"SELECT entity_id, rank_fp FROM {_g('ppr')}",
         "kg_pagerank": f"""
             SELECT entity_id, rank_fp FROM {_g('pagerank')}
         """,

@@ -196,10 +196,16 @@ def _contrib_batch(t: pa.Table) -> pa.Table:
 
 
 def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
-             iters: int = PR_ITERS, top: int = PR_TOP) -> "rd.Dataset":
+             iters: int = PR_ITERS, top: int = PR_TOP,
+             seed_mod: int | None = None) -> "rd.Dataset":
     """Fixed-point PageRank. ``edges``: (subj_id, obj_id) int64 rows (may
     repeat; deduped here). ``nodes``: (entity_id) int64, one row per node —
-    isolated nodes keep the teleport base."""
+    isolated nodes keep the teleport base.
+
+    ``seed_mod``: PERSONALIZED variant — teleport mass (initial rank and
+    the per-round base) goes only to nodes with ``node_id % seed_mod == 0``
+    instead of every node; everything else about the integer fixed-point
+    semantics is identical."""
     n_parts = max(8, cluster_cpus())
 
     pairs = (
@@ -237,11 +243,24 @@ def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
         .materialize()
     )
 
+    def _seed_mask(ids_col) -> "pa.Array":
+        import numpy as np
+
+        ids = ids_col.combine_chunks().to_numpy(zero_copy_only=False)
+        if seed_mod is None:
+            return pa.array(np.ones(len(ids), dtype=bool))
+        return pa.array((ids % seed_mod) == 0)
+
     def init_rank(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        m = _seed_mask(t["node_id"])
         return pa.table(
             {
                 "node_id": t["node_id"],
-                "rank": pa.array([PR_SCALE] * len(t), pa.int64()),
+                "rank": pc.if_else(m, pa.scalar(PR_SCALE, pa.int64()),
+                                   pa.scalar(0, pa.int64())),
             }
         )
 
@@ -250,10 +269,13 @@ def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        m = _seed_mask(t["node_id"])
+        base = pc.if_else(m, pa.scalar(PR_BASE, pa.int64()),
+                          pa.scalar(0, pa.int64()))
         return pa.table(
             {
                 "node_id": t["node_id"],
-                "rank": pc.add(t["s"], PR_BASE),
+                "rank": pc.add(t["s"], base),
             }
         )
 
@@ -1665,3 +1687,20 @@ def kg_clustering(sf_dir: str):
     out = _ensure_run(sf_dir)
     edges = _kg_edges_ds(out)
     return clustering_coefficients(edges)
+
+
+PPR_SEED_MOD = 10
+
+
+def kg_ppr(sf_dir: str):
+    """Driver query: PERSONALIZED PageRank over the materialized KG —
+    teleport restricted to the seed set entity_id % {PPR_SEED_MOD} == 0
+    (the related-entity recommendation shape: rank mass measures proximity
+    to the seeds, not global centrality). Oracle: golden-file sequential
+    mirror (goldens._seq_ppr)."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = _kg_edges_ds(out)
+    nodes = _kg_nodes_ds(out)
+    return pagerank(edges, nodes, seed_mod=PPR_SEED_MOD)
