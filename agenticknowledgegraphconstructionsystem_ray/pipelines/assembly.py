@@ -1204,3 +1204,92 @@ ORACLE_SQL["q88_calibration_bins"] = f"""
            CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS keep_rate_ppm
     FROM binned GROUP BY bin ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# q90: exact ROC-AUC of the q47 score against the Gopher verdict —
+# Mann-Whitney U in pure integers: 2U = 2*|{(p,n): s_p > s_n}| + |{s_p = s_n}|,
+# AUC_ppm = 1e6 * 2U // (2 * n_pos * n_neg).
+# Shape: ONE map pass -> per-block (score, pos, neg) partials; the grouped
+# per-score histogram is DISTINCT-SCORE-sized (bounded by the integer
+# feature space, not the corpus — same argument as q55's histogram
+# quantiles), so the prefix-sum finish runs on the driver over that tiny
+# table.
+# ---------------------------------------------------------------------------
+
+def q90_auc(sf_dir: str):
+    """(n_pos, n_neg, u2, auc_ppm) — one row, integer-exact."""
+    from ..pipelines.gopher import _gopher_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        feats = np.array(
+            [doc_features(x) for x in texts], dtype=np.int64
+        ).reshape(len(texts), 4)
+        score = feats @ np.asarray(QUALITY_W, np.int64)
+        truth = _gopher_batch(t)["keep"].to_numpy().astype(np.int64)
+        ids, inv = np.unique(score, return_inverse=True)
+        pos = np.bincount(inv, weights=truth, minlength=len(ids)).astype(np.int64)
+        n = np.bincount(inv, minlength=len(ids)).astype(np.int64)
+        return pa.table(
+            {
+                "score": pa.array(ids, pa.int64()),
+                "pos_p": pa.array(pos, pa.int64()),
+                "neg_p": pa.array(n - pos, pa.int64()),
+            }
+        )
+
+    hist = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("score")
+        .aggregate(Sum("pos_p", alias_name="pos"), Sum("neg_p", alias_name="neg"))
+        .sort("score")
+    )
+    t = pa.concat_tables(
+        [b for b in hist.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    pos = t["pos"].to_numpy(zero_copy_only=False)
+    neg = t["neg"].to_numpy(zero_copy_only=False)
+    n_pos, n_neg = int(pos.sum()), int(neg.sum())
+    neg_below = np.concatenate([[0], np.cumsum(neg)[:-1]])
+    u2 = int(2 * (pos * neg_below).sum() + (pos * neg).sum())
+    auc_ppm = (1_000_000 * u2) // (2 * n_pos * n_neg) if n_pos and n_neg else 0
+    return pa.table(
+        {
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "u2": pa.array([u2], pa.int64()),
+            "auc_ppm": pa.array([auc_ppm], pa.int64()),
+        }
+    )
+
+
+QUERIES["q90_auc"] = q90_auc
+
+ORACLE_SQL["q90_auc"] = f"""
+    WITH score AS ({ORACLE_SQL["q47_quality_classifier"]}),
+    truth AS ({_GOPHER_SQL["q57_gopher_rules"]}),
+    sc AS (
+        SELECT s.score, g.keep FROM score s JOIN truth g USING (doc_id)
+    ),
+    h AS (
+        SELECT score, CAST(SUM(keep) AS BIGINT) AS pos,
+               CAST(SUM(1 - keep) AS BIGINT) AS neg
+        FROM sc GROUP BY score
+    ),
+    u AS (
+        SELECT CAST(COALESCE(SUM(2 * a.pos * b.neg), 0) AS BIGINT) AS gt
+        FROM h a JOIN h b ON a.score > b.score
+    ),
+    tie AS (SELECT CAST(COALESCE(SUM(pos * neg), 0) AS BIGINT) AS eq FROM h),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) AS BIGINT) AS n_neg FROM h)
+    SELECT tot.n_pos, tot.n_neg,
+           CAST(u.gt + tie.eq AS BIGINT) AS u2,
+           CAST(CASE WHEN tot.n_pos > 0 AND tot.n_neg > 0
+                THEN (1000000 * (u.gt + tie.eq)) // (2 * tot.n_pos * tot.n_neg)
+                ELSE 0 END AS BIGINT) AS auc_ppm
+    FROM u CROSS JOIN tie CROSS JOIN tot
+"""

@@ -83,6 +83,7 @@ FAST_QUERIES = [
     "q86_setsim_join",
     "q87_bigram_surprisal",
     "q89_bm25_topk",
+    "q90_auc",
 ]
 
 
