@@ -82,6 +82,7 @@ FAST_QUERIES = [
     "q85_pareto_parts",
     "q86_setsim_join",
     "q87_bigram_surprisal",
+    "q88_calibration_bins",
     "q89_bm25_topk",
     "q90_auc",
 ]
