@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "28"  # v28: + personalized-pagerank golden
+GOLDEN_VERSION = "29"  # v29: + host-HITS golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -1214,7 +1214,7 @@ def _seq_cdc(sf_dir: str) -> pa.Table:
     )
 
 
-def _seq_weblinks_tables(pages_dir: str) -> tuple[pa.Table, pa.Table, pa.Table]:
+def _seq_weblinks_tables(pages_dir: str) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table]:
     """Sequential web-graph goldens (weblink_stats, host_graph, host_rank):
     shared pure kernel (functions/weblinks.py), plain-dict aggregation, and
     the sequential fixed-point PageRank over the distinct external host
@@ -1282,7 +1282,17 @@ def _seq_weblinks_tables(pages_dir: str) -> tuple[pa.Table, pa.Table, pa.Table]:
             "rank_fp": pr["rank_fp"],
         }
     )
-    return stats, graph, rank
+    ht = _seq_hits(nodes_t, edges_t)
+    host_hits = pa.table(
+        {
+            "host": pa.array(
+                [host_by_id[i] for i in ht["entity_id"].to_pylist()], pa.string()
+            ),
+            "auth_fp": ht["auth_fp"],
+            "hub_fp": ht["hub_fp"],
+        }
+    )
+    return stats, graph, rank, host_hits
 
 
 def _seq_anchor_terms(pages_dir: str) -> pa.Table:
@@ -1518,6 +1528,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["weblink_stats"],
         tables["host_graph"],
         tables["host_rank"],
+        tables["host_hits"],
     ) = _seq_weblinks_tables(pages_dir)
     tables["anchor_terms"] = _seq_anchor_terms(pages_dir)
     if os.path.isdir(sf_dir):
@@ -1860,6 +1871,7 @@ def kg_oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links FROM {_g('host_graph')}
         """,
         "wg_host_rank": f"SELECT host, rank_fp FROM {_g('host_rank')}",
+        "wg_host_hits": f"SELECT host, auth_fp, hub_fp FROM {_g('host_hits')}",
         "wg_anchor_terms": f"""
             SELECT dst_host, term, n FROM {_g('anchor_terms')}
         """,

@@ -101,12 +101,9 @@ def wg_host_graph(sf_dir: str):
     )
 
 
-def wg_host_rank(sf_dir: str):
-    """PageRank over the distinct external host graph: (host, rank_fp),
-    top PR_TOP by (rank desc, host-id asc)."""
-    from .graphalgo import pagerank
-
-    ds = pages_dataset(sf_dir)
+def _host_graph(ds: rd.Dataset):
+    """(edges, nodes) id datasets of the distinct external host graph —
+    shared by wg_host_rank and wg_host_hits."""
 
     def edge_rows(t: pa.Table) -> pa.Table:
         # distinct-within-block external host pairs + every seen host as a
@@ -146,14 +143,13 @@ def wg_host_rank(sf_dir: str):
             batch_format="pyarrow",
         )
     )
-    top = pagerank(edges, nodes)  # (entity_id, rank_fp), PR_TOP rows
+    return edges, nodes
 
-    # resolve the k winning ids back to host strings: broadcast the id set,
-    # filter the (tiny per block) host rows distributed, collect k rows
-    top_t = pa.concat_tables(
-        [b for b in top.iter_batches(batch_format="pyarrow", batch_size=None)]
-    )
-    want = set(top_t["entity_id"].to_pylist())
+
+def _host_labels_for(ds: rd.Dataset, want: set[int]) -> dict[int, str]:
+    """Resolve a SMALL id set back to host strings: broadcast the id set,
+    filter host occurrences distributed, collect |want| rows — never a
+    host dictionary."""
     want_ref = ray.put(want)
 
     def host_labels(t: pa.Table, ref=want_ref) -> pa.Table:
@@ -180,7 +176,21 @@ def wg_host_rank(sf_dir: str):
         batch_format="pyarrow", batch_size=None
     ):
         labels.update(zip(b["hid"].to_pylist(), b["host"].to_pylist()))
+    return labels
 
+
+def wg_host_rank(sf_dir: str):
+    """PageRank over the distinct external host graph: (host, rank_fp),
+    top PR_TOP by (rank desc, host-id asc)."""
+    from .graphalgo import pagerank
+
+    ds = pages_dataset(sf_dir)
+    edges, nodes = _host_graph(ds)
+    top = pagerank(edges, nodes)  # (entity_id, rank_fp), PR_TOP rows
+    top_t = pa.concat_tables(
+        [b for b in top.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    labels = _host_labels_for(ds, set(top_t["entity_id"].to_pylist()))
     order = np.lexsort(
         (
             top_t["entity_id"].to_numpy(zero_copy_only=False),
@@ -193,6 +203,33 @@ def wg_host_rank(sf_dir: str):
         {
             "host": pa.array([labels[int(i)] for i in ids], pa.string()),
             "rank_fp": pa.array(ranks, pa.int64()),
+        }
+    )
+
+
+def wg_host_hits(sf_dir: str):
+    """HITS hubs/authorities over the external host graph — the algorithm's
+    native domain: authorities are heavily-cited hosts, hubs are directory
+    pages citing many authorities. (host, auth_fp, hub_fp), top HITS_TOP
+    by (auth desc, host-id asc); same integer fixed-point engine as
+    kg_hits."""
+    from .graphalgo import hits
+
+    ds = pages_dataset(sf_dir)
+    edges, nodes = _host_graph(ds)
+    top = hits(edges, nodes)  # (entity_id, auth_fp, hub_fp)
+    top_t = pa.concat_tables(
+        [b for b in top.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    labels = _host_labels_for(ds, set(top_t["entity_id"].to_pylist()))
+    return pa.table(
+        {
+            "host": pa.array(
+                [labels[int(i)] for i in top_t["entity_id"].to_pylist()],
+                pa.string(),
+            ),
+            "auth_fp": top_t["auth_fp"],
+            "hub_fp": top_t["hub_fp"],
         }
     )
 
@@ -407,3 +444,4 @@ def wg_anchor_terms(sf_dir: str):
 
 
 QUERIES["wg_anchor_terms"] = wg_anchor_terms
+QUERIES["wg_host_hits"] = wg_host_hits
