@@ -1872,6 +1872,16 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "wg_host_rank": f"SELECT host, rank_fp FROM {_g('host_rank')}",
         "wg_host_hits": f"SELECT host, auth_fp, hub_fp FROM {_g('host_hits')}",
+        "wg_outlink_concentration": f"""
+            SELECT src_host,
+                   CAST(SUM(n_links) AS BIGINT) AS n_ext_links,
+                   CAST(COUNT(*) AS BIGINT) AS n_dst_hosts,
+                   CAST((1000000 * SUM(n_links * n_links))
+                        // (SUM(n_links) * SUM(n_links)) AS BIGINT) AS hhi_ppm
+            FROM {_g('host_graph')}
+            WHERE src_host <> dst_host
+            GROUP BY src_host ORDER BY src_host
+        """,
         "wg_anchor_terms": f"""
             SELECT dst_host, term, n FROM {_g('anchor_terms')}
         """,

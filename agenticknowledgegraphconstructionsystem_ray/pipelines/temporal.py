@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 from ray.data.aggregate import Count, Max, Sum
 
 from ..sources.tables import read_table
@@ -926,4 +927,130 @@ ORACLE_SQL["q79_retention_cohorts"] = """
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM wk w JOIN f USING (user_id)
     GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q91: daily active users + stickiness (DAU / MAU as integer ppm) — the
+# product-analytics timeseries with two nested distinct-counts. Shape: ONE
+# per-block DISTINCT (user, day) combiner, one (user, day)-key groupby to
+# finish the dedup, then day-sized counting; MAU(day) = distinct users over
+# the trailing 30 days, computed from the (user, day) pairs by exploding
+# each pair to the <=30 window days it supports — window-days x users rows,
+# bounded by 30x the dedup'd pair set, never the raw event count.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q91_dau_stickiness(sf_dir: str):
+    """(day, dau, mau30, stickiness_ppm) per day with >=1 event."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def user_days(t: pa.Table) -> pa.Table:
+        u = _np_i64(t["user_id"])
+        d = _np_ts_us(t["ts"]) // _DAY_US
+        pairs = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0], pa.int64()),
+                "day": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(user_days, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()  # (user, active-day) pairs; reused twice
+    )
+
+    active_days = sorted(
+        r["day"] for r in pairs.groupby("day").aggregate(Count(alias_name="_c"))
+        .select_columns(["day"]).take_all()
+    )
+    day_set = np.array(active_days, np.int64)
+    ref = ray.put(day_set)
+
+    def explode_windows(t: pa.Table, _ref=ref) -> pa.Table:
+        days = ray.get(_ref) if hasattr(_ref, "hex") else _ref
+        u = _np_i64(t["user_id"])
+        d = _np_i64(t["day"])
+        out_u, out_d, out_kind = [], [], []
+        for uu, dd in zip(u, d):
+            # dau row
+            out_u.append(uu)
+            out_d.append(dd)
+            out_kind.append(0)
+            # mau rows: window days w with w-29 <= dd <= w
+            lo = np.searchsorted(days, dd)
+            hi = np.searchsorted(days, dd + 30, side="left")
+            for w in days[lo:hi]:
+                out_u.append(uu)
+                out_d.append(int(w))
+                out_kind.append(1)
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "day": pa.array(out_d, pa.int64()),
+                "kind": pa.array(out_kind, pa.int64()),
+            }
+        )
+
+    # distinct (user, window-day, kind) then count per (day, kind)
+    counts = (
+        pairs.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["user_id", "day", "kind"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table({"day": t["day"], "kind": t["kind"]}),
+            batch_format="pyarrow",
+        )
+        .groupby(["day", "kind"])
+        .aggregate(Count(alias_name="n"))
+    )
+    t = pa.concat_tables(
+        [b for b in counts.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    dau = {int(d): int(n) for d, k, n in zip(
+        t["day"].to_pylist(), t["kind"].to_pylist(), t["n"].to_pylist()) if k == 0}
+    mau = {int(d): int(n) for d, k, n in zip(
+        t["day"].to_pylist(), t["kind"].to_pylist(), t["n"].to_pylist()) if k == 1}
+    days = sorted(dau)
+    return pa.table(
+        {
+            "day": pa.array(
+                [d * _DAY_US for d in days], pa.int64()
+            ),
+            "dau": pa.array([dau[d] for d in days], pa.int64()),
+            "mau30": pa.array([mau[d] for d in days], pa.int64()),
+            "stickiness_ppm": pa.array(
+                [(1_000_000 * dau[d]) // mau[d] for d in days], pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["q91_dau_stickiness"] = q91_dau_stickiness
+
+ORACLE_SQL["q91_dau_stickiness"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    mau AS (
+        SELECT w.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau30
+        FROM days w JOIN ud u
+          ON u.day <= w.day AND u.day > w.day - 30
+        GROUP BY w.day
+    )
+    SELECT CAST(d.day * 86400000000 AS BIGINT) AS day,
+           d.dau, m.mau30,
+           CAST((1000000 * d.dau) // m.mau30 AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN mau m USING (day)
+    ORDER BY day
 """

@@ -445,3 +445,75 @@ def wg_anchor_terms(sf_dir: str):
 
 QUERIES["wg_anchor_terms"] = wg_anchor_terms
 QUERIES["wg_host_hits"] = wg_host_hits
+
+
+def wg_outlink_concentration(sf_dir: str):
+    """Per-host outlink concentration: the Herfindahl index (sum of squared
+    link-share) of each host's EXTERNAL destination distribution, integer
+    ppm — hhi_ppm = 1e6 * sum(n_i^2) // N^2. High = the host funnels its
+    links to few destinations (link-farm / mirror signal); low = diverse.
+    Shape: reuses the distributed (src,dst,n) host-graph aggregate, then
+    per-block (src, sum_n, sum_n2, n_dst) partials -> ONE src groupby."""
+    from ray.data.aggregate import Sum as _Sum
+
+    graph = (
+        pages_dataset(sf_dir)
+        .map_batches(_pair_partials, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(_Sum("n_p", alias_name="n"))
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = np.asarray(t["src_host"].to_pylist(), dtype=object)
+        dst = np.asarray(t["dst_host"].to_pylist(), dtype=object)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        ext = src != dst
+        src, n = src[ext], n[ext]
+        keys, inv = np.unique(src, return_inverse=True)
+        s1 = np.bincount(inv, weights=n, minlength=len(keys)).astype(np.int64)
+        s2 = np.bincount(inv, weights=n * n, minlength=len(keys)).astype(np.int64)
+        nd = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        return pa.table(
+            {
+                "src_host": pa.array(keys.tolist(), pa.string()),
+                "s1_p": pa.array(s1, pa.int64()),
+                "s2_p": pa.array(s2, pa.int64()),
+                "nd_p": pa.array(nd, pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s1 = t["s1"].combine_chunks().to_numpy(zero_copy_only=False)
+        s2 = t["s2"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src_host": t["src_host"],
+                "n_ext_links": pa.array(s1, pa.int64()),
+                "n_dst_hosts": pa.array(
+                    t["nd"].combine_chunks().to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+                "hhi_ppm": pa.array(
+                    (1_000_000 * s2) // (s1 * s1), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        graph.map_batches(partials, batch_format="pyarrow")
+        .groupby("src_host")
+        .aggregate(
+            _Sum("s1_p", alias_name="s1"),
+            _Sum("s2_p", alias_name="s2"),
+            _Sum("nd_p", alias_name="nd"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("src_host")
+    )
+
+
+QUERIES["wg_outlink_concentration"] = wg_outlink_concentration

@@ -85,6 +85,7 @@ FAST_QUERIES = [
     "q88_calibration_bins",
     "q89_bm25_topk",
     "q90_auc",
+    "q91_dau_stickiness",
 ]
 
 
