@@ -1872,6 +1872,25 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "wg_host_rank": f"SELECT host, rank_fp FROM {_g('host_rank')}",
         "wg_host_hits": f"SELECT host, auth_fp, hub_fp FROM {_g('host_hits')}",
+        "wg_indegree_gini": f"""
+            WITH ind AS (
+                SELECT dst_host, CAST(SUM(n_links) AS BIGINT) AS x
+                FROM {_g('host_graph')} WHERE src_host <> dst_host
+                GROUP BY dst_host
+            ),
+            r AS (
+                SELECT x,
+                       row_number() OVER (ORDER BY x, dst_host) AS i,
+                       COUNT(*) OVER () AS n,
+                       SUM(x) OVER () AS sx
+                FROM ind
+            )
+            SELECT CAST(MAX(n) AS BIGINT) AS n_hosts,
+                   CAST(MAX(sx) AS BIGINT) AS total_links,
+                   CAST((1000000 * (2 * SUM(i * x) - (MAX(n) + 1) * MAX(sx)))
+                        // (MAX(n) * MAX(sx)) AS BIGINT) AS gini_ppm
+            FROM r
+        """,
         "wg_outlink_concentration": f"""
             SELECT src_host,
                    CAST(SUM(n_links) AS BIGINT) AS n_ext_links,

@@ -517,3 +517,66 @@ def wg_outlink_concentration(sf_dir: str):
 
 
 QUERIES["wg_outlink_concentration"] = wg_outlink_concentration
+
+
+def wg_indegree_gini(sf_dir: str):
+    """Inequality of the external-link indegree distribution across hosts —
+    the exact integer Gini coefficient in ppm:
+    gini = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over indegrees x
+    sorted ascending (rank terms over equal values are order-invariant).
+    The hub-host skew planted by synth makes this strongly nonzero.
+    Shape: the distributed (src,dst) aggregate -> dst groupby sum (the only
+    corpus-sized work); the final formula runs over the HOST-dimension-
+    sized vector (1e8 rows at web scale — a driver sort of that vector is
+    the documented simplification; the q61 block-offset prefix machinery
+    is the fully-distributed fallback)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    graph = (
+        pages_dataset(sf_dir)
+        .map_batches(_pair_partials, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(_Sum("n_p", alias_name="n"))
+    )
+
+    def ext_dst(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = np.asarray(t["src_host"].to_pylist(), dtype=object)
+        dst = np.asarray(t["dst_host"].to_pylist(), dtype=object)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        ext = src != dst
+        return pa.table(
+            {
+                "dst_host": pa.array(dst[ext].tolist(), pa.string()),
+                "n_p": pa.array(n[ext], pa.int64()),
+            }
+        )
+
+    ind = (
+        graph.map_batches(ext_dst, batch_format="pyarrow")
+        .groupby("dst_host")
+        .aggregate(_Sum("n_p", alias_name="x"))
+    )
+    xs = np.sort(
+        np.concatenate(
+            [
+                b["x"].to_numpy(zero_copy_only=False)
+                for b in ind.iter_batches(batch_format="pyarrow", batch_size=None)
+            ]
+        ).astype(np.int64)
+    )
+    n = len(xs)
+    sx = int(xs.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    gini_ppm = int((1_000_000 * (2 * int((i * xs).sum()) - (n + 1) * sx)) // (n * sx)) if n and sx else 0
+    return pa.table(
+        {
+            "n_hosts": pa.array([n], pa.int64()),
+            "total_links": pa.array([sx], pa.int64()),
+            "gini_ppm": pa.array([gini_ppm], pa.int64()),
+        }
+    )
+
+
+QUERIES["wg_indegree_gini"] = wg_indegree_gini
