@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "29"  # v29: + host-HITS golden
+GOLDEN_VERSION = "30"  # v30: + weighted-pagerank golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -1214,7 +1214,7 @@ def _seq_cdc(sf_dir: str) -> pa.Table:
     )
 
 
-def _seq_weblinks_tables(pages_dir: str) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table]:
+def _seq_weblinks_tables(pages_dir: str):
     """Sequential web-graph goldens (weblink_stats, host_graph, host_rank):
     shared pure kernel (functions/weblinks.py), plain-dict aggregation, and
     the sequential fixed-point PageRank over the distinct external host
@@ -1292,7 +1292,44 @@ def _seq_weblinks_tables(pages_dir: str) -> tuple[pa.Table, pa.Table, pa.Table, 
             "hub_fp": ht["hub_fp"],
         }
     )
-    return stats, graph, rank, host_hits
+
+    # weighted pagerank: mass split by link multiplicity
+    from .pipelines.graphalgo import (
+        PR_BASE,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        PR_TOP,
+    )
+
+    wedges = {
+        (id_of[a], id_of[b]): n
+        for (a, b), n in edge_counts.items()
+        if a != b
+    }
+    # node universe = hosts PARTICIPATING in the aggregated link graph
+    # (matches the distributed side, which works over the (src,dst)
+    # aggregate and cannot see hosts whose pages carry no links at all —
+    # possible at sf0.001 where each host has a single page)
+    wnodes = {id_of[a] for ab in edge_counts for a in ab}
+    wout: dict[int, int] = {}
+    for (si, _oi), w in wedges.items():
+        wout[si] = wout.get(si, 0) + w
+    wrank = {v: PR_SCALE for v in wnodes}
+    for _ in range(PR_ITERS):
+        nxt = {v: PR_BASE for v in wnodes}
+        for (si, oi), w in wedges.items():
+            nxt[oi] += (wrank[si] * PR_DAMP_NUM // PR_DAMP_DEN) * w // wout[si]
+        wrank = nxt
+    wtop = sorted(wrank.items(), key=lambda kv: (-kv[1], kv[0]))[:PR_TOP]
+    host_wrank = pa.table(
+        {
+            "host": pa.array([host_by_id[i] for i, _ in wtop], pa.string()),
+            "rank_fp": pa.array([v for _, v in wtop], pa.int64()),
+        }
+    )
+    return stats, graph, rank, host_hits, host_wrank
 
 
 def _seq_anchor_terms(pages_dir: str) -> pa.Table:
@@ -1529,6 +1566,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["host_graph"],
         tables["host_rank"],
         tables["host_hits"],
+        tables["host_wrank"],
     ) = _seq_weblinks_tables(pages_dir)
     tables["anchor_terms"] = _seq_anchor_terms(pages_dir)
     if os.path.isdir(sf_dir):
@@ -1872,6 +1910,7 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "wg_host_rank": f"SELECT host, rank_fp FROM {_g('host_rank')}",
         "wg_host_hits": f"SELECT host, auth_fp, hub_fp FROM {_g('host_hits')}",
+        "wg_host_rank_weighted": f"SELECT host, rank_fp FROM {_g('host_wrank')}",
         "wg_indegree_gini": f"""
             WITH ind AS (
                 SELECT dst_host, CAST(SUM(n_links) AS BIGINT) AS x

@@ -1704,3 +1704,93 @@ def kg_ppr(sf_dir: str):
     edges = _kg_edges_ds(out)
     nodes = _kg_nodes_ds(out)
     return pagerank(edges, nodes, seed_mod=PPR_SEED_MOD)
+
+
+# ---------------------------------------------------------------------------
+# weighted PageRank: rank mass distributed proportionally to integer edge
+# weights instead of uniformly over distinct successors —
+#   share(e) = (rank(src) * 85 // 100) * w(e) // W_out(src)
+# (floor per edge; residual mass drops, like dangling mass in the uniform
+# variant). Same bounded-partition BSP loop as pagerank().
+# ---------------------------------------------------------------------------
+
+def _wcontrib_batch(t: pa.Table) -> pa.Table:
+    import numpy as np
+
+    rank = t["rank"].combine_chunks().to_numpy(zero_copy_only=False)
+    w = t["w"].combine_chunks().to_numpy(zero_copy_only=False)
+    wout = t["wout"].combine_chunks().to_numpy(zero_copy_only=False)
+    c = (rank * PR_DAMP_NUM // PR_DAMP_DEN) * w // wout
+    return pa.table(
+        {"node_id": t["obj_id"], "c": pa.array(c.astype("int64"), pa.int64())}
+    )
+
+
+def pagerank_weighted(edges: "rd.Dataset", nodes: "rd.Dataset",
+                      iters: int = PR_ITERS, top: int = PR_TOP) -> "rd.Dataset":
+    """``edges``: (subj_id, obj_id, w) int64 rows, one per distinct pair
+    (weights already aggregated); ``nodes``: (entity_id)."""
+    n_parts = max(8, cluster_cpus())
+
+    wout = edges.groupby("subj_id").aggregate(Sum("w", alias_name="wout"))
+    adj = (
+        _attach_i64(
+            edges, ["subj_id", "obj_id", "w"], "subj_id",
+            wout, "subj_id", "wout", "wout", n_parts,
+        )
+        .repartition(n_parts)
+        .materialize()
+    )
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": t["entity_id"],
+                "c": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+
+    zero = (
+        nodes.map_batches(base_rows, batch_format="pyarrow")
+        .repartition(n_parts)
+        .materialize()
+    )
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_id": t["node_id"],
+                "rank": pa.array([PR_SCALE] * len(t), pa.int64()),
+            }
+        )
+
+    ranks = zero.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node_id": t["node_id"],
+                "rank": pc.add(t["s"], PR_BASE),
+            }
+        )
+
+    for _ in range(iters):
+        contrib = _attach_i64(
+            adj, ["subj_id", "obj_id", "w", "wout"], "subj_id",
+            ranks, "node_id", "rank", "rank", n_parts,
+        ).map_batches(_wcontrib_batch, batch_format="pyarrow")
+        ranks = (
+            contrib.union(zero)
+            .groupby("node_id")
+            .aggregate(Sum("c", alias_name="s"))
+            .map_batches(finish, batch_format="pyarrow")
+            .repartition(n_parts)
+        ).materialize()
+
+    return (
+        ranks.sort(["rank", "node_id"], descending=[True, False])
+        .limit(top)
+        .rename_columns({"node_id": "entity_id", "rank": "rank_fp"})
+    )

@@ -580,3 +580,75 @@ def wg_indegree_gini(sf_dir: str):
 
 
 QUERIES["wg_indegree_gini"] = wg_indegree_gini
+
+
+def wg_host_rank_weighted(sf_dir: str):
+    """PageRank with rank mass split in proportion to LINK MULTIPLICITY
+    (a page linking a host five times transfers 5x the mass a single link
+    does) — the weighted variant over the external host graph. Weights are
+    the distributed (src,dst) link counts; same integer fixed-point BSP
+    engine (graphalgo.pagerank_weighted)."""
+    from .graphalgo import pagerank_weighted
+
+    ds = pages_dataset(sf_dir)
+    graph = (
+        ds.map_batches(_pair_partials, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_p", alias_name="n"))
+    )
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        src = t["src_host"].to_pylist()
+        dst = t["dst_host"].to_pylist()
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        s_ids, o_ids, w = [], [], []
+        nodes = set()
+        for a, b, k in zip(src, dst, n):
+            ia, ib = host_id(a), host_id(b)
+            nodes.add(ia)
+            nodes.add(ib)
+            if a != b:
+                s_ids.append(ia)
+                o_ids.append(ib)
+                w.append(int(k))
+        node_l = sorted(nodes)
+        return pa.table(
+            {
+                "subj_id": pa.array(s_ids + node_l, pa.int64()),
+                "obj_id": pa.array(o_ids + node_l, pa.int64()),
+                "w": pa.array(w + [0] * len(node_l), pa.int64()),
+                "is_edge": pa.array(
+                    [True] * len(s_ids) + [False] * len(node_l), pa.bool_()
+                ),
+            }
+        )
+
+    tagged = graph.map_batches(to_ids, batch_format="pyarrow").materialize()
+    edges = tagged.filter(expr="is_edge == True").select_columns(
+        ["subj_id", "obj_id", "w"]
+    )
+    nodes = (
+        tagged.groupby("subj_id")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table({"entity_id": t["subj_id"]}),
+            batch_format="pyarrow",
+        )
+    )
+    top = pagerank_weighted(edges, nodes)
+    top_t = pa.concat_tables(
+        [b for b in top.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    labels = _host_labels_for(ds, set(top_t["entity_id"].to_pylist()))
+    return pa.table(
+        {
+            "host": pa.array(
+                [labels[int(i)] for i in top_t["entity_id"].to_pylist()],
+                pa.string(),
+            ),
+            "rank_fp": top_t["rank_fp"],
+        }
+    )
+
+
+QUERIES["wg_host_rank_weighted"] = wg_host_rank_weighted
