@@ -793,3 +793,140 @@ ORACLE_SQL["q73_langid_confusion"] = f"""
     GROUP BY d.lang, p.lang_detected
     ORDER BY d.lang, p.lang_detected
 """
+
+
+# ---------------------------------------------------------------------------
+# sk_kmv_users: K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002)
+# per event_type, alongside the exact distinct count as certificate.
+# The sketch state is the k lexicographically-smallest md5 hex digests of
+# the member user_ids — hex order == numeric order, so partials merge by
+# concat+sort+take-k (per-block combiner), and the estimator
+#     est = (k-1) * 16^14 // value(h_k[:14])        (integer-exact)
+# is reproducible bit-for-bit in SQL. Groups with fewer than k distinct
+# members report their exact count (the standard KMV small-set fallback).
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_M = 16 ** 14  # 63 * 16^15 would overflow int64; 14 hex digits fit
+
+
+def _kmv_val(hx: str) -> int:
+    return int(hx[:14], 16)
+
+
+def sk_kmv_users(sf_dir: str):
+    """(event_type, exact_distinct, kmv_est) sorted by event_type."""
+    import hashlib
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        by_type: dict[str, set[str]] = {}
+        for et, u in zip(t["event_type"].to_pylist(), t["user_id"].to_pylist()):
+            by_type.setdefault(et, set()).add(
+                hashlib.md5(str(u).encode()).hexdigest()
+            )
+        ets, hxs = [], []
+        for et, hset in by_type.items():
+            for h in sorted(hset)[:KMV_K]:
+                ets.append(et)
+                hxs.append(h)
+        return pa.table(
+            {
+                "event_type": pa.array(ets, pa.string()),
+                "hx": pa.array(hxs, pa.string()),
+            }
+        )
+
+    def merge(g) -> dict:
+        hx = sorted(set(g["hx"]))[:KMV_K]
+        et = g["event_type"].iloc[0]
+        if len(hx) < KMV_K:
+            est = len(hx)  # placeholder; real exact joined below
+        else:
+            est = (KMV_K - 1) * _KMV_M // _kmv_val(hx[-1])
+        return {
+            "event_type": np.array([et], dtype=object),
+            "kmv_est_p": np.array([est], np.int64),
+            "saturated": np.array([1 if len(hx) >= KMV_K else 0], np.int64),
+        }
+
+    sk = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hx"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+    # exact distinct per type (certificate): distinct pairs -> count
+    exact = (
+        ds.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table({"event_type": t["event_type"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(Count(alias_name="exact_distinct"))
+    )
+    sk_t = pa.concat_tables(
+        [b for b in sk.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    ex_t = pa.concat_tables(
+        [b for b in exact.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    ex = dict(zip(ex_t["event_type"].to_pylist(),
+                  ex_t["exact_distinct"].to_pylist()))
+    rows = sorted(
+        (
+            et,
+            int(ex[et]),
+            int(est) if sat else int(ex[et]),
+        )
+        for et, est, sat in zip(
+            sk_t["event_type"].to_pylist(),
+            sk_t["kmv_est_p"].to_pylist(),
+            sk_t["saturated"].to_pylist(),
+        )
+    )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "exact_distinct": pa.array([r[1] for r in rows], pa.int64()),
+            "kmv_est": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+QUERIES["sk_kmv_users"] = sk_kmv_users
+
+_KMV_VAL_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1) * {16 ** (13 - i)}"
+    for i in range(14)
+)
+
+ORACLE_SQL["sk_kmv_users"] = f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, hx,
+               row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM h
+    ),
+    kth AS (
+        SELECT event_type, CAST(MAX(nd) AS BIGINT) AS nd,
+               MAX(CASE WHEN rk = {KMV_K} THEN hx END) AS hk
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           nd AS exact_distinct,
+           CAST(CASE WHEN hk IS NULL THEN nd
+                ELSE ({KMV_K} - 1) * {_KMV_M} //
+                     (SELECT {_KMV_VAL_SQL} FROM (SELECT hk AS hx))
+                END AS BIGINT) AS kmv_est
+    FROM kth ORDER BY event_type
+"""

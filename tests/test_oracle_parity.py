@@ -86,6 +86,7 @@ FAST_QUERIES = [
     "q89_bm25_topk",
     "q90_auc",
     "q91_dau_stickiness",
+    "sk_kmv_users",
 ]
 
 
