@@ -310,3 +310,129 @@ ORACLE_SQL["q86_setsim_join"] = """
     WHERE 3 * i >= sa.n + sb.n
     ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# q92: sorted-neighborhood record linkage (Hernandez/Stolfo 1995) — the
+# OTHER classic ER blocking scheme next to the deletion-neighborhood join
+# above: sort all records by the match key, compare only records within a
+# fixed window of the sorted order. Distributed as: one range-partitioned
+# sort -> global ranks via the per-block offset scan (one int per block to
+# the driver, assembly._with_global_positions) -> records routed to
+# rank//B buckets with a w-row HALO into the next bucket (the halo-exchange
+# pattern: every within-window pair lands in at least one common bucket) ->
+# vectorized in-bucket window pairs -> pair-level dedupe groupby (straddle
+# pairs can form in two buckets) -> exact bounded levenshtein verify.
+# ---------------------------------------------------------------------------
+
+SN_WINDOW = 3
+SN_MAX_DIST = 2
+_SN_BUCKET = 64
+
+
+def _lev_bounded(a: str, b: str, bound: int) -> int | None:
+    """Exact unit-cost levenshtein if <= bound else None (banded DP,
+    matches DuckDB's levenshtein())."""
+    if abs(len(a) - len(b)) > bound:
+        return None
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+            lo = min(lo, cur[j])
+        if lo > bound:
+            return None
+        prev = cur
+    return prev[-1] if prev[-1] <= bound else None
+
+
+def q92_sorted_neighborhood(sf_dir: str):
+    """Customer-name pairs within SN_WINDOW of the (c_name, c_custkey)
+    sort order at levenshtein <= SN_MAX_DIST. Output
+    (key_a, key_b, dist) with key_a < key_b, sorted."""
+    from .assembly import _with_global_positions
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ordered = ds.sort(["c_name", "c_custkey"]).materialize()
+    pos = _with_global_positions(ordered, "rk")
+
+    def route(t: pa.Table) -> pa.Table:
+        rk = t["rk"].combine_chunks().to_numpy(zero_copy_only=False)
+        names = t["c_name"].to_pylist()
+        keys = t["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = rk // _SN_BUCKET
+        halo = (rk % _SN_BUCKET) < SN_WINDOW
+        out_b = np.concatenate([b, b[halo] - 1])
+        out_rk = np.concatenate([rk, rk[halo]])
+        out_k = np.concatenate([keys, keys[halo]])
+        out_n = names + [names[i] for i in np.flatnonzero(halo)]
+        keep = out_b >= 0
+        return pa.table(
+            {
+                "bucket": pa.array(out_b[keep], pa.int64()),
+                "rk": pa.array(out_rk[keep], pa.int64()),
+                "key": pa.array(out_k[keep], pa.int64()),
+                "name": pa.array(
+                    [n for n, k in zip(out_n, keep) if k], pa.string()
+                ),
+            }
+        )
+
+    def window_pairs(g) -> dict:
+        order = np.argsort(g["rk"].to_numpy(), kind="mergesort")
+        rk = g["rk"].to_numpy()[order]
+        keys = g["key"].to_numpy()[order]
+        names = g["name"].to_numpy()[order]
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(rk)):
+            for j in range(i + 1, len(rk)):
+                if rk[j] - rk[i] > SN_WINDOW:
+                    break
+                d = _lev_bounded(str(names[i]), str(names[j]), SN_MAX_DIST)
+                if d is not None:
+                    lo, hi = sorted((int(keys[i]), int(keys[j])))
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    d_out.append(d)
+        return {
+            "key_a": np.array(a_out, np.int64),
+            "key_b": np.array(b_out, np.int64),
+            "dist": np.array(d_out, np.int64),
+        }
+
+    def dedupe(g) -> dict:
+        return {
+            "key_a": np.array([g["key_a"].iloc[0]], np.int64),
+            "key_b": np.array([g["key_b"].iloc[0]], np.int64),
+            "dist": np.array([g["dist"].iloc[0]], np.int64),
+        }
+
+    pairs = (
+        pos.map_batches(route, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(window_pairs, batch_format="pandas")
+        .groupby(["key_a", "key_b"])
+        .map_groups(dedupe, batch_format="pandas")
+    )
+    return pairs.sort(["key_a", "key_b"])
+
+
+QUERIES["q92_sorted_neighborhood"] = q92_sorted_neighborhood
+
+ORACLE_SQL["q92_sorted_neighborhood"] = f"""
+    WITH r AS (
+        SELECT c_custkey, c_name,
+               row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rk
+        FROM customer
+    )
+    SELECT LEAST(a.c_custkey, b.c_custkey) AS key_a,
+           GREATEST(a.c_custkey, b.c_custkey) AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM r a JOIN r b
+      ON b.rk - a.rk BETWEEN 1 AND {SN_WINDOW}
+    WHERE levenshtein(a.c_name, b.c_name) <= {SN_MAX_DIST}
+    ORDER BY key_a, key_b
+"""

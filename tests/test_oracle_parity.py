@@ -87,6 +87,7 @@ FAST_QUERIES = [
     "q90_auc",
     "q91_dau_stickiness",
     "sk_kmv_users",
+    "q92_sorted_neighborhood",
 ]
 
 
