@@ -829,3 +829,114 @@ QUERIES = {
     "q21_orders_per_month": q21_orders_per_month,
     "q69_rollup": q69_rollup,
 }
+
+
+# ---------------------------------------------------------------------------
+# q93: referential-integrity audit — the data-quality pass a pipeline runs
+# before trusting joins (the reference's validation theme, SURVEY §2.9.4,
+# extended to cross-table invariants). For every FK edge: child row count
+# and orphan count, via a tag-union groupby anti-join (parent keys and
+# per-block-deduped child keys share one shuffle; a key's group decides
+# orphanhood locally — the kcore _drop_low_bucketed shape, no broadcast,
+# so the parent side may be arbitrarily large).
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    # (name, child table, child col, parent table, parent col)
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q93_fk_audit(sf_dir: str):
+    """(fk, n_child, n_orphans) for every FK edge, sorted by fk."""
+    rows = []
+    for name, ctab, ccol, ptab, pcol in _FK_EDGES:
+        child = read_table(sf_dir, ctab, columns=[ccol])
+        parent = read_table(sf_dir, ptab, columns=[pcol])
+
+        n_child = child.count()
+
+        def child_rows(t: pa.Table, _c=ccol) -> pa.Table:
+            import numpy as np
+
+            k = t[_c].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            ids, cnt = np.unique(k, return_counts=True)
+            return pa.table(
+                {
+                    "k": pa.array(ids, pa.int64()),
+                    "n_c": pa.array(cnt.astype("int64"), pa.int64()),
+                    "is_parent": pa.array([False] * len(ids), pa.bool_()),
+                }
+            )
+
+        def parent_rows(t: pa.Table, _p=pcol) -> pa.Table:
+            return pa.table(
+                {
+                    "k": pc.cast(t[_p], pa.int64()),
+                    "n_c": pa.array([0] * t.num_rows, pa.int64()),
+                    "is_parent": pa.array([True] * t.num_rows, pa.bool_()),
+                }
+            )
+
+        def orphan_partial(g) -> dict:
+            has_parent = bool(g["is_parent"].any())
+            n = 0 if has_parent else int(g["n_c"].sum())
+            return {"orph_p": np.array([n], np.int64)}
+
+        tagged = child.map_batches(child_rows, batch_format="pyarrow").union(
+            parent.map_batches(parent_rows, batch_format="pyarrow")
+        )
+        orph = tagged.groupby("k").map_groups(
+            orphan_partial, batch_format="pandas"
+        ).sum("orph_p")
+        rows.append((name, int(n_child), int(orph or 0)))
+
+    rows.sort()
+    return pa.table(
+        {
+            "fk": pa.array([r[0] for r in rows], pa.string()),
+            "n_child": pa.array([r[1] for r in rows], pa.int64()),
+            "n_orphans": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+QUERIES["q93_fk_audit"] = q93_fk_audit
+
+ORACLE_SQL["q93_fk_audit"] = """
+    SELECT * FROM (
+        SELECT 'orders.custkey' AS fk,
+               CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem.orderkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'customer.nationkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        UNION ALL
+        SELECT 'supplier.nationkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        UNION ALL
+        SELECT 'nation.regionkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    ) ORDER BY fk
+"""

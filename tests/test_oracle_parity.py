@@ -88,6 +88,7 @@ FAST_QUERIES = [
     "q91_dau_stickiness",
     "sk_kmv_users",
     "q92_sorted_neighborhood",
+    "q93_fk_audit",
 ]
 
 
