@@ -1987,6 +1987,23 @@ def kg_oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
             FROM q GROUP BY host ORDER BY host
         """,
+        "kg_growth": f"""
+            WITH fd AS (
+                SELECT subj_id, pred, obj_id,
+                       MIN(epoch_us(warc_ts) // 3600000000) AS first_hour
+                FROM {_g('edges')}
+                GROUP BY 1, 2, 3
+            ),
+            h AS (
+                SELECT first_hour, CAST(COUNT(*) AS BIGINT) AS n_new
+                FROM fd GROUP BY first_hour
+            )
+            SELECT CAST(first_hour * 3600000000 AS BIGINT) AS hour,
+                   n_new AS n_new_edges,
+                   CAST(SUM(n_new) OVER (ORDER BY first_hour) AS BIGINT)
+                       AS n_cum_edges
+            FROM h ORDER BY hour
+        """,
         "kg_edge_history": f"""
             SELECT subj_id, pred, obj_id,
                    CAST(COUNT(*) AS BIGINT) AS n_pages,

@@ -414,3 +414,60 @@ def kg_edge_history(sf_dir: str):
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def kg_growth(sf_dir: str):
+    """KG growth curve over crawl time: per crawl HOUR, how many distinct
+    (subj_id, pred, obj_id) triples are asserted for the FIRST time, plus
+    the running cumulative — the graph-evolution summary an incremental
+    crawl pipeline tracks. One groupby to first-seen hour (edge-keyed),
+    one hour-sized histogram; the cumulative runs over the time dimension.
+    Oracle: SQL over the golden edges parquet."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    out = _ensure_run(sf_dir)
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges", "**", "*.parquet"),
+                         recursive=True)),
+        columns=["subj_id", "pred", "obj_id", "warc_ts"],
+    )
+
+    def to_day(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["warc_ts"], pa.int64()),
+                        pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table(
+            {
+                "subj_id": t["subj_id"],
+                "pred": t["pred"],
+                "obj_id": t["obj_id"],
+                "hour": day,
+            }
+        )
+
+    hist = (
+        edges.map_batches(to_day, batch_format="pyarrow")
+        .groupby(["subj_id", "pred", "obj_id"])
+        .aggregate(Min("hour", alias_name="first_hour"))
+        .groupby("first_hour")
+        .aggregate(Count(alias_name="n_new"))
+        .sort("first_hour")
+    )
+    t = pa.concat_tables(
+        [b for b in hist.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    n_new = t["n_new"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "hour": pa.array(
+                t["first_hour"].to_numpy(zero_copy_only=False) * 3_600_000_000,
+                pa.int64(),
+            ),
+            "n_new_edges": pa.array(n_new, pa.int64()),
+            "n_cum_edges": pa.array(np.cumsum(n_new), pa.int64()),
+        }
+    )
