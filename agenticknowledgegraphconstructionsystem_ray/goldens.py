@@ -1930,6 +1930,19 @@ def kg_oracle_sql() -> dict[str, str]:
                         // (MAX(n) * MAX(sx)) AS BIGINT) AS gini_ppm
             FROM r
         """,
+        "dd_ensemble_pairs": f"""
+            SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+                   COALESCE(m.doc_b, s.doc_b) AS doc_b,
+                   CAST(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END
+                        + CASE WHEN s.doc_a IS NOT NULL THEN 2 ELSE 0 END
+                        AS BIGINT) AS methods,
+                   CAST(COALESCE(m.jaccard_ppm, -1) AS BIGINT) AS jaccard_ppm,
+                   CAST(COALESCE(s.hamming, -1) AS BIGINT) AS hamming
+            FROM {_g('dd_minhash')} m
+            FULL OUTER JOIN {_g('dd_simhash')} s
+              ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+            ORDER BY doc_a, doc_b
+        """,
         "wg_outlink_concentration": f"""
             SELECT src_host,
                    CAST(SUM(n_links) AS BIGINT) AS n_ext_links,

@@ -930,3 +930,45 @@ ORACLE_SQL["sk_kmv_users"] = f"""
                 END AS BIGINT) AS kmv_est
     FROM kth ORDER BY event_type
 """
+
+
+def dd_ensemble_pairs(sf_dir: str):
+    """Near-dup ENSEMBLE: the union of the MinHash-verified and
+    SimHash-verified pair sets with a per-pair method bitmask
+    (1 = minhash jaccard >= 0.8, 2 = simhash hamming <= 3, 3 = both) —
+    the agreement view a production dedup uses to tier its confidence.
+    Both member pipelines run fully distributed; their verified outputs
+    are candidate-bounded (tiny by construction), so the merge is local.
+    Oracle: SQL FULL OUTER JOIN over the two golden pair tables."""
+    mh = dedup.minhash_near_dups(sf_dir, threshold=0.8)
+    sh = dedup.simhash_near_dups(sf_dir, max_hamming=3)
+    m = {
+        (a, b): j
+        for a, b, j in zip(
+            mh["doc_a"].to_pylist(), mh["doc_b"].to_pylist(),
+            mh["jaccard_ppm"].to_pylist(),
+        )
+    }
+    s = {
+        (a, b): h
+        for a, b, h in zip(
+            sh["doc_a"].to_pylist(), sh["doc_b"].to_pylist(),
+            sh["hamming"].to_pylist(),
+        )
+    }
+    rows = []
+    for k in sorted(set(m) | set(s)):
+        methods = (1 if k in m else 0) | (2 if k in s else 0)
+        rows.append((k[0], k[1], methods, m.get(k, -1), s.get(k, -1)))
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "methods": pa.array([r[2] for r in rows], pa.int64()),
+            "jaccard_ppm": pa.array([r[3] for r in rows], pa.int64()),
+            "hamming": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+QUERIES["dd_ensemble_pairs"] = dd_ensemble_pairs
