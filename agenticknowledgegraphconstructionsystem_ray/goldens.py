@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "30"  # v30: + weighted-pagerank golden
+GOLDEN_VERSION = "31"  # v31: + audio-features golden
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -1458,6 +1458,36 @@ def _seq_media_resize(sf_dir: str) -> pa.Table:
     )
 
 
+def _seq_audio_stats(sf_dir: str) -> pa.Table:
+    """Golden for mm_audio_stats: features straight from the synthesis
+    formula (no codec) — parity vs the decode path proves WAV inversion."""
+    import numpy as np
+
+    from .stages.multimodal import synth_samples
+
+    rows = []
+    for doc_id in _doc_ids(sf_dir):
+        if doc_id % 5 != 2:
+            continue
+        rate, samples = synth_samples(doc_id)
+        s = samples.astype(np.int64)
+        c0 = s[:, 0]
+        rows.append(
+            (
+                doc_id, rate, samples.shape[1], samples.shape[0],
+                int((s * s).sum()), int(np.abs(s).max()),
+                int((c0[:-1] * c0[1:] < 0).sum()),
+            )
+        )
+    rows.sort()
+    names = ["media_id", "rate", "channels", "n_frames", "energy", "peak",
+             "zero_crossings"]
+    return pa.table(
+        {n: pa.array([r[i] for r in rows], pa.int64())
+         for i, n in enumerate(names)}
+    )
+
+
 def _seq_hll_users(sf_dir: str) -> pa.Table:
     """Sequential HLL golden: per-event_type approximate distinct users —
     same register kernel (functions/hll.py), one driver-side pass with plain
@@ -1591,6 +1621,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["cdc"] = _seq_cdc(sf_dir)
         tables["mm_decode"] = _seq_media_decode(sf_dir)
         tables["mm_resize"] = _seq_media_resize(sf_dir)
+        tables["mm_audio"] = _seq_audio_stats(sf_dir)
         tables["kmeans"] = _seq_kmeans(sf_dir)
         tables["semdedup"] = _seq_semdedup(sf_dir)
         tables["pq_rerank"] = _seq_pq_rerank(sf_dir)
@@ -1929,6 +1960,11 @@ def kg_oracle_sql() -> dict[str, str]:
                    CAST((1000000 * (2 * SUM(i * x) - (MAX(n) + 1) * MAX(sx)))
                         // (MAX(n) * MAX(sx)) AS BIGINT) AS gini_ppm
             FROM r
+        """,
+        "mm_audio_stats": f"""
+            SELECT media_id, rate, channels, n_frames, energy, peak,
+                   zero_crossings
+            FROM {_g('mm_audio')}
         """,
         "dd_ensemble_pairs": f"""
             SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,

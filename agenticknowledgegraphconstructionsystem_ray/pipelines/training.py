@@ -972,3 +972,14 @@ def dd_ensemble_pairs(sf_dir: str):
 
 
 QUERIES["dd_ensemble_pairs"] = dd_ensemble_pairs
+
+
+def mm_audio_stats(sf_dir: str):
+    """REAL audio feature extraction: WAV corpus members decoded by the
+    RIFF/PCM16 codec, integer-exact energy / peak / zero-crossing features
+    (stages/multimodal.AudioStats). Golden: formula-direct recomputation —
+    parity proves codec inversion AND feature math."""
+    return multimodal.audio_stats(sf_dir)
+
+
+QUERIES["mm_audio_stats"] = mm_audio_stats

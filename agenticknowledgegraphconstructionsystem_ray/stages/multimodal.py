@@ -472,3 +472,64 @@ def sampled_frames(sf_dir: str, stride: int = 4):
         concurrency=(1, 2),
     )
     return frames.groupby("media_id").aggregate(Count(alias_name="n_sampled_frames"))
+
+
+class AudioStats:
+    """Actor-pool audio feature extraction over REAL WAV payloads: decode
+    PCM16 (functions/mediadecode.decode_wav), emit integer-exact features —
+    n_frames, channels, energy = sum(s^2) over all channels, peak = max|s|,
+    and zero crossings on channel 0 (count of adjacent sign products < 0).
+    The batched-model-inference shape for audio (decoder held per actor)."""
+
+    def __init__(self) -> None:
+        from ..functions import mediadecode as md
+
+        self.md = md
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, rates, chs, nfr, energy, peak, zc = [], [], [], [], [], [], []
+        for media_id, payload in zip(
+            t["media_id"].to_pylist(), t["payload"].to_pylist()
+        ):
+            rate, samples = self.md.decode_wav(payload)
+            s = samples.astype(np.int64)
+            c0 = s[:, 0]
+            prod = c0[:-1] * c0[1:]
+            ids.append(media_id)
+            rates.append(rate)
+            chs.append(samples.shape[1])
+            nfr.append(samples.shape[0])
+            energy.append(int((s * s).sum()))
+            peak.append(int(np.abs(s).max()))
+            zc.append(int((prod < 0).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "rate": pa.array(rates, pa.int64()),
+                "channels": pa.array(chs, pa.int64()),
+                "n_frames": pa.array(nfr, pa.int64()),
+                "energy": pa.array(energy, pa.int64()),
+                "peak": pa.array(peak, pa.int64()),
+                "zero_crossings": pa.array(zc, pa.int64()),
+            }
+        )
+
+
+def audio_stats(sf_dir: str):
+    """WAV members of the media corpus (doc_id % 5 == 2) -> integer audio
+    features through the real RIFF/PCM16 decoder."""
+    import ray.data as rd
+
+    from ..sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = t.filter(pa.array(ids % 5 == 2))
+        return build_decodable_media_batch(keep)
+
+    media = docs.map_batches(build, batch_format="pyarrow")
+    return media.map_batches(
+        AudioStats, batch_format="pyarrow", concurrency=(1, 4)
+    ).sort("media_id")
