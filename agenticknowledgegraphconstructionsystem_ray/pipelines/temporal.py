@@ -1054,3 +1054,53 @@ ORACLE_SQL["q91_dau_stickiness"] = """
     FROM dau d JOIN mau m USING (day)
     ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# q94: sliding-window DISTINCT count — the streaming primitive q31 (row
+# counts) cannot express: per event, the number of DISTINCT users active
+# for the same event_type in the preceding hour (inclusive). Two-pointer
+# sweep with a multiset inside each type group: O(n) adds/removes total,
+# exact, order-deterministic. SQL window functions cannot take DISTINCT;
+# the oracle uses the correlated form.
+# ---------------------------------------------------------------------------
+
+def q94_sliding_distinct(sf_dir: str):
+    """(event_id, nd) — distinct same-type users in (ts-1h, ts]."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def sweep(g) -> dict:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        users = g["user_id"].to_numpy().astype(np.int64)
+        ids = g["event_id"].to_numpy().astype(np.int64)
+        counts: dict[int, int] = {}
+        out = np.zeros(len(ids), np.int64)
+        lo = 0
+        for i in range(len(ids)):
+            u = int(users[i])
+            counts[u] = counts.get(u, 0) + 1
+            # evict rows with ts <= ts[i] - 1h (window is exclusive at the
+            # lower bound: (ts-1h, ts])
+            while ts[lo] <= ts[i] - 3_600_000_000:
+                ulo = int(users[lo])
+                counts[ulo] -= 1
+                if not counts[ulo]:
+                    del counts[ulo]
+                lo += 1
+            out[i] = len(counts)
+        return {"event_id": ids, "nd": out}
+
+    return ds.groupby("event_type").map_groups(sweep, batch_format="pandas")
+
+
+QUERIES["q94_sliding_distinct"] = q94_sliding_distinct
+
+ORACLE_SQL["q94_sliding_distinct"] = """
+    SELECT e1.event_id,
+           CAST((SELECT COUNT(DISTINCT e2.user_id) FROM events e2
+                 WHERE e2.event_type = e1.event_type
+                   AND e2.ts <= e1.ts
+                   AND e2.ts > e1.ts - INTERVAL 1 HOUR) AS BIGINT) AS nd
+    FROM events e1 ORDER BY event_id
+"""

@@ -89,6 +89,7 @@ FAST_QUERIES = [
     "sk_kmv_users",
     "q92_sorted_neighborhood",
     "q93_fk_audit",
+    "q94_sliding_distinct",
 ]
 
 
