@@ -1104,3 +1104,91 @@ ORACLE_SQL["q94_sliding_distinct"] = """
                    AND e2.ts > e1.ts - INTERVAL 1 HOUR) AS BIGINT) AS nd
     FROM events e1 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q95: big x big band self-join — the two-large-sides variant q34's
+# docstring promises: neither side fits a broadcast, so BOTH route to
+# coarse value buckets (width == band radius: any pair within the radius
+# shares a bucket or sits in adjacent ones). Rows go to their own bucket
+# as CENTERS and to all three {b-1, b, b+1} as CANDIDATES; each group
+# resolves its centers with two vectorized searchsorted probes. Every
+# center is counted exactly once; candidate duplication is 3x, the
+# classic halo trade.
+# ---------------------------------------------------------------------------
+
+BAND_RADIUS_C = 100  # +-1.00 in cents
+
+
+def q95_price_band_selfjoin(sf_dir: str):
+    """Per part: how many OTHER parts have |price difference| <= 1.00.
+    Output (p_partkey, price_c, n_similar) sorted by key; isolated parts
+    report 0."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    r = BAND_RADIUS_C
+
+    def route(t: pa.Table) -> pa.Table:
+        keys = t["p_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = cents_np(
+            t["p_retailprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        b = c // r
+        out_b, out_k, out_c, out_center = [], [], [], []
+        for off in (-1, 0, 1):
+            out_b.append(b + off)
+            out_k.append(keys)
+            out_c.append(c)
+            out_center.append(
+                np.full(len(c), off == 0, dtype=bool)
+            )
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_b), pa.int64()),
+                "key": pa.array(np.concatenate(out_k), pa.int64()),
+                "c": pa.array(np.concatenate(out_c), pa.int64()),
+                "is_center": pa.array(np.concatenate(out_center), pa.bool_()),
+            }
+        )
+
+    def resolve(g) -> dict:
+        c = g["c"].to_numpy().astype(np.int64)
+        center = g["is_center"].to_numpy().astype(bool)
+        cand_sorted = np.sort(c)
+        cc = c[center]
+        keys = g["key"].to_numpy().astype(np.int64)[center]
+        hi = np.searchsorted(cand_sorted, cc + r, side="right")
+        lo = np.searchsorted(cand_sorted, cc - r, side="left")
+        # candidates include the center row's own 3 copies; within-radius
+        # copies of SELF to subtract: the center value itself appears 3x
+        # (its own -1/0/+1 routes land in 3 different buckets, only the
+        # 3 rows of THIS bucket's candidate pool count: exactly one copy
+        # of each value per bucket) -> subtract 1 for self
+        return {
+            "p_partkey": keys,
+            "price_c": cc,
+            "n_similar": (hi - lo - 1).astype(np.int64),
+        }
+
+    return (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .sort("p_partkey")
+    )
+
+
+QUERIES["q95_price_band_selfjoin"] = q95_price_band_selfjoin
+
+ORACLE_SQL["q95_price_band_selfjoin"] = f"""
+    WITH c AS (SELECT p_partkey,
+                      CAST(round(p_retailprice*100, 0) AS BIGINT) AS price_c
+               FROM part)
+    SELECT a.p_partkey, a.price_c,
+           CAST(COUNT(b.p_partkey) AS BIGINT) AS n_similar
+    FROM c a LEFT JOIN c b
+      ON b.p_partkey <> a.p_partkey
+     AND b.price_c BETWEEN a.price_c - {BAND_RADIUS_C}
+                       AND a.price_c + {BAND_RADIUS_C}
+    GROUP BY a.p_partkey, a.price_c
+    ORDER BY a.p_partkey
+"""

@@ -90,6 +90,7 @@ FAST_QUERIES = [
     "q92_sorted_neighborhood",
     "q93_fk_audit",
     "q94_sliding_distinct",
+    "q95_price_band_selfjoin",
 ]
 
 
