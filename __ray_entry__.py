@@ -91,8 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_assortativity": graphmetrics.kg_assortativity,
         }
     )
-    q.update(weblinks.QUERIES
-    )
+    q.update(weblinks.QUERIES)
     return q
 
 

@@ -1077,9 +1077,16 @@ def q94_sliding_distinct(sf_dir: str):
         counts: dict[int, int] = {}
         out = np.zeros(len(ids), np.int64)
         lo = 0
-        for i in range(len(ids)):
-            u = int(users[i])
-            counts[u] = counts.get(u, 0) + 1
+        n = len(ids)
+        i = 0
+        # Equal-ts runs are processed as one block: the window predicate
+        # `e2.ts <= e1.ts` includes ALL rows sharing e1's timestamp, even
+        # those that sort after e1 on the (ts, event_id) tiebreak, so every
+        # row of a tied run must see the full run's users in its multiset.
+        while i < n:
+            j = i
+            while j < n and ts[j] == ts[i]:
+                j += 1
             # evict rows with ts <= ts[i] - 1h (window is exclusive at the
             # lower bound: (ts-1h, ts])
             while ts[lo] <= ts[i] - 3_600_000_000:
@@ -1088,7 +1095,11 @@ def q94_sliding_distinct(sf_dir: str):
                 if not counts[ulo]:
                     del counts[ulo]
                 lo += 1
-            out[i] = len(counts)
+            for k in range(i, j):
+                u = int(users[k])
+                counts[u] = counts.get(u, 0) + 1
+            out[i:j] = len(counts)
+            i = j
         return {"event_id": ids, "nd": out}
 
     return ds.groupby("event_type").map_groups(sweep, batch_format="pandas")

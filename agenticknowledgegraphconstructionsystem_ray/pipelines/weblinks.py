@@ -470,10 +470,14 @@ def wg_outlink_concentration(sf_dir: str):
         dst = np.asarray(t["dst_host"].to_pylist(), dtype=object)
         n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
         ext = src != dst
-        src, n = src[ext], n[ext]
+        src, n = src[ext], n[ext].astype(np.int64)
         keys, inv = np.unique(src, return_inverse=True)
-        s1 = np.bincount(inv, weights=n, minlength=len(keys)).astype(np.int64)
-        s2 = np.bincount(inv, weights=n * n, minlength=len(keys)).astype(np.int64)
+        # int64 accumulation via np.add.at — np.bincount(weights=...) sums
+        # in float64 and silently loses exactness past 2^53 link counts.
+        s1 = np.zeros(len(keys), np.int64)
+        s2 = np.zeros(len(keys), np.int64)
+        np.add.at(s1, inv, n)
+        np.add.at(s2, inv, n * n)
         nd = np.bincount(inv, minlength=len(keys)).astype(np.int64)
         return pa.table(
             {
@@ -497,8 +501,15 @@ def wg_outlink_concentration(sf_dir: str):
                     t["nd"].combine_chunks().to_numpy(zero_copy_only=False),
                     pa.int64(),
                 ),
+                # Python-int arithmetic: 1e6 * sum(n_i^2) exceeds int64 once
+                # a host carries ~3e6+ links to one destination; the HHI
+                # itself is <= 1e6 so the RESULT always fits int64.
                 "hhi_ppm": pa.array(
-                    (1_000_000 * s2) // (s1 * s1), pa.int64()
+                    [
+                        (1_000_000 * int(b)) // (int(a) * int(a))
+                        for a, b in zip(s1.tolist(), s2.tolist())
+                    ],
+                    pa.int64(),
                 ),
             }
         )

@@ -89,3 +89,57 @@ def test_truncated_run_not_marked_complete(ray_session, tmp_path):
                     lang_allow=frozenset({"en"}))
     )
     assert res2.get("cached") is not True
+
+
+def test_q94_sliding_distinct_tied_timestamps(ray_session, tmp_path):
+    """Events sharing an exact timestamp must all count each other: the
+    oracle's window predicate is `e2.ts <= e1.ts`, which includes same-ts
+    rows that sort AFTER e1 on the (ts, event_id) tiebreak. The sweep now
+    processes equal-ts runs as one block. Pinned testdata has no ties, so
+    this synthetic corpus is the only coverage of the tie path."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import temporal
+
+    base = np.int64(1_700_000_000_000_000)  # us
+    h = np.int64(3_600_000_000)
+    # type A: two rows at the SAME ts from different users (the tie case),
+    # one row 30 min later, one row >1h later (eviction of the tied pair).
+    # type B: three-way tie with a duplicate user.
+    ts = np.array(
+        [base, base, base + h // 2, base + h + 1,
+         base, base, base, base + h // 4],
+        dtype=np.int64,
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, 9, dtype=np.int64)),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "user_id": pa.array([1, 2, 3, 4, 10, 11, 10, 12], pa.int64()),
+            "event_type": pa.array(["A"] * 4 + ["B"] * 4),
+            "value": pa.array([0.0] * 8, pa.float64()),
+            "props": pa.array(["{}"] * 8, pa.string()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(tbl, os.path.join(sf, "events.parquet"))
+
+    mine = (
+        temporal.q94_sliding_distinct(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    ref = con.execute(temporal.ORACLE_SQL["q94_sliding_distinct"]).df()
+    assert mine["nd"].tolist() == ref["nd"].tolist()
+    # the tied pair at base must BOTH see 2 distinct users
+    assert mine.set_index("event_id")["nd"].loc[[1, 2]].tolist() == [2, 2]
+    # the 3-way tie carries users [10, 11, 10] -> 2 distinct each; the
+    # later row then sees all three of {10, 11, 12}
+    assert mine.set_index("event_id")["nd"].loc[[5, 6, 7, 8]].tolist() == [2, 2, 2, 3]
