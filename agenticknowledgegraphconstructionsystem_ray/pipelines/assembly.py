@@ -54,6 +54,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from ..runtime import cluster_cpus
 from ..sources.tables import read_table
 from .scoring import _TOKEN_RE
 
@@ -129,7 +130,7 @@ def dd_decontaminate(sf_dir: str):
         _CountHits,
         fn_constructor_kwargs={"ref": ref},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, cluster_cpus()),
     ).sort("doc_id")
 
 
@@ -151,9 +152,10 @@ def dd_decontaminate(sf_dir: str):
 #     --coarse gram-hash bucket groupby--> exact membership inside buckets
 #     --groupby(doc_id) sum--> exact n_hits, bit-identical to dd_decontaminate
 #
-# Every doc also emits one sentinel row (ids only) so the final groupby
-# yields a row per document; the shuffle therefore carries O(corpus) ints +
-# O(candidates) grams — never the eval set per batch, never text.
+# Guaranteed-clean documents enter as (doc_id, 0) rows only AFTER the gram
+# shuffle (a column-pruned doc_id re-read), so the gram all-to-all carries
+# O(candidates) grams only — never a corpus-sized sentinel stream, never
+# the eval set per batch, never text.
 
 BLOOM_M_BITS = 1 << 20  # 128 KiB bitmap; sized for ~5e4 grams at k=4 -> FPR ~1e-5
 BLOOM_K = 4
@@ -187,51 +189,60 @@ def _eval_bloom(sf_dir: str):
     return out
 
 
-class _BloomScreen:
-    """Actor-pool stage: probe every token position's 8-gram against the
-    broadcast bitmap (fetched once per actor). Emits one sentinel row per
-    document plus one (doc_id, gram, n_pos) row per DISTINCT flagged gram —
-    the exact-verify input. Probing is one vectorized polars hash pass over
-    the batch's concatenated gram list, not per-gram Python."""
+# Per-worker-process bloom cache: the broadcast bitmap is ray.get-fetched
+# once per worker process, so the screen runs as plain stateless tasks with
+# ELASTIC parallelism — the actor-pool form capped the stage at 8 actors on
+# a 32-CPU host, making it round-2's most starved bench segment. Pattern:
+# stages/triples.py extract_records_batch, stages/dedup.py fetch_shingles.
+_WORKER_BLOOMS: dict = {}
 
-    def __init__(self, ref: "ray.ObjectRef") -> None:
-        self.bloom = ray.get(ref)
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        from collections import Counter
+def bloom_screen_batch(t: pa.Table, bloom_ref=None) -> pa.Table:
+    """Stateless-task bloom screen: probe every token position's 8-gram
+    against the worker-cached broadcast bitmap. Emits one (doc_id, gram,
+    n_pos) row per DISTINCT flagged gram — the exact-verify input. Clean
+    documents emit NOTHING here: their guaranteed n_hits=0 rows join the
+    plan after the gram-bucket shuffle (dd_bloom_decontaminate), so the
+    corpus-sized sentinel stream never rides the gram all-to-all. Probing
+    is one vectorized polars hash pass over the batch's concatenated gram
+    list, not per-gram Python."""
+    from collections import Counter
 
-        ids = t["doc_id"].to_pylist()
-        texts = t["text"].to_pylist()
-        per_doc = [_doc_grams(tx) for tx in texts]
-        flat: list[str] = [g for gs in per_doc for g in gs]
-        flags = self.bloom.probe_many(flat)
+    key = bloom_ref.hex()
+    bloom = _WORKER_BLOOMS.get(key)
+    if bloom is None:
+        bloom = ray.get(bloom_ref)
+        _WORKER_BLOOMS[key] = bloom
 
-        out_ids: list[int] = []
-        out_grams: list[str] = []
-        out_npos: list[int] = []
-        pos = 0
-        for doc_id, gs in zip(ids, per_doc):
-            out_ids.append(doc_id)  # sentinel: every doc gets a row
-            out_grams.append("")
-            out_npos.append(0)
-            n = len(gs)
-            if n:
-                f = flags[pos : pos + n]
-                if f.any():
-                    for g, c in Counter(
-                        g for g, hit in zip(gs, f) if hit
-                    ).items():
-                        out_ids.append(doc_id)
-                        out_grams.append(g)
-                        out_npos.append(c)
-                pos += n
-        return pa.table(
-            {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "gram": pa.array(out_grams, pa.string()),
-                "n_pos": pa.array(out_npos, pa.int64()),
-            }
-        )
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    per_doc = [_doc_grams(tx) for tx in texts]
+    flat: list[str] = [g for gs in per_doc for g in gs]
+    flags = bloom.probe_many(flat)
+
+    out_ids: list[int] = []
+    out_grams: list[str] = []
+    out_npos: list[int] = []
+    pos = 0
+    for doc_id, gs in zip(ids, per_doc):
+        n = len(gs)
+        if n:
+            f = flags[pos : pos + n]
+            if f.any():
+                for g, c in Counter(
+                    g for g, hit in zip(gs, f) if hit
+                ).items():
+                    out_ids.append(doc_id)
+                    out_grams.append(g)
+                    out_npos.append(c)
+            pos += n
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "gram": pa.array(out_grams, pa.string()),
+            "n_pos": pa.array(out_npos, pa.int64()),
+        }
+    )
 
 
 def _coarse_gram_bucket(t: pa.Table) -> pa.Table:
@@ -296,10 +307,9 @@ def dd_bloom_decontaminate(sf_dir: str):
     bloom_ref = ray.put(_eval_bloom(sf_dir))
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = docs.map_batches(
-        _BloomScreen,
-        fn_constructor_kwargs={"ref": bloom_ref},
+        bloom_screen_batch,
+        fn_kwargs={"bloom_ref": bloom_ref},
         batch_format="pyarrow",
-        concurrency=(1, 8),
     ).map_batches(
         lambda t: t.append_column(
             "side", pa.array(np.ones(t.num_rows, dtype=np.int64))
@@ -325,14 +335,29 @@ def dd_bloom_decontaminate(sf_dir: str):
     # block-level-distinct eval grams suffice: the verify bucket set()-s
     # them, so cross-block duplicates are harmless — no global dedup needed.
     ev = docs.map_batches(eval_grams_block, batch_format="pyarrow")
-    hits = (
+    verified = (
         cand.union(ev)
         .map_batches(_coarse_gram_bucket, batch_format="pyarrow")
         .groupby("bkt")
         .map_groups(_verify_bucket, batch_format="pandas")
-        .groupby("doc_id")
-        .sum("n_hits")
     )
+
+    # guaranteed-clean rows (one per corpus doc, n_hits=0) enter AFTER the
+    # gram shuffle: the gram all-to-all carries only flagged candidates +
+    # eval grams, never a corpus-sized sentinel stream (a column-pruned
+    # doc_id re-read is far cheaper than shuffling one row per document)
+    def zero_hits(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_hits": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    sent = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        zero_hits, batch_format="pyarrow"
+    )
+    hits = verified.union(sent).groupby("doc_id").sum("n_hits")
 
     def finalize(t: pa.Table) -> pa.Table:
         if not t.num_rows:
@@ -641,7 +666,7 @@ def q47_quality_classifier(sf_dir: str):
         _ScoreDocs,
         fn_constructor_kwargs={"w_ref": w_ref},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, cluster_cpus()),
     ).sort("doc_id")
 
 
@@ -804,7 +829,7 @@ def q67_bloom_semijoin(sf_dir: str):
 
     survivors = li.map_batches(
         Screen, fn_constructor_kwargs={"ref": bf_ref},
-        batch_format="pyarrow", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=(1, cluster_cpus()),
     )
     keyside = urgent.map_batches(
         lambda t: pa.table(
@@ -817,7 +842,6 @@ def q67_bloom_semijoin(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    from ..runtime import cluster_cpus
 
     n_groups = max(8, cluster_cpus())
 

@@ -49,6 +49,7 @@ import ray
 from ray.data.aggregate import Sum
 
 from ..sources.tables import read_table
+from ..runtime import cluster_cpus
 from ..stages.textstats import LANG_STOPWORDS
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -243,7 +244,7 @@ def q58_importance_weights(sf_dir: str):
     docstring). Two passes; state is O(256) everywhere."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     counts = (
-        docs.map_batches(_CountFeatures, batch_format="pyarrow", concurrency=(1, 8))
+        docs.map_batches(_CountFeatures, batch_format="pyarrow", concurrency=(1, cluster_cpus()))
         .groupby("f")
         .aggregate(Sum("raw", alias_name="raw"), Sum("tgt", alias_name="tgt"))
         .take_all()  # <= 256 rows by construction
@@ -255,7 +256,7 @@ def q58_importance_weights(sf_dir: str):
             _ScoreDocs,
             fn_constructor_kwargs={"ref": ref},
             batch_format="pyarrow",
-            concurrency=(1, 8),
+            concurrency=(1, cluster_cpus()),
         )
         .sort("doc_id")
     )

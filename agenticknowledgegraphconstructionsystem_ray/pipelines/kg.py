@@ -123,6 +123,13 @@ class KGConfig:
                                      # default path (tests assert parity);
                                      # use for corpora whose surface
                                      # vocabulary does not fit one heap
+    hot_map_cap: int = 100_000       # open-vocab only: broadcast the top-K
+                                     # nodes by mention_count as a FIXED-size
+                                     # hot map; triple rows whose norms all
+                                     # hit it resolve without a shuffle (the
+                                     # Zipf head = the bulk of occurrences),
+                                     # only tail rows pay the lookup join.
+                                     # 0 disables (pure join path)
     skip_bad_files: bool = False     # True = QUARANTINE unreadable input
                                      # files (truncated / corrupt parquet
                                      # footers — the crash-mid-upload case
@@ -818,7 +825,7 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
     from ray.data.aggregate import Sum as RSum
 
     from ..stages.validate import validate_nodes_table as _vnt
-    from .openvocab import apply_ids_join, build_nodes_openvocab
+    from .openvocab import apply_ids_hybrid, build_nodes_openvocab
 
     t0 = time.perf_counter()
     timings: dict[str, float] = {}
@@ -854,9 +861,11 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
     nodes_dir = os.path.join(out, "nodes")
     n_nodes = 0
     nodes_ds = mapping_ds = None
+    ov = None
     if counts_ds is not None:
-        nodes_ds, mapping_ds = build_nodes_openvocab(counts_ds, alias)
-        n_nodes = nodes_ds.count()
+        ov = build_nodes_openvocab(counts_ds, alias, hot_cap=cfg.hot_map_cap)
+        nodes_ds, mapping_ds = ov.nodes_ds, ov.mapping_ds
+        n_nodes = ov.n_nodes
     if nodes_ds is None or n_nodes == 0:
         # empty corpus: same on-disk shape as the default path (an empty
         # single-file nodes table readers can open)
@@ -868,24 +877,12 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
         mf.clear_stale_tmp(tmpn)
         nodes_ds.write_parquet(tmpn, compression="zstd")
         mf.atomic_replace_dir(tmpn, nodes_dir)
-        top_tables = [
-            t
-            for t in ray.get(
-                nodes_ds.sort(
-                    ["mention_count", "entity_id"], descending=[True, False]
-                )
-                .limit(1000)
-                .drop_columns(["aliases"])
-                .to_arrow_refs()
-            )
-            if t.num_rows
-        ]
-        top = (
-            pa.concat_tables(top_tables)
-            if top_tables
-            else NODES_SCHEMA.empty_table().drop_columns(["aliases"])
+        # top-1000 summary reuses the per-block top-k combiner result that
+        # also feeds the hot map — no second vocabulary-wide sort
+        _write_nodes_summary_csv(
+            ov.top_tbl.slice(0, 1000).drop_columns(["aliases"]),
+            os.path.join(out, "nodes_summary.csv"),
         )
-        _write_nodes_summary_csv(top, os.path.join(out, "nodes_summary.csv"))
     _mark("counts_unionfind_s", _since)
 
     triples = triples_dataset(
@@ -898,8 +895,8 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
     edges_dir = os.path.join(out, "edges")
     n_edges = 0
     if triples is not None and mapping_ds is not None:
-        edges = apply_ids_join(
-            triples, mapping_ds, num_partitions=max(2, _cluster_cpus())
+        edges = apply_ids_hybrid(
+            triples, mapping_ds, ov.hot_map, ov.hot_total
         )
         n_edges = _finalize_edges(edges, edges_dir, cfg)
         _mark("edges_s", _since)

@@ -48,32 +48,64 @@ def alias_relevant_set(alias: dict[str, tuple[str, str]]) -> set[str]:
     return set(alias) | {norm_surface(v[0]) for v in alias.values()}
 
 
+# Per-worker-process cache of broadcast values (ray.get once per worker, not
+# per batch) so split/apply stages run as plain stateless tasks — elastic
+# parallelism, no actor-pool spinup (pattern: stages/triples.py
+# extract_records_batch, stages/canonicalize.apply_ids_batch).
+_WORKER_VALS: dict = {}
+
+
+def _cached_ref(ref):
+    key = ref.hex()
+    v = _WORKER_VALS.get(key)
+    if v is None:
+        v = ray.get(ref)
+        _WORKER_VALS[key] = v
+    return v
+
+
+def _split_relevant(t: pa.Table, rel_ref=None, keep: bool = True) -> pa.Table:
+    mask = pc.is_valid(
+        pc.index_in(t["norm_surface"], value_set=_cached_ref(rel_ref))
+    )
+    if not keep:
+        mask = pc.invert(mask)
+    return t.filter(mask)
+
+
+class OVNodes:
+    """Result bundle of build_nodes_openvocab."""
+
+    def __init__(self, nodes_ds, mapping_ds, hot_map, hot_total, top_tbl,
+                 n_nodes) -> None:
+        self.nodes_ds = nodes_ds
+        self.mapping_ds = mapping_ds
+        self.hot_map = hot_map        # member_norm -> (entity_id, canonical)
+        self.hot_total = hot_total    # True = hot_map covers EVERY node
+        self.top_tbl = top_tbl        # global top-k nodes by count (k>=1000)
+        self.n_nodes = n_nodes
+
+
 def build_nodes_openvocab(
-    counts_ds: rd.Dataset, alias: dict[str, tuple[str, str]]
+    counts_ds: rd.Dataset, alias: dict[str, tuple[str, str]],
+    hot_cap: int = 0,
 ):
     """counts Dataset (norm_surface, mention_count, link_count,
-    perfect_links, max_score, min_score) -> (materialized nodes Dataset with
-    entity ids, mapping Dataset (member_norm, entity_id, canonical_name))."""
+    perfect_links, max_score, min_score) -> OVNodes: materialized nodes
+    Dataset with entity ids, the (member_norm -> entity_id, canonical)
+    mapping Dataset, and a FIXED-SIZE hot map — the top ``hot_cap`` nodes
+    by mention_count, exploded to their alias members. On Zipfian web text
+    the hot head covers the bulk of triple occurrences, so edge id
+    application resolves most rows against the broadcast hot map and only
+    tail rows pay the distributed lookup join (apply_ids_hybrid). The hot
+    map is bounded by ``hot_cap`` regardless of corpus size."""
     relevant = pa.array(sorted(alias_relevant_set(alias)), pa.string())
     rel_ref = ray.put(relevant)
 
-    class SplitRelevant:
-        def __init__(self, ref, keep_relevant: bool) -> None:
-            self.rel = ray.get(ref)
-            self.keep = keep_relevant
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pc.is_valid(
-                pc.index_in(t["norm_surface"], value_set=self.rel)
-            )
-            if not self.keep:
-                mask = pc.invert(mask)
-            return t.filter(mask)
-
     counts_ds = counts_ds.materialize()  # consumed twice (hit + miss split)
     hits_df = counts_ds.map_batches(
-        SplitRelevant, fn_constructor_kwargs={"ref": rel_ref, "keep_relevant": True},
-        batch_format="pyarrow", concurrency=(1, 4),
+        _split_relevant, fn_kwargs={"rel_ref": rel_ref, "keep": True},
+        batch_format="pyarrow",
     ).to_pandas()  # bounded by |alias dict|, never by the corpus
 
     merged_rows = component_rows(hits_df, alias) if len(hits_df) else []
@@ -114,8 +146,8 @@ def build_nodes_openvocab(
         )
 
     singles_ds = counts_ds.map_batches(
-        SplitRelevant, fn_constructor_kwargs={"ref": rel_ref, "keep_relevant": False},
-        batch_format="pyarrow", concurrency=(1, 4),
+        _split_relevant, fn_kwargs={"rel_ref": rel_ref, "keep": False},
+        batch_format="pyarrow",
     ).map_batches(singleton_nodes, batch_format="pyarrow")
 
     nodes_noid = singles_ds
@@ -150,6 +182,43 @@ def build_nodes_openvocab(
         _with_ids.remote(r, int(off)) for r, off in zip(refs, offsets)
     ]
     nodes_ds = rd.from_arrow_refs(id_refs).materialize()
+    n_nodes = int(sum(sizes))
+
+    # ---- global top-k nodes in ONE streaming pass (per-block local top-k
+    # combiner, then a driver trim): feeds BOTH the nodes_summary CSV (top
+    # 1000) and the hot map (top hot_cap). Driver volume is bounded by
+    # k x n_blocks rows of 5 narrow columns, never by the vocabulary.
+    k = max(1000, hot_cap)
+    _TOP_COLS = ["entity_id", "canonical_name", "ent_type", "mention_count",
+                 "link_count", "perfect_links", "max_score", "min_score",
+                 "aliases"]
+    _top_keys = [("mention_count", "descending"), ("entity_id", "ascending")]
+
+    def local_top(t: pa.Table) -> pa.Table:
+        sel = t.select(_TOP_COLS)
+        if sel.num_rows > k:
+            sel = sel.take(pc.select_k_unstable(sel, k=k, sort_keys=_top_keys))
+        return sel
+
+    parts = [
+        p
+        for p in ray.get(
+            nodes_ds.map_batches(local_top, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    top_tbl = (
+        pa.concat_tables(parts)
+        if parts
+        else NODES_SCHEMA.empty_table().select(_TOP_COLS)
+    )
+    if top_tbl.num_rows > 1:
+        top_tbl = top_tbl.take(
+            pc.select_k_unstable(
+                top_tbl, k=min(k, top_tbl.num_rows), sort_keys=_top_keys
+            )
+        )
 
     # (member_norm -> entity_id, canonical) mapping for edge id application:
     # merged components contribute every member (incl. unseen canonical
@@ -162,6 +231,24 @@ def build_nodes_openvocab(
         if extras:
             extra_members[r["canonical_name"]] = extras
     xm_ref = ray.put(extra_members)
+
+    # ---- hot map: the top hot_cap nodes exploded to all their members.
+    # hot_total: every node fit under the cap, so the hot map IS the full
+    # mapping and edge id application needs no distributed join at all.
+    hot_map: dict[str, tuple[int, str]] = {}
+    hot_total = False
+    if hot_cap > 0:
+        hot = top_tbl.slice(0, hot_cap)
+        for eid, canonical, aliases in zip(
+            hot["entity_id"].to_pylist(),
+            hot["canonical_name"].to_pylist(),
+            hot["aliases"].to_pylist(),
+        ):
+            for m in aliases:
+                hot_map[m] = (eid, canonical)
+            for m in extra_members.get(canonical, ()):
+                hot_map[m] = (eid, canonical)
+        hot_total = n_nodes <= hot_cap
 
     def explode_mapping(t: pa.Table) -> pa.Table:
         norms, ids, names = [], [], []
@@ -188,7 +275,7 @@ def build_nodes_openvocab(
         )
 
     mapping_ds = nodes_ds.map_batches(explode_mapping, batch_format="pyarrow")
-    return nodes_ds, mapping_ds
+    return OVNodes(nodes_ds, mapping_ds, hot_map, hot_total, top_tbl, n_nodes)
 
 
 # Skew-safe distributed lookup join (no Dataset.join — its hash partitions
@@ -351,3 +438,90 @@ def apply_ids_join(
         )
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid edge id application: broadcast hot head + distributed tail join.
+#
+# Web-text surface frequencies are Zipfian, so the top hot_cap nodes cover
+# the bulk of triple occurrences. Rows whose BOTH norms hit the broadcast
+# hot map resolve in-place (zero shuffles — the closed-vocab broadcast
+# pattern with a FIXED-size dict); only rows touching a tail norm route
+# through the skew-safe lookup join. When every node fit under the cap
+# (hot_total), the hot map IS the complete mapping and even misses are true
+# unknowns (-1), so the tail join is skipped entirely.
+# ---------------------------------------------------------------------------
+
+_EDGE_NAMES = [
+    "subj_id", "pred", "obj_id", "subj", "obj",
+    "url", "warc_ts", "confidence", "context",
+]
+
+
+def _hot_lookup(col: pa.ChunkedArray, hmap: dict):
+    """Dictionary-encode the norm column and map only the DICTIONARY
+    (O(uniques) Python cost, mirrors stages/canonicalize.ApplyEntityIds)."""
+    enc = pc.dictionary_encode(col.combine_chunks())
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniques = enc.dictionary.to_pylist()
+    hit = pa.array([u in hmap for u in uniques], pa.bool_())
+    ids = pa.array([hmap.get(u, (-1, u))[0] for u in uniques], pa.int64())
+    names = pa.array([hmap.get(u, (-1, u))[1] for u in uniques], pa.string())
+    idx = enc.indices
+    return pc.take(ids, idx), pc.take(names, idx), pc.take(hit, idx)
+
+
+def hot_apply_batch(
+    t: pa.Table, hot_ref=None, emit: str = "hits", total: bool = False
+) -> pa.Table:
+    """Stateless-task hot-map pass. emit='hits': resolve and return edge
+    rows whose norms are covered (ALL rows when total — misses become the
+    -1 unknown sentinel, the broadcast-path semantics). emit='misses':
+    return the UNRESOLVED triple rows unchanged (the tail join input)."""
+    hmap = _cached_ref(hot_ref)
+    s_id, s_name, s_hit = _hot_lookup(t["subj_norm"], hmap)
+    o_id, o_name, o_hit = _hot_lookup(t["obj_norm"], hmap)
+    covered = pc.and_(s_hit, o_hit)
+    if emit == "misses":
+        return t.filter(pc.invert(covered))
+    if not total:
+        t = t.filter(covered)
+        s_id, s_name = pc.filter(s_id, covered), pc.filter(s_name, covered)
+        o_id, o_name = pc.filter(o_id, covered), pc.filter(o_name, covered)
+    return pa.Table.from_arrays(
+        [
+            s_id, t.column("pred"), o_id, s_name, o_name,
+            t.column("url"), t.column("warc_ts"),
+            t.column("confidence"), t.column("context"),
+        ],
+        names=_EDGE_NAMES,
+    )
+
+
+def apply_ids_hybrid(
+    triples: rd.Dataset,
+    mapping_ds: rd.Dataset,
+    hot_map: dict[str, tuple[int, str]],
+    hot_total: bool,
+) -> rd.Dataset:
+    """Edge id application with the hot-head/tail split. Byte-identical to
+    apply_ids_join (tests force hot_map_cap small / zero to prove it): the
+    hot map's entries are mapping rows, and the tail path resolves exactly
+    the rows the hot pass could not."""
+    if not hot_map:
+        return apply_ids_join(triples, mapping_ds)
+    hot_ref = ray.put(hot_map)
+    hits = triples.map_batches(
+        hot_apply_batch,
+        fn_kwargs={"hot_ref": hot_ref, "emit": "hits", "total": hot_total},
+        batch_format="pyarrow",
+    )
+    if hot_total:
+        return hits
+    tail = triples.map_batches(
+        hot_apply_batch,
+        fn_kwargs={"hot_ref": hot_ref, "emit": "misses", "total": False},
+        batch_format="pyarrow",
+    )
+    return hits.union(apply_ids_join(tail, mapping_ds))

@@ -44,6 +44,7 @@ import ray
 from ray.data.aggregate import Count, Sum
 
 from ..sources.tables import read_table
+from ..runtime import cluster_cpus
 from ..stages.topk import grouped_topk
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -453,7 +454,7 @@ def q49_lm_surprisal(sf_dir: str):
         ScoreLM,
         fn_constructor_kwargs={"ref": ref},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, cluster_cpus()),
     ).sort("doc_id")
 
 
@@ -739,7 +740,7 @@ def tx_bpe_encode(sf_dir: str):
         _BpeScorer,
         fn_constructor_kwargs={"ref": ref},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, cluster_cpus()),
     ).sort("doc_id")
 
 

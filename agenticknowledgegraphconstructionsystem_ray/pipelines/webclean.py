@@ -49,6 +49,7 @@ import ray
 
 from ray.data.aggregate import Count
 
+from ..runtime import cluster_cpus
 from ..sources.tables import read_table
 
 # ---------------------------------------------------------------------------
@@ -200,7 +201,7 @@ def q52_boilerplate_ngrams(sf_dir: str):
         _RemoveBoilerplate,
         fn_constructor_kwargs={"freq_ref": freq_ref},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, cluster_cpus()),
     ).sort("doc_id")
 
 
@@ -247,7 +248,6 @@ def q53_dup_spans(sf_dir: str):
     no driver-side state at any point; shuffle keys are hash buckets and
     doc ids, never corpus-sized sets.
     Degenerate hot grams (site boilerplate) are q52's job — run it first."""
-    from ..runtime import cluster_cpus
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     wins = docs.map_batches(_doc_windows, batch_format="pyarrow")
@@ -375,7 +375,6 @@ def q78_span_dedup(sf_dir: str):
     Reference analog: SURVEY §2 D-family corpus dedup, removal variant
     (Lee et al. 2022 ExactSubstr; C4's three-sentence span rule) — exact
     ANSI-SQL oracle (window row_number over span occurrences)."""
-    from ..runtime import cluster_cpus
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     spans = docs.map_batches(_doc_spans, batch_format="pyarrow")

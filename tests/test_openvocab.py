@@ -27,23 +27,33 @@ def pages(tmp_path_factory, ray_session):
     return str(d)
 
 
+# Three open-vocab regimes, each asserted byte-identical to the default
+# driver-side path: hot map covering every node (hot_total, zero tail),
+# a tiny hot map forcing the hybrid head+tail split, and hot map disabled
+# (pure distributed lookup join).
+_VARIANTS = [
+    ("openvocab", dict(open_vocab=True)),                     # hot_total
+    ("openvocab_hybrid", dict(open_vocab=True, hot_map_cap=7)),
+    ("openvocab_join", dict(open_vocab=True, hot_map_cap=0)),
+]
+
+
 @pytest.fixture(scope="module")
 def outputs(pages, tmp_path_factory):
     outs = {}
-    for name, ov in [("default", False), ("openvocab", True)]:
+    for name, kw in [("default", {})] + _VARIANTS:
         out = str(tmp_path_factory.mktemp(f"ov_{name}"))
         kg.run_pipeline(
-            kg.KGConfig(
-                pages_dir=pages, out_dir=out, chunk_files=2, open_vocab=ov
-            )
+            kg.KGConfig(pages_dir=pages, out_dir=out, chunk_files=2, **kw)
         )
         outs[name] = out
     return outs
 
 
-def test_openvocab_nodes_equal(outputs):
+@pytest.mark.parametrize("variant", [v[0] for v in _VARIANTS])
+def test_openvocab_nodes_equal(outputs, variant):
     a = _read_dir(os.path.join(outputs["default"], "nodes"))
-    b = _read_dir(os.path.join(outputs["openvocab"], "nodes"))
+    b = _read_dir(os.path.join(outputs[variant], "nodes"))
     b = b.select(a.column_names)
     # row order: both are entity_id-dense; sort for a stable compare
     a = a.sort_by("entity_id")
@@ -54,20 +64,22 @@ def test_openvocab_nodes_equal(outputs):
         assert a[c].combine_chunks().equals(b[c].combine_chunks()), c
 
 
-def test_openvocab_edges_equal(outputs):
+@pytest.mark.parametrize("variant", [v[0] for v in _VARIANTS])
+def test_openvocab_edges_equal(outputs, variant):
     a = _read_dir(os.path.join(outputs["default"], "edges"))
-    b = _read_dir(os.path.join(outputs["openvocab"], "edges"))
+    b = _read_dir(os.path.join(outputs[variant], "edges"))
     b = b.select(a.column_names)
     assert a.num_rows == b.num_rows
     for c in a.column_names:
         assert a[c].combine_chunks().equals(b[c].combine_chunks()), c
 
 
-def test_openvocab_validation_summary_equal(outputs):
+@pytest.mark.parametrize("variant", [v[0] for v in _VARIANTS])
+def test_openvocab_validation_summary_equal(outputs, variant):
     import json
 
     summaries = []
-    for name in ("default", "openvocab"):
+    for name in ("default", variant):
         with open(os.path.join(outputs[name], "validation-results.json")) as f:
             summaries.append(json.load(f)["summary"])
     assert summaries[0] == summaries[1]
