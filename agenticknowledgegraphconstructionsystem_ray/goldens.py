@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "31"  # v31: + audio-features golden
+GOLDEN_VERSION = "32"  # v32: vectorized minhash band keys (band_keys kernel)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -345,9 +345,10 @@ def _compute_docs_triples_golden(sf_dir: str) -> pa.Table:
 
 def _seq_minhash_pairs(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     """Sequential MinHash-LSH near-dup golden: same pure per-doc kernels
-    (minhash_signature/shingles/jaccard), orchestration (banding, bucketing,
-    candidate generation, verify) re-run in one process with plain dicts."""
-    import hashlib
+    (minhash_signature/band_keys/shingles/jaccard), orchestration (banding,
+    bucketing, candidate generation, verify) re-run in one process with
+    plain dicts."""
+    import numpy as np
 
     from .stages import dedup
 
@@ -359,9 +360,9 @@ def _seq_minhash_pairs(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     buckets: dict[tuple, list[int]] = {}
     for i in ids:
         sig = dedup.minhash_signature(texts[i])
+        keys = dedup.band_keys(sig.reshape(1, -1))[0]
         for band in range(dedup._BANDS):
-            chunk = sig[band * dedup._ROWS : (band + 1) * dedup._ROWS]
-            key = (band, hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+            key = (band, int(keys[band]))
             buckets.setdefault(key, []).append(i)
     cand: set[tuple[int, int]] = set()
     for members in buckets.values():

@@ -296,31 +296,60 @@ def _join_pair_payload(
 # MinHash + LSH candidate generation over a documents Dataset
 # ---------------------------------------------------------------------------
 
+_BAND_MIX = np.uint64(0x100000001B3)  # FNV-64 prime (odd => bijective mult)
+
+
+def band_keys(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, _N_PERM) uint64 signature matrix -> (n_docs, _BANDS) int64
+    band keys. Horner polynomial mix of each band's _ROWS rows with uint64
+    wraparound + a splitmix64-style finalizer — equality-preserving on the
+    band chunk (the LSH requirement), ONE vectorized pass over the whole
+    batch instead of a blake2b call per (doc, band). Shared by the
+    distributed pipeline AND the sequential golden (goldens.py), so both
+    sides bucket identically by construction."""
+    n = sigs.shape[0]
+    chunks = sigs.reshape(n, _BANDS, _ROWS)
+    k = np.zeros((n, _BANDS), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(_ROWS):
+            k = k * _BAND_MIX + chunks[:, :, r]
+        # avalanche so the low bits (coarse-task routing) mix all rows
+        k ^= k >> np.uint64(33)
+        k *= np.uint64(0xFF51AFD7ED558CCD)
+        k ^= k >> np.uint64(33)
+    return k.view(np.int64)
+
+
 def _minhash_bands_batch(t: pa.Table) -> pa.Table:
     """doc batch -> (band, bkey, coarse, doc_id) rows (the LSH explode).
-    ``bkey`` is the 8-byte blake2b band digest bit-cast to int64 (equality-
-    preserving, faster to shuffle/sort than hex strings); ``coarse`` is the
-    shuffle key for _coarse_bucket_pairs."""
-    ids, bands, bkeys, coarse = [], [], [], []
-    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        sig = minhash_signature(text)
-        for band in range(_BANDS):
-            chunk = sig[band * _ROWS : (band + 1) * _ROWS]
-            k = int.from_bytes(
-                hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-            )
-            if k >= 1 << 63:
-                k -= 1 << 64  # bit-cast to int64
-            ids.append(doc_id)
-            bands.append(band)
-            bkeys.append(k)
-            coarse.append((k ^ band) % N_COARSE_TASKS)
+    ``bkey`` is the vectorized band_keys int64 digest (equality-preserving,
+    faster to shuffle/sort than hex strings); ``coarse`` is the shuffle key
+    for _coarse_bucket_pairs. Per-row Python is limited to the signature
+    loop (shingle sets vary per doc); banding is one matrix pass."""
+    ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    texts = t["text"].to_pylist()
+    n = len(texts)
+    if not n:
+        return pa.table(
+            {
+                "band": pa.array([], pa.int32()),
+                "bkey": pa.array([], pa.int64()),
+                "coarse": pa.array([], pa.int32()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+    sigs = np.empty((n, _N_PERM), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        sigs[i] = minhash_signature(text)
+    bkeys = band_keys(sigs).ravel()  # (n*_BANDS,) doc-major
+    bands = np.tile(np.arange(_BANDS, dtype=np.int64), n)
+    coarse = (bkeys ^ bands) % N_COARSE_TASKS  # numpy mod: sign of divisor
     return pa.table(
         {
-            "band": pa.array(bands, pa.int32()),
-            "bkey": pa.array(bkeys, pa.int64()),
-            "coarse": pa.array(coarse, pa.int32()),
-            "doc_id": pa.array(ids, pa.int64()),
+            "band": pa.array(bands.astype(np.int32)),
+            "bkey": pa.array(bkeys),
+            "coarse": pa.array(coarse.astype(np.int32)),
+            "doc_id": pa.array(np.repeat(ids, _BANDS)),
         }
     )
 
