@@ -65,7 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_text": kgqueries.kg_text,
             "kg_mentions": kgqueries.kg_mentions,
             "kg_shared_entities": kgqueries.kg_shared_entities,
-            "kg_shared_entities_sampled": kgqueries.kg_shared_entities_sampled,
+            "kg_shared_entities_dropcap": kgqueries.kg_shared_entities_dropcap,
             "kg_top_concepts": kgqueries.kg_top_concepts,
             "kg_relationship_summary": kgqueries.kg_relationship_summary,
             "kg_concept_summary": kgqueries.kg_concept_summary,

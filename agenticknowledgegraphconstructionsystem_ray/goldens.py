@@ -1895,7 +1895,7 @@ def kg_oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_low_confidence
             FROM {_g('edges')} GROUP BY pred
         """,
-        "kg_shared_entities": f"""
+        "kg_shared_entities_dropcap": f"""
             WITH rel AS (
                 SELECT url, norm_surface FROM {_g('mentions')}
                 WHERE score >= 0.4
@@ -1911,7 +1911,7 @@ def kg_oracle_sql() -> dict[str, str]:
             GROUP BY a.url, b.url
             ORDER BY n_shared DESC, url_a, url_b LIMIT 50
         """,
-        "kg_shared_entities_sampled": f"""
+        "kg_shared_entities": f"""
             WITH rel AS (
                 SELECT url, norm_surface FROM {_g('mentions')}
                 WHERE score >= 0.4

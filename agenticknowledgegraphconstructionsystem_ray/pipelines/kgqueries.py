@@ -78,17 +78,15 @@ def kg_mentions(sf_dir: str):
     return ds
 
 
-def kg_shared_entities(sf_dir: str, min_relevance: float = 0.4, top: int = 50):
-    """Document-pair similarity via shared entities — the reference's
-    shared-concepts self-join (J1, ``database.ts:236-259``: paper_concepts
-    joined to itself on concept_id at relevance >= 0.4) and its documented
-    2-hop co-occurrence query (J8, ``db_init.py:240-252``).
-
-    Shape: mentions filtered to score >= min_relevance, grouped by entity,
-    pairs emitted per group, re-grouped by pair with counts, top-k. Head
-    (Zipf) entities are EXCLUDED above a degree cap — the standard guard
-    against the quadratic pair blowup a high-degree node causes (SURVEY.md
-    §4.2 skew note); a production variant would sample or salt instead.
+def kg_shared_entities_dropcap(
+    sf_dir: str, min_relevance: float = 0.4, top: int = 50
+):
+    """Opt-in degree-DROPPING variant of the shared-concepts self-join:
+    head (Zipf) entities above the degree cap are EXCLUDED entirely,
+    losing all their co-occurrence signal. Kept as the documented special
+    case for corpora where head entities are pure noise (boilerplate
+    phrases); the default ``kg_shared_entities`` samples instead so every
+    entity contributes (SURVEY.md §4.2 skew note).
     """
     import numpy as np
     import pyarrow as pa
@@ -126,17 +124,23 @@ def kg_shared_entities(sf_dir: str, min_relevance: float = 0.4, top: int = 50):
     return pairs
 
 
-def kg_shared_entities_sampled(
+def kg_shared_entities(
     sf_dir: str, min_relevance: float = 0.4, top: int = 50, max_degree: int = 20
 ):
-    """Production head-entity handling for the shared-concepts self-join:
-    where ``kg_shared_entities`` EXCLUDES entities above the degree cap
-    (dropping all their co-occurrence signal), this variant deterministically
-    SAMPLES each entity's url list down to the cap by hash ranking — keep the
-    ``max_degree`` urls with the smallest ``md5(norm_surface|url)``. Every
-    entity contributes, the per-entity pair blowup stays hard-bounded at
-    cap^2, and the result is bit-exact reproducible (keyed hash, no RNG, no
-    partition dependence) — so it still carries a full value oracle."""
+    """Document-pair similarity via shared entities — the reference's
+    shared-concepts self-join (J1, ``database.ts:236-259``: paper_concepts
+    joined to itself on concept_id at relevance >= 0.4) and its documented
+    2-hop co-occurrence query (J8, ``db_init.py:240-252``).
+
+    Shape: mentions filtered to score >= min_relevance, grouped by entity,
+    pairs emitted per group, re-grouped by pair with counts, top-k.
+    Head-entity handling (the DEFAULT since round 3): entities above the
+    degree cap are deterministically SAMPLED down to it by hash ranking —
+    keep the ``max_degree`` urls with the smallest ``md5(norm_surface|url)``.
+    Every entity contributes, the per-entity pair blowup stays hard-bounded
+    at cap^2, and the result is bit-exact reproducible (keyed hash, no RNG,
+    no partition dependence) — so it still carries a full value oracle. The
+    dropping variant survives as ``kg_shared_entities_dropcap``."""
     import hashlib
 
     import numpy as np
