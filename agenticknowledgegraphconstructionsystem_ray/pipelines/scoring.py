@@ -623,31 +623,53 @@ def q65_doc_term_matrix(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def q70_bpe_merges(sf_dir: str):
-    """Learned byte-pair merges over the corpus (functions/bpe.py kernel):
-    ONE distributed word-count shuffle reduces the corpus to the
-    (word, count) table — the trainer's actual state, like every
-    production BPE trainer — then the deterministic merge loop runs over
-    the capped table. Output: (rank, sym_a, sym_b, n) in learned order.
-    Golden-file oracle: sequential word count + the SAME kernel
-    (goldens._seq_bpe)."""
+def _capped_word_counts(sf_dir: str) -> list[tuple[str, int]]:
+    """Distributed trainer-state builder shared by q70 and tx_bpe_encode:
+    ONE word-count shuffle, then the top-``WORD_CAP`` selection runs
+    DISTRIBUTED — a per-block top-k combiner (each term lives in exactly
+    one post-groupby block, so block winners are a superset of global
+    winners) followed by sort+limit over the combiner survivors. The
+    driver receives exactly WORD_CAP rows, never the open-web vocabulary.
+    Ordering (n desc, term asc) matches bpe.cap_words bit-for-bit."""
     from ray.data.aggregate import Sum
 
-    from ..functions import bpe
-    from ..stages.textstats import _TOKEN_RE
+    from ..functions.bpe import WORD_CAP
+    from ..stages.textstats import term_count_partial as count_partial
 
     docs = read_table(sf_dir, "documents", columns=["text"])
 
-    from ..stages.textstats import term_count_partial as count_partial
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= WORD_CAP:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("term", "ascending")]
+        )
+        return t.take(idx[:WORD_CAP])
 
     wc = (
         docs.map_batches(count_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("n_p", alias_name="n"))
-        .to_pandas()  # vocabulary-sized (the trainer state); capped next
+        .map_batches(block_topk, batch_format="pyarrow")
+        .sort(["n", "term"], descending=[True, False])
+        .limit(WORD_CAP)
+        .to_pandas()  # exactly WORD_CAP rows, already in cap_words order
     )
-    capped = bpe.cap_words(dict(zip(wc["term"], wc["n"].astype(int))))
-    merges = bpe.learn_merges(capped)
+    return list(zip(wc["term"], wc["n"].astype(int)))
+
+
+def q70_bpe_merges(sf_dir: str):
+    """Learned byte-pair merges over the corpus (functions/bpe.py kernel):
+    ONE distributed word-count shuffle reduces the corpus to the
+    (word, count) table — the trainer's actual state, like every
+    production BPE trainer — capped to WORD_CAP distributed
+    (_capped_word_counts), then the deterministic merge loop runs over
+    the capped table. Output: (rank, sym_a, sym_b, n) in learned order.
+    Golden-file oracle: sequential word count + the SAME kernel
+    (goldens._seq_bpe)."""
+    from ..functions import bpe
+
+    merges = bpe.learn_merges(_capped_word_counts(sf_dir))
     return pa.table(
         {
             "rank": pa.array(range(len(merges)), pa.int64()),
@@ -664,21 +686,11 @@ def q70_bpe_merges(sf_dir: str):
 
 def _learn_corpus_merges(sf_dir: str) -> list[tuple[str, str]]:
     """q70's distributed trainer, returning just the (left, right) merge
-    sequence: ONE word-count shuffle -> capped table -> deterministic loop."""
-    from ray.data.aggregate import Sum
-
+    sequence: ONE word-count shuffle -> distributed cap -> deterministic
+    loop (driver state bounded by WORD_CAP, not the vocabulary)."""
     from ..functions import bpe
-    from ..stages.textstats import term_count_partial as count_partial
 
-    docs = read_table(sf_dir, "documents", columns=["text"])
-    wc = (
-        docs.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n_p", alias_name="n"))
-        .to_pandas()  # vocabulary-sized trainer state; capped next
-    )
-    capped = bpe.cap_words(dict(zip(wc["term"], wc["n"].astype(int))))
-    return [(a, b) for a, b, _ in bpe.learn_merges(capped)]
+    return [(a, b) for a, b, _ in bpe.learn_merges(_capped_word_counts(sf_dir))]
 
 
 class _BpeScorer:
