@@ -775,8 +775,6 @@ def run_phase_b(cfg: KGConfig) -> dict:
     sample: list[dict] = entity_issues.slice(0, 100).to_pylist()
 
     if n_edges:
-        from ray.data.aggregate import Sum as RSum
-
         issues_ds = (
             rd.read_parquet(
                 sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
@@ -785,15 +783,14 @@ def run_phase_b(cfg: KGConfig) -> dict:
             .materialize()  # consumed twice: parquet write + summary counts
         )
         issues_ds.write_parquet(tmpi, compression="zstd")
-        # summary counts distributed (block combiner -> tiny groupby); the
-        # previous serial driver scan of the issue files cost seconds at
-        # bench scale
-        cnt = (
-            issues_ds.map_batches(issue_count_batch, batch_format="pyarrow")
-            .groupby(["severity", "rule"])
-            .aggregate(RSum("n", alias_name="n"))
-            .to_pandas()
-        )
+        # summary counts: block combiner -> driver merge. The partials are
+        # O(n_rules x n_severities) per block (a handful of rows), so the
+        # driver merge is blocks-bounded and the Ray groupby a shuffle this
+        # small doesn't pay for is gone (it also emitted schema-less empty
+        # output partitions, the "new schema: ." warning source).
+        cnt = issues_ds.map_batches(
+            issue_count_batch, batch_format="pyarrow"
+        ).to_pandas()
         for r in cnt.itertuples(index=False):
             key = (r.severity, r.rule)
             by_rule_sev[key] = by_rule_sev.get(key, 0) + int(r.n)
@@ -822,8 +819,6 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
     run distributed; only alias-relevant surfaces (bounded by the alias
     dictionary) and per-block row counts reach the driver. Produces the same
     on-disk outputs as run_phase_b (nodes may span multiple parquet files)."""
-    from ray.data.aggregate import Sum as RSum
-
     from ..stages.validate import validate_nodes_table as _vnt
     from .openvocab import apply_ids_hybrid, build_nodes_openvocab
 
@@ -929,14 +924,14 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
             issues_ds = issues_ds.union(extra)
         issues_ds = issues_ds.materialize()
         issues_ds.write_parquet(tmpi, compression="zstd")
-        cnt = (
-            issues_ds.map_batches(issue_count_batch, batch_format="pyarrow")
-            .groupby(["severity", "rule"])
-            .aggregate(RSum("n", alias_name="n"))
-            .to_pandas()
-        )
+        # block combiner -> driver merge (see the default path: the partials
+        # are rules x severities per block, so no shuffle is warranted)
+        cnt = issues_ds.map_batches(
+            issue_count_batch, batch_format="pyarrow"
+        ).to_pandas()
         for r in cnt.itertuples(index=False):
-            by_rule_sev[(r.severity, r.rule)] = int(r.n)
+            key = (r.severity, r.rule)
+            by_rule_sev[key] = by_rule_sev.get(key, 0) + int(r.n)
         # sample ENTITY issues (matching the default path's
         # validation-results.json, which samples entity issues only)
         if entity_issues_ds is not None:
