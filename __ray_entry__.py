@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_lineage": kgqueries.kg_lineage,
             "kg_edge_history": kgqueries.kg_edge_history,
             "kg_growth": kgqueries.kg_growth,
+            "kg_search": kgqueries.kg_search,
             "kg_pagerank": graphalgo.kg_pagerank,
             "kg_ppr": graphalgo.kg_ppr,
             "kg_degree_stats": graphalgo.kg_degree_stats,

@@ -1816,6 +1816,58 @@ def _stop_en_sql() -> str:
     return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
 
 
+def _kg_search_sql() -> str:
+    """Golden oracle for kgqueries.kg_search: tokenize the golden text the
+    same way as scoring._TOK_SQL, require ALL query terms (tsquery AND),
+    score with the q89 integer BM25 formula, enrich from golden mentions."""
+    from .pipelines.kgqueries import KG_SEARCH_K, KG_SEARCH_QUERY
+
+    terms = ", ".join(f"'{q}'" for q in KG_SEARCH_QUERY)
+    return f"""
+        WITH tok AS (
+            SELECT url, unnest(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS term
+            FROM {_g('text')}
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM {_g('text')}),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM tok),
+        dl AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS dlen
+               FROM tok GROUP BY url),
+        tf AS (SELECT url, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok WHERE term IN ({terms}) GROUP BY url, term),
+        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+               FROM tf GROUP BY term),
+        hit AS (SELECT url FROM tf GROUP BY url
+                HAVING COUNT(DISTINCT term) = {len(KG_SEARCH_QUERY)}),
+        scored AS (
+            SELECT tf.url,
+                   CAST(SUM(
+                       length(CAST((2 * n.nd + 1) // (2 * df.df + 1)
+                                   AS VARCHAR))
+                       * ((1000000 * 22 * t.tt * tf.tf)
+                          // (10 * t.tt * tf.tf + 3 * t.tt
+                              + 9 * dl.dlen * n.nd))
+                   ) AS BIGINT) AS bm25_ppm
+            FROM tf
+            JOIN hit USING (url) JOIN df USING (term) JOIN dl USING (url)
+            CROSS JOIN n CROSS JOIN t
+            GROUP BY tf.url
+        ),
+        top AS (SELECT url, bm25_ppm FROM scored
+                ORDER BY bm25_ppm DESC, url LIMIT {KG_SEARCH_K}),
+        ent AS (
+            SELECT url, CAST(COUNT(*) AS BIGINT) AS n_entities,
+                   CAST(SUM(n_in_page) AS BIGINT) AS n_mentions
+            FROM {_g('mentions')} GROUP BY url
+        )
+        SELECT top.url, top.bm25_ppm,
+               CAST(COALESCE(ent.n_entities, 0) AS BIGINT) AS n_entities,
+               CAST(COALESCE(ent.n_mentions, 0) AS BIGINT) AS n_mentions
+        FROM top LEFT JOIN ent USING (url)
+        ORDER BY bm25_ppm DESC, url
+    """
+
+
 def kg_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the kg_* driver queries, reading the sequential
     golden parquet. Pinned to the driver's correctness scale (sf0.01)."""
@@ -2263,6 +2315,10 @@ def kg_oracle_sql() -> dict[str, str]:
             SELECT media_id, resized_w, resized_h, sum_resized
             FROM {_g('mm_resize')}
         """,
+        # kg_search: AND-semantics (tsquery '&') BM25-ranked full-text search
+        # over the golden extracted text + KG-entity enrichment join — same
+        # integer math as the Ray path (scoring.q89 kernel), so bit-exact
+        "kg_search": _kg_search_sql(),
         # pure SQL (no golden needed): the deterministic fake video payload is
         # text-derived, so the frame-sample count is arithmetic on byte length
         "mm_sampled_frames": """

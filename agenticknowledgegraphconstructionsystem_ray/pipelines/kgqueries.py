@@ -475,3 +475,169 @@ def kg_growth(sf_dir: str):
             "n_cum_edges": pa.array(np.cumsum(n_new), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# kg_search: AND-semantics ranked full-text search over the KG artifacts —
+# the analog of the reference's tsvector sample query
+# (db_init.py:254-262: to_tsquery('english', 'real & time & rendering')
+# ranked by ts_rank over tsv_title + tsv_abstract) re-expressed over the
+# extracted page text, with the "search the graph" enrichment join
+# (db_init.py papers JOIN paper_concepts): each hit carries the number of
+# distinct KG entities linked on that page and its best link score.
+#
+# Ranking is the integer-exact BM25 kernel from scoring.q89 (k1 = 6/5,
+# b = 3/4 as exact rationals, digits10-quantized idf, ppm scores), so the
+# DuckDB golden oracle reproduces every score bit-exactly. A page matches
+# only if it contains ALL query terms (tsquery '&' semantics).
+#
+# Shape: two tiny aggregates (N pages, T tokens, df per query term, one
+# map_batches partial + sum) -> ONE scoring map pass with a per-block top-k
+# combiner (blocks x K rows reach the driver) -> ONE mentions scan filtered
+# by the broadcast top-K url set emitting (url, n_entities, max_link)
+# partials. Nothing corpus- or vocabulary-sized moves; at 100 TB the only
+# all-to-all is none at all.
+# ---------------------------------------------------------------------------
+
+KG_SEARCH_QUERY = ("gaussian", "rendering", "synthesis")
+KG_SEARCH_K = 20
+
+
+def kg_search(sf_dir: str):
+    """Top-{KG_SEARCH_K} pages containing ALL of {KG_SEARCH_QUERY} ranked by
+    integer-exact BM25 over the extracted text, enriched with the count of
+    distinct KG entities linked on the page and the best link score."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from .scoring import _TOKEN_RE
+
+    out = _ensure_run(sf_dir)
+    qterms = list(KG_SEARCH_QUERY)
+    text = kg.text_dataset(out, columns=["url", "text"])
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        n, tok = 0, 0
+        dfp = {q: 0 for q in qterms}
+        for s in t["text"].to_pylist():
+            toks = _TOKEN_RE.findall(s.lower())
+            n += 1
+            tok += len(toks)
+            seen = set(toks)
+            for q in qterms:
+                if q in seen:
+                    dfp[q] += 1
+        return pa.table(
+            {
+                "n_p": pa.array([n], pa.int64()),
+                "tok_p": pa.array([tok], pa.int64()),
+                **{
+                    f"df_{i}_p": pa.array([dfp[q]], pa.int64())
+                    for i, q in enumerate(qterms)
+                },
+            }
+        )
+
+    stats = text.map_batches(stats_partial, batch_format="pyarrow").sum(
+        ["n_p", "tok_p"] + [f"df_{i}_p" for i in range(len(qterms))]
+    )
+    N = int(stats["sum(n_p)"])
+    T = int(stats["sum(tok_p)"])
+    idf = {
+        q: len(str((2 * N + 1) // (2 * int(stats[f"sum(df_{i}_p)"]) + 1)))
+        for i, q in enumerate(qterms)
+    }
+    ref = ray.put((idf, T, N))
+
+    def score_topk(t: pa.Table, _ref=ref) -> pa.Table:
+        idf_, T_, N_ = ray.get(_ref) if hasattr(_ref, "hex") else _ref
+        urls, scores = [], []
+        for url, s in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall(s.lower())
+            dl = len(toks)
+            total = 0
+            for q, w in idf_.items():
+                tf = toks.count(q)
+                if not tf:  # tsquery AND: every term must match
+                    total = 0
+                    break
+                part = (1_000_000 * 22 * T_ * tf) // (
+                    10 * T_ * tf + 3 * T_ + 9 * dl * N_
+                )
+                total += w * part
+            if total > 0:
+                urls.append(url)
+                scores.append(total)
+        if urls:
+            order = np.lexsort((np.array(urls), -np.array(scores)))
+            order = order[:KG_SEARCH_K]
+        else:
+            order = []
+        return pa.table(
+            {
+                "url": pa.array([urls[i] for i in order], pa.string()),
+                "bm25_ppm": pa.array([scores[i] for i in order], pa.int64()),
+            }
+        )
+
+    cand = text.map_batches(score_topk, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["bm25_ppm"], r["url"]))
+    top = cand[:KG_SEARCH_K]
+    top_urls = [r["url"] for r in top]
+    score_of = {r["url"]: r["bm25_ppm"] for r in top}
+
+    # enrichment: (url, norm_surface) rows are globally distinct (one row
+    # per page-entity link), so per-block count/sum partials merge exactly
+    # on the driver (bounded by K urls x blocks rows). Integer-only stats
+    # keep the oracle bit-exact.
+    uref = ray.put(set(top_urls))
+
+    def entity_partial(t: pa.Table, _u=uref) -> pa.Table:
+        keep = ray.get(_u) if hasattr(_u, "hex") else _u
+        mask = pc.is_in(t["url"], pa.array(sorted(keep), pa.string()))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "n_p": pa.array([], pa.int64()),
+                    "nm_p": pa.array([], pa.int64()),
+                }
+            )
+        agg = t.group_by("url").aggregate(
+            [("norm_surface", "count"), ("n_in_page", "sum")]
+        )
+        return pa.table(
+            {
+                "url": agg["url"],
+                "n_p": pc.cast(agg["norm_surface_count"], pa.int64()),
+                "nm_p": pc.cast(agg["n_in_page_sum"], pa.int64()),
+            }
+        )
+
+    ments = kg.mentions_dataset(out, columns=["url", "norm_surface", "n_in_page"])
+    n_ent: dict[str, int] = {}
+    n_men: dict[str, int] = {}
+    for b in ments.map_batches(entity_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for u, n, nm in zip(
+            b["url"].to_pylist(), b["n_p"].to_pylist(), b["nm_p"].to_pylist()
+        ):
+            n_ent[u] = n_ent.get(u, 0) + n
+            n_men[u] = n_men.get(u, 0) + nm
+
+    return pa.table(
+        {
+            "url": pa.array(top_urls, pa.string()),
+            "bm25_ppm": pa.array([score_of[u] for u in top_urls], pa.int64()),
+            "n_entities": pa.array(
+                [n_ent.get(u, 0) for u in top_urls], pa.int64()
+            ),
+            "n_mentions": pa.array(
+                [n_men.get(u, 0) for u in top_urls], pa.int64()
+            ),
+        }
+    )

@@ -39,3 +39,67 @@ def test_pipeline_matches_sequential_golden(golden_dir, query, artifact, columns
     for c in mine.column_names:
         assert mine[c].type == ref[c].type, f"{query}.{c}: dtype"
         assert mine[c].equals(ref[c]), f"{query}.{c}: values differ"
+
+
+def test_kg_search_matches_sequential(golden_dir):
+    """kg_search (AND-semantics BM25 + entity enrichment, the tsvector
+    sample-query analog) vs an independent sequential recomputation over
+    the golden text/mentions parquet at sf0.001."""
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kgqueries
+    from agenticknowledgegraphconstructionsystem_ray.pipelines.kgqueries import (
+        KG_SEARCH_K,
+        KG_SEARCH_QUERY,
+    )
+
+    text = pq.read_table(os.path.join(golden_dir, "text.parquet"))
+    tok_re = re.compile(r"[a-z0-9]+")
+    toks = {
+        u: tok_re.findall(s.lower())
+        for u, s in zip(text["url"].to_pylist(), text["text"].to_pylist())
+    }
+    N = len(toks)
+    T = sum(len(v) for v in toks.values())
+    idf = {
+        q: len(str((2 * N + 1) // (2 * sum(q in set(v) for v in toks.values()) + 1)))
+        for q in KG_SEARCH_QUERY
+    }
+    scored = []
+    for u, v in toks.items():
+        dl = len(v)
+        s = 0
+        for q, w in idf.items():
+            tf = v.count(q)
+            if not tf:
+                s = 0
+                break
+            s += w * (
+                (1_000_000 * 22 * T * tf) // (10 * T * tf + 3 * T + 9 * dl * N)
+            )
+        if s > 0:
+            scored.append((u, s))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    top = scored[:KG_SEARCH_K]
+
+    ments = pq.read_table(os.path.join(golden_dir, "mentions.parquet"))
+    n_ent, n_men = {}, {}
+    for u, nip in zip(ments["url"].to_pylist(), ments["n_in_page"].to_pylist()):
+        n_ent[u] = n_ent.get(u, 0) + 1
+        n_men[u] = n_men.get(u, 0) + nip
+
+    mine = kgqueries.kg_search("/root/testdata/sf0.001")
+    assert mine.num_rows == len(top)
+    got = list(
+        zip(
+            mine["url"].to_pylist(),
+            mine["bm25_ppm"].to_pylist(),
+            mine["n_entities"].to_pylist(),
+            mine["n_mentions"].to_pylist(),
+        )
+    )
+    want = [(u, s, n_ent.get(u, 0), n_men.get(u, 0)) for u, s in top]
+    assert got == want
