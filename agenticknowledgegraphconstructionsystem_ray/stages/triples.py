@@ -379,6 +379,47 @@ class TripleExtractor:
 
 
 # ---------------------------------------------------------------------------
+# Warm-model stub extractors (bench probes, output-identical to
+# TripleExtractor).
+#
+# The reference's extraction stage pays an expensive per-process setup —
+# the Anthropic client + prompt assets built once per agent process
+# (agents/src/agents/entity-extraction-agent.ts:16-25) — before its cheap
+# per-item calls. These stubs reproduce that cost profile deterministically
+# so `bench.py --warm-model` can MEASURE (not assert) that the actor-pool
+# shape amortizes the load: `WarmModelExtractor` pays load_s once per actor
+# in __init__ (the right shape), `PerBatchLoadExtractor` pays it on every
+# batch (the shape extraction degrades to when model setup is left inside
+# the map function). Both delegate to the production kernel, so outputs are
+# bit-identical to TripleExtractor (tests/test_kg_pipeline.py asserts it).
+# ---------------------------------------------------------------------------
+
+
+class WarmModelExtractor(TripleExtractor):
+    """TripleExtractor with a simulated expensive model load in __init__."""
+
+    def __init__(self, load_s: float = 5.0, **kwargs) -> None:
+        import time
+
+        time.sleep(load_s)  # stands in for reading weights / building state
+        super().__init__(**kwargs)
+
+
+class PerBatchLoadExtractor(TripleExtractor):
+    """The naive contrast: the same load cost re-paid on EVERY batch."""
+
+    def __init__(self, load_s: float = 5.0, **kwargs) -> None:
+        self.load_s = load_s
+        super().__init__(**kwargs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import time
+
+        time.sleep(self.load_s)
+        return super().__call__(batch)
+
+
+# ---------------------------------------------------------------------------
 # Stateless-task variant of the extraction stage.
 #
 # The actor-pool form above is the right shape when per-worker state is

@@ -124,3 +124,41 @@ def test_lang_filter(pages_dir, tmp_path):
     assert emitted == golden_en
     _, golden_all = oracle.oracle_graph(pages_dir, synth.alias_dict())
     assert len(golden_en) < len(golden_all)
+
+
+def test_warm_model_extractors_output_identical():
+    """The warm-model bench stubs (WarmModelExtractor: load cost once per
+    actor; PerBatchLoadExtractor: cost per batch) must be output-identical
+    to the production TripleExtractor — they exist only to reshape COST."""
+    import pyarrow as pa
+
+    from agenticknowledgegraphconstructionsystem_ray import synth
+    from agenticknowledgegraphconstructionsystem_ray.stages.triples import (
+        PerBatchLoadExtractor,
+        TripleExtractor,
+        WarmModelExtractor,
+    )
+
+    batch = pa.table(
+        {
+            "url": pa.array(
+                ["http://a.example/x", "http://b.example/y"], pa.string()
+            ),
+            "warc_ts": pa.array([1, 2], pa.timestamp("us")),
+            "text": pa.array(
+                [
+                    "Neural Radiance Fields improve view synthesis. "
+                    "Gaussian Splatting renders scenes.",
+                    "Plenoxels accelerate training.",
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }
+    )
+    alias = synth.alias_dict()
+    base = TripleExtractor(alias_dict=alias)(batch)
+    warm = WarmModelExtractor(load_s=0.01, alias_dict=alias)(batch)
+    perb = PerBatchLoadExtractor(load_s=0.0, alias_dict=alias)(batch)
+    assert base.equals(warm)
+    assert base.equals(perb)
