@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_edge_history": kgqueries.kg_edge_history,
             "kg_growth": kgqueries.kg_growth,
             "kg_search": kgqueries.kg_search,
+            "kg_merge_nodes": kgqueries.kg_merge_nodes,
+            "kg_merge_edges": kgqueries.kg_merge_edges,
             "kg_pagerank": graphalgo.kg_pagerank,
             "kg_ppr": graphalgo.kg_ppr,
             "kg_degree_stats": graphalgo.kg_degree_stats,

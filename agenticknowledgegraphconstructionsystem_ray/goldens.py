@@ -2315,6 +2315,19 @@ def kg_oracle_sql() -> dict[str, str]:
             SELECT media_id, resized_w, resized_h, sum_resized
             FROM {_g('mm_resize')}
         """,
+        # kg_merge_*: the incremental merge is bit-identical to the full
+        # run by construction, so its oracle IS the full-run golden
+        "kg_merge_nodes": f"""
+            SELECT entity_id, canonical_name, ent_type, mention_count,
+                   link_count, perfect_links, max_score, min_score,
+                   aliases_joined
+            FROM {_g('nodes')}
+        """,
+        "kg_merge_edges": f"""
+            SELECT subj_id, pred, obj_id, subj, obj, url, warc_ts,
+                   confidence, context, validated, flag_for_review
+            FROM {_g('edges')}
+        """,
         # kg_search: AND-semantics (tsquery '&') BM25-ranked full-text search
         # over the golden extracted text + KG-entity enrichment join — same
         # integer math as the Ray path (scoring.q89 kernel), so bit-exact

@@ -130,6 +130,15 @@ class KGConfig:
                                      # Zipf head = the bulk of occurrences),
                                      # only tail rows pay the lookup join.
                                      # 0 disables (pure join path)
+    record_dirs: tuple[str, ...] | None = None  # phase-B record sources:
+                                     # None = this run's own extracted dir;
+                                     # a tuple = the UNION of several runs'
+                                     # phase-A artifacts (merge_runs - the
+                                     # incremental-crawl upsert analog).
+                                     # Assumes disjoint url sets across the
+                                     # merged runs (same D4 invariant as
+                                     # within one corpus; re-crawled urls
+                                     # need global_edge_dedup=True)
     skip_bad_files: bool = False     # True = QUARANTINE unreadable input
                                      # files (truncated / corrupt parquet
                                      # footers — the crash-mid-upload case
@@ -495,9 +504,16 @@ def run_phase_a(cfg: KGConfig) -> dict:
     }
 
 
-def _kind_files(out_dir: str, kind: str) -> list[str]:
+def _kind_files(out_dir, kind: str) -> list[str]:
+    """Record files of one kind, from one run dir or (for merge_runs) a
+    sequence of run dirs — the union of every run's phase-A artifacts."""
+    dirs = [out_dir] if isinstance(out_dir, str) else list(out_dir)
     return sorted(
-        glob.glob(os.path.join(out_dir, "extracted", "chunk=*", f"kind={kind}", "*.parquet"))
+        f
+        for d in dirs
+        for f in glob.glob(
+            os.path.join(d, "extracted", "chunk=*", f"kind={kind}", "*.parquet")
+        )
     )
 
 
@@ -639,6 +655,7 @@ def run_phase_b(cfg: KGConfig) -> dict:
 
     _since = [t0]
     out = cfg.out_dir
+    src_dirs = cfg.record_dirs or (out,)
     alias = cfg.alias_dict()
 
     # ---- mention counts: batch-level partials were already emitted by the
@@ -648,7 +665,7 @@ def run_phase_b(cfg: KGConfig) -> dict:
     # assumes. The pandas merge replaces a full Ray shuffle whose output
     # would be vocabulary-sized anyway. Fallback: recompute partials from
     # the mention rows when mcount files are absent.
-    mcount_files = _kind_files(out, "mcount")
+    mcount_files = _kind_files(src_dirs, "mcount")
     if mcount_files:
         total_partial_rows = sum(
             pq.read_metadata(f).num_rows for f in mcount_files
@@ -682,7 +699,7 @@ def run_phase_b(cfg: KGConfig) -> dict:
         partials = t.to_pandas() if t.num_rows else None
     else:
         mentions = mentions_dataset(
-            out, columns=["norm_surface", "n_in_page", "score"]
+            src_dirs, columns=["norm_surface", "n_in_page", "score"]
         )
         partials = (
             mentions.map_batches(
@@ -730,7 +747,7 @@ def run_phase_b(cfg: KGConfig) -> dict:
 
     # ---- SHUFFLE 2: edges dedup + validation + sort ----
     triples = triples_dataset(
-        out,
+        src_dirs,
         columns=[
             "url", "warc_ts", "subj", "subj_norm", "pred",
             "obj", "obj_norm", "confidence", "context",
@@ -832,14 +849,15 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
 
     _since = [t0]
     out = cfg.out_dir
+    src_dirs = cfg.record_dirs or (out,)
     alias = cfg.alias_dict()
 
-    mcount_files = _kind_files(out, "mcount")
+    mcount_files = _kind_files(src_dirs, "mcount")
     if mcount_files:
         counts_ds = _distributed_counts_ds(mcount_files)
     else:
         mentions = mentions_dataset(
-            out, columns=["norm_surface", "n_in_page", "score"]
+            src_dirs, columns=["norm_surface", "n_in_page", "score"]
         )
         counts_ds = (
             _merge_partials_ds(
@@ -881,7 +899,7 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
     _mark("counts_unionfind_s", _since)
 
     triples = triples_dataset(
-        out,
+        src_dirs,
         columns=[
             "url", "warc_ts", "subj", "subj_norm", "pred",
             "obj", "obj_norm", "confidence", "context",
@@ -1015,3 +1033,62 @@ def ensure_complete(cfg: KGConfig) -> dict:
     if os.path.exists(marker) and open(marker).read() == _config_fingerprint(cfg):
         return {"out_dir": cfg.out_dir, "cached": True}
     return run_pipeline(cfg)
+
+
+def merge_runs(
+    record_dirs: list[str],
+    out_dir: str,
+    *,
+    alias: dict[str, tuple[str, str]] | None = None,
+    open_vocab: bool = False,
+    global_edge_dedup: bool = False,
+) -> dict:
+    """Incremental-crawl merge — the reference's upsert story
+    (``database.ts:102-116`` ``ON CONFLICT (name) DO UPDATE SET
+    mention_count = mention_count + 1``; ``database_utils.py:145-153``)
+    re-expressed for an immutable-artifact engine: phase B re-reduced over
+    the UNION of several completed runs' phase-A record artifacts.
+
+    What this buys at scale: phase A — the expensive per-document extraction,
+    ~90% of pipeline wall — never re-runs and the raw pages are never
+    re-read. The reduce input is mcount partials (bounded by chunks x
+    vocabulary) plus the triple records; the one corpus-sized all-to-all is
+    the same final edge sort every phase B pays. A weekly crawl increment is
+    therefore: run_pipeline on the new pages alone, then merge_runs over
+    [base_out, delta_out].
+
+    Semantics: deterministic dense-rank entity ids are REASSIGNED over the
+    merged vocabulary (the engine's O3 determinism invariant — ids are a
+    pure function of the corpus, unlike the reference's insertion-order
+    SERIAL ids), mention/link counts accumulate per canonical entity
+    exactly as the reference's ON CONFLICT UPDATE does, and the output is
+    BIT-IDENTICAL to running the full pipeline over the union corpus
+    (tests/test_kg_pipeline.py asserts nodes+edges+issues equality).
+
+    Assumes the merged runs cover DISJOINT url sets (the same D4 invariant
+    one corpus relies on); pass ``global_edge_dedup=True`` for re-crawled
+    urls, same as within a single run.
+    """
+    for d in record_dirs:
+        if not _kind_files(d, "mcount") and not _kind_files(d, "mention"):
+            raise ValueError(f"no phase-A record artifacts under {d!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = KGConfig(
+        pages_dir="",  # phase A never runs for a merge
+        out_dir=out_dir,
+        alias=alias,
+        open_vocab=open_vocab,
+        global_edge_dedup=global_edge_dedup,
+        record_dirs=tuple(record_dirs),
+    )
+    res = run_phase_b(cfg)
+    manifest = {
+        "merged_from": [os.path.abspath(d) for d in record_dirs],
+        "n_nodes": res["n_nodes"],
+        "n_edges": res["n_edges"],
+    }
+    mpath = os.path.join(out_dir, "merge-manifest.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(mpath + ".tmp", mpath)
+    return {**res, "out_dir": out_dir}

@@ -641,3 +641,76 @@ def kg_search(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# kg_merge_*: incremental-crawl merge (the reference's ON CONFLICT upsert
+# analog, database.ts:102-116). The synth corpus is split into two disjoint
+# halves (by file), each half runs the FULL pipeline independently (its own
+# phase A + phase B), and kg.merge_runs re-reduces phase B over the union of
+# the two runs' record artifacts — never re-reading the raw pages. The
+# output is bit-identical to the single full run, so the oracle is the SAME
+# golden the full-run queries use.
+# ---------------------------------------------------------------------------
+
+
+def _ensure_merge_run(sf_dir: str) -> str:
+    import glob
+    import hashlib
+
+    sf = sf_of(sf_dir)
+    pages_dir = synth.ensure_pages(sf)
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    root = f"/tmp/agkg_merge/sf{sf:g}"
+    merged = os.path.join(root, "merged")
+    tag = hashlib.sha1(
+        repr((kg.LAYOUT_VERSION, [os.path.basename(f) for f in files])).encode()
+    ).hexdigest()
+    marker = os.path.join(merged, "_MERGE_OK")
+    if os.path.exists(marker) and open(marker).read() == tag:
+        return merged
+
+    halves = []
+    mid = len(files) // 2
+    for name, part in (("a", files[:mid]), ("b", files[mid:])):
+        pdir = os.path.join(root, f"pages_{name}")
+        os.makedirs(pdir, exist_ok=True)
+        for f in part:
+            dst = os.path.join(pdir, os.path.basename(f))
+            if not os.path.exists(dst):
+                os.symlink(f, dst)
+        out = os.path.join(root, f"out_{name}")
+        kg.ensure_complete(kg.KGConfig(pages_dir=pdir, out_dir=out))
+        halves.append(out)
+
+    kg.merge_runs(halves, merged)
+    with open(marker + ".tmp", "w") as f:
+        f.write(tag)
+    os.replace(marker + ".tmp", marker)
+    return merged
+
+
+def kg_merge_nodes(sf_dir: str):
+    """Merged-run canonical entity table — must equal the full-run golden
+    bit-exactly (accumulated mention/link counts, reassigned dense ids)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    merged = _ensure_merge_run(sf_dir)
+    t = pq.read_table(sorted(glob.glob(os.path.join(merged, "nodes", "*.parquet"))))
+    aliases = ["|".join(a) for a in t.column("aliases").to_pylist()]
+    return t.drop_columns(["aliases"]).append_column(
+        "aliases_joined", pa.array(aliases, pa.string())
+    )
+
+
+def kg_merge_edges(sf_dir: str):
+    """Merged-run edge table — must equal the full-run golden bit-exactly."""
+    import glob
+
+    merged = _ensure_merge_run(sf_dir)
+    return rd.read_parquet(
+        sorted(glob.glob(os.path.join(merged, "edges/**/*.parquet"), recursive=True))
+    )

@@ -162,3 +162,57 @@ def test_warm_model_extractors_output_identical():
     perb = PerBatchLoadExtractor(load_s=0.0, alias_dict=alias)(batch)
     assert base.equals(warm)
     assert base.equals(perb)
+
+
+def test_merge_runs_bit_identical_to_full_run(ray_session, tmp_path):
+    """merge_runs over two disjoint half-corpus runs must reproduce the
+    full-corpus run BIT-EXACTLY: nodes (accumulated counts, reassigned
+    dense ids), edges (re-id'd, re-sorted) and validation issues. This is
+    the engine's ON CONFLICT upsert analog (database.ts:102-116) with
+    deterministic ids instead of insertion-order SERIAL."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray import synth
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+
+    root = str(tmp_path)
+    pages = os.path.join(root, "pages")
+    synth.write_pages(pages, 400, n_files=6)
+    files = sorted(glob.glob(os.path.join(pages, "*.parquet")))
+
+    halves = []
+    for name, part in (("a", files[:3]), ("b", files[3:])):
+        pdir = os.path.join(root, f"pages_{name}")
+        os.makedirs(pdir)
+        for f in part:
+            os.symlink(f, os.path.join(pdir, os.path.basename(f)))
+        out = os.path.join(root, f"out_{name}")
+        kg.run_pipeline(kg.KGConfig(pages_dir=pdir, out_dir=out, chunk_files=2))
+        halves.append(out)
+
+    merged = os.path.join(root, "merged")
+    res = kg.merge_runs(halves, merged)
+    full = os.path.join(root, "full")
+    kg.run_pipeline(kg.KGConfig(pages_dir=pages, out_dir=full, chunk_files=2))
+
+    def tbl(out, sub):
+        return pq.read_table(
+            sorted(glob.glob(os.path.join(out, sub, "**", "*.parquet"),
+                             recursive=True))
+        )
+
+    nodes_m, nodes_f = tbl(merged, "nodes"), tbl(full, "nodes")
+    assert nodes_m.equals(nodes_f)
+    edges_m, edges_f = tbl(merged, "edges"), tbl(full, "edges")
+    assert edges_m.equals(edges_f)
+    assert res["n_edges"] == edges_f.num_rows
+
+    def issues(out):
+        t = tbl(out, os.path.join("validation", "issues"))
+        return t.sort_by([(c, "ascending") for c in t.column_names])
+
+    assert issues(merged).equals(issues(full))
