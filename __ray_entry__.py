@@ -77,6 +77,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_search": kgqueries.kg_search,
             "kg_merge_nodes": kgqueries.kg_merge_nodes,
             "kg_merge_edges": kgqueries.kg_merge_edges,
+            "kg_improves_seminal": kgqueries.kg_improves_seminal,
+            "kg_pages_no_edges": kgqueries.kg_pages_no_edges,
+            "kg_conflicts": kgqueries.kg_conflicts,
+            "kg_entity_history": kgqueries.kg_entity_history,
             "kg_pagerank": graphalgo.kg_pagerank,
             "kg_ppr": graphalgo.kg_ppr,
             "kg_degree_stats": graphalgo.kg_degree_stats,

@@ -2328,6 +2328,62 @@ def kg_oracle_sql() -> dict[str, str]:
                    confidence, context, validated, flag_for_review
             FROM {_g('edges')}
         """,
+        # graph-level consistency + provenance diagnostics
+        "kg_conflicts": f"""
+            WITH d AS (
+                SELECT pred,
+                       LEAST(subj_id, obj_id) AS entity_a,
+                       GREATEST(subj_id, obj_id) AS entity_b,
+                       CASE WHEN subj_id < obj_id THEN 1 ELSE 0 END AS fwd
+                FROM {_g('edges')}
+                WHERE pred IN ('outperforms', 'improves_on', 'extends',
+                               'builds_on')
+                  AND subj_id <> obj_id
+            ),
+            agg AS (
+                SELECT pred, entity_a, entity_b,
+                       CAST(SUM(fwd) AS BIGINT) AS n_fwd,
+                       CAST(SUM(1 - fwd) AS BIGINT) AS n_rev
+                FROM d GROUP BY 1, 2, 3
+            )
+            SELECT pred, entity_a, entity_b, n_fwd, n_rev
+            FROM agg WHERE n_fwd > 0 AND n_rev > 0
+            ORDER BY pred, entity_a, entity_b
+        """,
+        "kg_entity_history": f"""
+            WITH sides AS (
+                SELECT subj_id AS entity_id, url, epoch_us(warc_ts) AS ts
+                FROM {_g('edges')}
+                UNION ALL
+                SELECT obj_id, url, epoch_us(warc_ts) FROM {_g('edges')}
+            )
+            SELECT entity_id,
+                   CAST(MIN(ts) AS BIGINT) AS first_ts_us,
+                   CAST(MAX(ts) AS BIGINT) AS last_ts_us,
+                   CAST(COUNT(DISTINCT url) AS BIGINT) AS n_pages
+            FROM sides GROUP BY entity_id ORDER BY entity_id
+        """,
+        # sample-query analogs (db_init.py:226-275)
+        "kg_improves_seminal": f"""
+            WITH sem AS (
+                SELECT entity_id FROM {_g('nodes')}
+                ORDER BY mention_count DESC, entity_id LIMIT 1
+            )
+            SELECT n.canonical_name AS improving_entity,
+                   e.context AS explanation, e.confidence, e.url
+            FROM {_g('edges')} e
+            JOIN sem ON e.obj_id = sem.entity_id
+            JOIN {_g('nodes')} n ON n.entity_id = e.subj_id
+            WHERE e.pred = 'improves_on'
+            ORDER BY e.confidence DESC, improving_entity, e.url
+        """,
+        "kg_pages_no_edges": f"""
+            SELECT t.url, t.lang FROM {_g('text')} t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM {_g('edges')} e WHERE e.url = t.url
+            )
+            ORDER BY t.url
+        """,
         # kg_search: AND-semantics (tsquery '&') BM25-ranked full-text search
         # over the golden extracted text + KG-entity enrichment join — same
         # integer math as the Ray path (scoring.q89 kernel), so bit-exact

@@ -1049,12 +1049,17 @@ def merge_runs(
     re-expressed for an immutable-artifact engine: phase B re-reduced over
     the UNION of several completed runs' phase-A record artifacts.
 
-    What this buys at scale: phase A — the expensive per-document extraction,
-    ~90% of pipeline wall — never re-runs and the raw pages are never
-    re-read. The reduce input is mcount partials (bounded by chunks x
-    vocabulary) plus the triple records; the one corpus-sized all-to-all is
-    the same final edge sort every phase B pays. A weekly crawl increment is
-    therefore: run_pipeline on the new pages alone, then merge_runs over
+    What this buys at scale: phase A never re-runs for the base corpus and
+    the raw pages are never re-read — the reduce input is mcount partials
+    (bounded by chunks x vocabulary) plus the triple records (~2 orders of
+    magnitude smaller than the pages). The reduce itself costs the same as
+    any phase B (measured equal in isolation: edges sort 10.4s vs 10.1s at
+    sf0.1/32cpu — see bench.py --increment), so the increment's payoff is
+    the avoided base-extraction: with the cheap deterministic kernel phase
+    A is only ~40% of a rebuild and the increment roughly breaks even; with
+    model-backed extraction (the reference's regime, ~8.45 s/page) phase A
+    is >99% and the increment approaches corpus/delta x. A weekly crawl
+    increment is: run_pipeline on the new pages alone, then merge_runs over
     [base_out, delta_out].
 
     Semantics: deterministic dense-rank entity ids are REASSIGNED over the

@@ -714,3 +714,341 @@ def kg_merge_edges(sf_dir: str):
     return rd.read_parquet(
         sorted(glob.glob(os.path.join(merged, "edges/**/*.parquet"), recursive=True))
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference sample-query analogs (db_init.py:226-275 stored queries).
+# ---------------------------------------------------------------------------
+
+
+def kg_improves_seminal(sf_dir: str):
+    """Sample Query 1 analog (db_init.py:227-238: papers that improve the
+    seminal paper, ordered by confidence): edges with pred='improves_on'
+    whose object is the most-mentioned entity (the 'seminal' analog — the
+    reference flags its seminal paper manually; the corpus-derived
+    equivalent is the top mention_count node, ties by entity_id).
+
+    Shape: the seminal id comes from the vocabulary-bounded nodes table
+    (same bound phase B's id map relies on); the edge scan is a pruned-column
+    filter map. The subject's canonical display name is resolved through the
+    broadcast id->name map (reference JOIN papers p ON source_paper_id).
+    """
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    out = _ensure_run(sf_dir)
+    nodes = pq.read_table(
+        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+        columns=["entity_id", "canonical_name", "mention_count"],
+    )
+    if nodes.num_rows == 0:
+        return pa.table(
+            {
+                "improving_entity": pa.array([], pa.string()),
+                "explanation": pa.array([], pa.string()),
+                "confidence": pa.array([], pa.float64()),
+                "url": pa.array([], pa.string()),
+            }
+        )
+    order = pc.sort_indices(
+        nodes,
+        sort_keys=[("mention_count", "descending"), ("entity_id", "ascending")],
+    )
+    seminal = nodes["entity_id"][order[0].as_py()].as_py()
+    name_of = dict(
+        zip(nodes["entity_id"].to_pylist(), nodes["canonical_name"].to_pylist())
+    )
+    name_ref = ray.put(name_of)
+
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["subj_id", "pred", "obj_id", "context", "confidence", "url"],
+    )
+
+    def pick(t: pa.Table, _n=name_ref, _s=seminal) -> pa.Table:
+        names = ray.get(_n) if hasattr(_n, "hex") else _n
+        t = t.filter(
+            pc.and_(
+                pc.equal(t["pred"], "improves_on"), pc.equal(t["obj_id"], _s)
+            )
+        )
+        return pa.table(
+            {
+                "improving_entity": pa.array(
+                    [names[i] for i in t["subj_id"].to_pylist()], pa.string()
+                ),
+                "explanation": t["context"],
+                "confidence": t["confidence"],
+                "url": t["url"],
+            }
+        )
+
+    res = pa.concat_tables(
+        edges.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return res.sort_by(
+        [("confidence", "descending"), ("improving_entity", "ascending"),
+         ("url", "ascending")]
+    )
+
+
+def kg_pages_no_edges(sf_dir: str):
+    """Sample Query 5 analog (db_init.py:265-274: papers with no
+    relationships — potential extraction issues): pages whose url appears in
+    the extracted-text artifact but in NO edge row.
+
+    Shape: a shuffle anti-join (the J3 pattern) — both sides are reduced to
+    per-block DISTINCT (url, flag) partials before the one url-keyed
+    groupby, so the shuffle carries each url once per block, never the edge
+    multiplicity; langs for the (small) orphan set are resolved by a
+    broadcast-filtered second pass over the text artifact.
+    """
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max
+
+    out = _ensure_run(sf_dir)
+    text = kg.text_dataset(out, columns=["url"])
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["url"],
+    )
+
+    def tag(flag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            u = pc.unique(t["url"])
+            return pa.table(
+                {"url": u, "has_edge": pa.array([flag] * len(u), pa.int64())}
+            )
+
+        return fn
+
+    both = text.map_batches(tag(0), batch_format="pyarrow").union(
+        edges.map_batches(tag(1), batch_format="pyarrow")
+    )
+    def only_orphans(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["has_edge"], 0)).select(["url"])
+
+    orphan_urls = sorted(
+        r["url"]
+        for r in both.groupby("url")
+        .aggregate(Max("has_edge", alias_name="has_edge"))
+        .map_batches(only_orphans, batch_format="pyarrow")
+        .take_all()  # bounded by the orphan count, not the corpus
+    )
+
+    uref = ray.put(set(orphan_urls))
+
+    def lang_of(t: pa.Table, _u=uref) -> pa.Table:
+        keep = ray.get(_u) if hasattr(_u, "hex") else _u
+        return t.filter(pc.is_in(t["url"], pa.array(sorted(keep), pa.string())))
+
+    langs = pa.concat_tables(
+        kg.text_dataset(out, columns=["url", "lang"])
+        .map_batches(lang_of, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    lang_map = dict(zip(langs["url"].to_pylist(), langs["lang"].to_pylist()))
+    return pa.table(
+        {
+            "url": pa.array(orphan_urls, pa.string()),
+            "lang": pa.array([lang_map[u] for u in orphan_urls], pa.string()),
+        }
+    )
+
+
+def kg_conflicts(sf_dir: str):
+    """KG-quality diagnostic: MUTUAL-DOMINANCE conflicts — unordered entity
+    pairs asserted in BOTH directions under the same dominance predicate
+    (e.g. A outperforms B on one page and B outperforms A on another).
+    The reference's validation rules are per-row (E1-E4/R1-R5); this is the
+    graph-level consistency check a curation pass runs next.
+
+    Shape: edges pruned to (subj_id, pred, obj_id), per-block DISTINCT
+    (pair, direction-bit) combiner, ONE pair-keyed groupby ORing the bits —
+    the shuffle carries each (pair, pred) once per block, never the page
+    multiplicity. Output: one row per conflicted (pred, pair) with both
+    direction's supporting page counts.
+    """
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    _DOMINANCE = ("outperforms", "improves_on", "extends", "builds_on")
+
+    out = _ensure_run(sf_dir)
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["subj_id", "pred", "obj_id"],
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t["pred"], pa.array(list(_DOMINANCE), pa.string())),
+                pc.not_equal(t["subj_id"], t["obj_id"]),
+            )
+        )
+        lo = pc.min_element_wise(t["subj_id"], t["obj_id"])
+        hi = pc.max_element_wise(t["subj_id"], t["obj_id"])
+        fwd = pc.equal(t["subj_id"], lo)  # direction bit: lo -> hi
+        g = (
+            pa.table(
+                {
+                    "pred": t["pred"],
+                    "a": lo,
+                    "b": hi,
+                    "n_fwd": pc.cast(fwd, pa.int64()),
+                    "n_rev": pc.cast(pc.invert(fwd), pa.int64()),
+                }
+            )
+            .group_by(["pred", "a", "b"])
+            .aggregate([("n_fwd", "sum"), ("n_rev", "sum")])
+        )
+        return pa.table(
+            {
+                "pred": g["pred"],
+                "a": g["a"],
+                "b": g["b"],
+                "n_fwd": pc.cast(g["n_fwd_sum"], pa.int64()),
+                "n_rev": pc.cast(g["n_rev_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        edges.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["pred", "a", "b"])
+        .aggregate(
+            Sum("n_fwd", alias_name="n_fwd"), Sum("n_rev", alias_name="n_rev")
+        )
+    )
+
+    def only_conflicts(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.greater(t["n_fwd"], 0), pc.greater(t["n_rev"], 0))
+        )
+        return pa.table(
+            {
+                "pred": t["pred"],
+                "entity_a": pc.cast(t["a"], pa.int64()),
+                "entity_b": pc.cast(t["b"], pa.int64()),
+                "n_fwd": pc.cast(t["n_fwd"], pa.int64()),
+                "n_rev": pc.cast(t["n_rev"], pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "pred": pa.array([], pa.string()),
+            "entity_a": pa.array([], pa.int64()),
+            "entity_b": pa.array([], pa.int64()),
+            "n_fwd": pa.array([], pa.int64()),
+            "n_rev": pa.array([], pa.int64()),
+        }
+    )
+    batches = list(
+        agg.map_batches(only_conflicts, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    res = pa.concat_tables(batches) if batches else empty
+    return res.sort_by(
+        [("pred", "ascending"), ("entity_a", "ascending"),
+         ("entity_b", "ascending")]
+    )
+
+
+def kg_entity_history(sf_dir: str):
+    """Per-entity assertion timeline: first/last crawl timestamp and
+    distinct-page support over every edge the entity participates in (as
+    subject or object) — the node-level companion of kg_edge_history.
+
+    Shape: edges pruned to (ids, url, warc_ts), each row emitted once per
+    side, per-block (entity, min, max, distinct-url partial) combiner, one
+    entity-keyed groupby. Distinct pages across blocks cannot be summed from
+    per-block distincts, so the block combiner emits DISTINCT (entity, url)
+    rows for the count (same trick as kg_pages_no_edges) alongside min/max
+    partials — the shuffle carries urls once per (entity, block).
+    """
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min
+
+    out = _ensure_run(sf_dir)
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["subj_id", "obj_id", "url", "warc_ts"],
+    )
+
+    def side_rows(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["warc_ts"], pa.int64())
+        both = pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "entity_id": pc.cast(t[side], pa.int64()),
+                        "url": t["url"],
+                        "ts": ts,
+                    }
+                )
+                for side in ("subj_id", "obj_id")
+            ]
+        )
+        g = both.group_by(["entity_id", "url"]).aggregate(
+            [("ts", "min"), ("ts", "max")]
+        )
+        return pa.table(
+            {
+                "entity_id": g["entity_id"],
+                "url": g["url"],
+                "ts_min": g["ts_min"],
+                "ts_max": g["ts_max"],
+            }
+        )
+
+    agg = (
+        edges.map_batches(side_rows, batch_format="pyarrow")
+        .groupby(["entity_id", "url"])
+        .aggregate(
+            Min("ts_min", alias_name="ts_min"),
+            Max("ts_max", alias_name="ts_max"),
+        )
+        .groupby("entity_id")
+        .aggregate(
+            Min("ts_min", alias_name="first_ts_us"),
+            Max("ts_max", alias_name="last_ts_us"),
+            Count(alias_name="n_pages"),
+        )
+    )
+    batches = list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return pa.table(
+            {
+                "entity_id": pa.array([], pa.int64()),
+                "first_ts_us": pa.array([], pa.int64()),
+                "last_ts_us": pa.array([], pa.int64()),
+                "n_pages": pa.array([], pa.int64()),
+            }
+        )
+    res = pa.concat_tables(batches)
+    return pa.table(
+        {
+            "entity_id": pc.cast(res["entity_id"], pa.int64()),
+            "first_ts_us": pc.cast(res["first_ts_us"], pa.int64()),
+            "last_ts_us": pc.cast(res["last_ts_us"], pa.int64()),
+            "n_pages": pc.cast(res["n_pages"], pa.int64()),
+        }
+    ).sort_by([("entity_id", "ascending")])

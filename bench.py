@@ -473,11 +473,137 @@ def run_warm_model() -> dict:
     return out
 
 
+def run_increment() -> dict:
+    """Measure the incremental-crawl story (kg.merge_runs): after a base
+    corpus is built, a new crawl increment should cost extraction of the
+    NEW pages plus one phase-B reduce — not a full rebuild. Splits the
+    bench corpus by file ~7:1 into base/delta, builds the base (untimed,
+    the steady state), then times (a) the naive weekly cost: full rebuild
+    over base+delta, and (b) the increment: pipeline over delta alone +
+    merge_runs([base, delta]). Each timed segment runs in a FRESH Ray
+    session (ray.shutdown + ray.init, pool warmed, untimed) so no segment
+    inherits the previous one's object-store pressure — the same
+    fresh-process methodology run_scaling uses.
+
+    Context for reading the result: with the cheap deterministic extraction
+    kernel, phase B (the edge sort) is ~60% of pipeline wall at sf0.1, so
+    the increment saves little — the measurement exists to price the REDUCE
+    honestly. The increment's real payoff scales with extraction cost
+    (model-backed extraction at seconds/page makes phase A >99% of a
+    rebuild — see the --warm-model record and BENCH/BASELINE.md for the
+    crossover arithmetic).
+    """
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    from agenticknowledgegraphconstructionsystem_ray import synth
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kg, kgqueries
+
+    def fresh() -> None:
+        if ray.is_initialized():
+            ray.shutdown()
+        ray.init(
+            address="local", num_cpus=ncpu, include_dashboard=False,
+            logging_level="ERROR",
+        )
+        import ray.data as rd
+
+        rd.DataContext.get_current().enable_progress_bars = False
+        rd.range(ncpu * 2, override_num_blocks=ncpu * 2).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).count()
+
+    fresh()
+    sf = kgqueries.sf_of(sf_dir)
+    pages_dir = synth.ensure_pages(sf)
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    _warm_cache(files)
+    root = "/tmp/agkg_bench_incr"
+    shutil.rmtree(root, ignore_errors=True)
+    cut = max(1, (len(files) * 7) // 8)
+    splits = {"base": files[:cut], "delta": files[cut:]}
+    for name, part in splits.items():
+        pdir = os.path.join(root, f"pages_{name}")
+        os.makedirs(pdir)
+        for f in part:
+            os.symlink(f, os.path.join(pdir, os.path.basename(f)))
+
+    # steady state: the base corpus is already built (untimed)
+    base_out = os.path.join(root, "out_base")
+    kg.run_pipeline(
+        kg.KGConfig(pages_dir=os.path.join(root, "pages_base"),
+                    out_dir=base_out)
+    )
+
+    # (a) naive weekly cost: full rebuild over base + delta
+    fresh()
+    t0 = time.perf_counter()
+    full = kg.run_pipeline(
+        kg.KGConfig(pages_dir=pages_dir, out_dir=os.path.join(root, "out_full"))
+    )
+    wall_full = time.perf_counter() - t0
+
+    # (b) the increment: extract the delta alone, then one merged reduce
+    fresh()
+    t0 = time.perf_counter()
+    delta_out = os.path.join(root, "out_delta")
+    kg.run_pipeline(
+        kg.KGConfig(pages_dir=os.path.join(root, "pages_delta"),
+                    out_dir=delta_out)
+    )
+    wall_delta = time.perf_counter() - t0
+    fresh()
+    t0 = time.perf_counter()
+    merged = kg.merge_runs([base_out, delta_out],
+                           os.path.join(root, "out_merged"))
+    wall_merge = time.perf_counter() - t0
+    assert merged["n_edges"] == full["n_edges"], "increment diverged"
+    assert merged["n_nodes"] == full["n_nodes"], "increment diverged"
+
+    timings = {
+        "full_phase_a_s": full.get("phase_a_wall_s"),
+        "full_phase_b_s": full.get("phase_b_wall_s"),
+        "full_phase_b": full.get("phase_b_timings"),
+        "merge_phase_b": merged.get("phase_b_timings"),
+    }
+
+    import ray.data as rd
+
+    n_delta = rd.read_parquet(
+        [os.path.join(root, "pages_delta", os.path.basename(f))
+         for f in splits["delta"]]
+    ).count()
+    out = {
+        "metric": "kg_increment_speedup",
+        "unit": "sec",
+        "sf": sf,
+        "num_cpus": ncpu,
+        "n_pages_total": full["pages_processed"],
+        "n_pages_delta": n_delta,
+        "wall_full_rebuild": round(wall_full, 3),
+        "wall_delta_extract": round(wall_delta, 3),
+        "wall_merge_reduce": round(wall_merge, 3),
+        "wall_increment": round(wall_delta + wall_merge, 3),
+        "speedup": round(wall_full / (wall_delta + wall_merge), 2)
+        if wall_delta + wall_merge
+        else 0.0,
+        "timings": timings,
+        **_calibrate(ray),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--warm-model" in sys.argv:
         print(json.dumps(run_warm_model()))
+    elif "--increment" in sys.argv:
+        print(json.dumps(run_increment()))
     else:
         mult = 1
         if "--mult" in sys.argv:
