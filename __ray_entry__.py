@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_pages_no_edges": kgqueries.kg_pages_no_edges,
             "kg_conflicts": kgqueries.kg_conflicts,
             "kg_entity_history": kgqueries.kg_entity_history,
+            "kg_diff": kgqueries.kg_diff,
             "kg_pagerank": graphalgo.kg_pagerank,
             "kg_ppr": graphalgo.kg_ppr,
             "kg_degree_stats": graphalgo.kg_degree_stats,

@@ -1816,6 +1816,18 @@ def _stop_en_sql() -> str:
     return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
 
 
+def _kg_diff_sql() -> str:
+    from .pipelines.kgqueries import merge_cut_rows
+
+    cut = merge_cut_rows(DRIVER_SF)
+    return f"""
+        SELECT 'added' AS change, subj, pred, obj, url
+        FROM {_g('edges')}
+        WHERE CAST(regexp_extract(url, 'page/([0-9]+)$', 1) AS BIGINT)
+              >= {cut}
+        ORDER BY change, subj, pred, obj, url
+    """
+
 def _kg_search_sql() -> str:
     """Golden oracle for kgqueries.kg_search: tokenize the golden text the
     same way as scoring._TOK_SQL, require ALL query terms (tsquery AND),
@@ -2328,6 +2340,11 @@ def kg_oracle_sql() -> dict[str, str]:
                    confidence, context, validated, flag_for_review
             FROM {_g('edges')}
         """,
+        # snapshot diff between two builds: the base half vs the merged
+        # full build — every delta-half edge is 'added', nothing 'removed';
+        # the synth url embeds the page row index, so delta membership is
+        # SQL-derivable from the cut row of the merge fixture
+        "kg_diff": _kg_diff_sql(),
         # graph-level consistency + provenance diagnostics
         "kg_conflicts": f"""
             WITH d AS (

@@ -1052,3 +1052,91 @@ def kg_entity_history(sf_dir: str):
             "n_pages": pc.cast(res["n_pages"], pa.int64()),
         }
     ).sort_by([("entity_id", "ascending")])
+
+
+def merge_cut_rows(sf: float) -> int:
+    """First page row index belonging to the delta half of the merge/diff
+    fixture (_ensure_merge_run splits the synth files mid = n_files//2;
+    shards hold contiguous row ranges, synth.shard_bounds)."""
+    n_rows, n_files = synth.pages_shape(sf)
+    per = (n_rows + n_files - 1) // n_files
+    return (n_files // 2) * per
+
+
+def kg_diff(sf_dir: str):
+    """Snapshot diff between two KG builds — what a new crawl changed
+    (crawl-ops companion of kg_growth): edge keys present only in the new
+    build ('added') or only in the old ('removed'). Builds compared: the
+    base-half run vs the merged full run from the merge fixture, so
+    expected = every edge from the delta half, removed = none (asserted by
+    the oracle, which derives the delta membership from the page index
+    embedded in the synth url).
+
+    Shape: tag-union groupby anti-join (J3) — each side reduces to its
+    DISTINCT edge-key rows per block with a presence bit (edge keys are
+    unique per build, so block dedup is a no-op kept for generality), one
+    key-keyed groupby sums the bits; rows present on both sides drop. The
+    shuffle carries edge KEYS (no context/confidence payload).
+    """
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    merged = _ensure_merge_run(sf_dir)
+    old_out = os.path.join(os.path.dirname(merged), "out_a")
+    keys = ["subj", "pred", "obj", "url"]
+
+    def edges_ds(out):
+        return rd.read_parquet(
+            sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"),
+                             recursive=True)),
+            columns=keys,
+        )
+
+    def tag(old_bit: int, new_bit: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    **{k: t[k] for k in keys},
+                    "in_old": pa.array([old_bit] * t.num_rows, pa.int64()),
+                    "in_new": pa.array([new_bit] * t.num_rows, pa.int64()),
+                }
+            )
+
+        return fn
+
+    both = edges_ds(old_out).map_batches(tag(1, 0), batch_format="pyarrow").union(
+        edges_ds(merged).map_batches(tag(0, 1), batch_format="pyarrow")
+    )
+    agg = both.groupby(keys).aggregate(
+        Sum("in_old", alias_name="in_old"), Sum("in_new", alias_name="in_new")
+    )
+
+    def changes(t: pa.Table) -> pa.Table:
+        added = pc.equal(t["in_old"], 0)
+        removed = pc.equal(t["in_new"], 0)
+        t = t.filter(pc.or_(added, removed))
+        change = pc.if_else(
+            pc.equal(t["in_old"], 0),
+            pa.scalar("added", pa.string()),
+            pa.scalar("removed", pa.string()),
+        )
+        return pa.table({"change": change, **{k: t[k] for k in keys}})
+
+    batches = list(
+        agg.map_batches(changes, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    if not batches:
+        return pa.table(
+            {
+                "change": pa.array([], pa.string()),
+                **{k: pa.array([], pa.string()) for k in keys},
+            }
+        )
+    return pa.concat_tables(batches).sort_by(
+        [(c, "ascending") for c in ["change", *keys]]
+    )

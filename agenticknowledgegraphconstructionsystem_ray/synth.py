@@ -335,12 +335,19 @@ def n_rows_for_sf(sf: float) -> int:
     return max(100, int(round(500_000 * sf)))
 
 
+def pages_shape(sf: float, mult: int = 1) -> tuple[int, int]:
+    """(n_rows, n_files) the corpus for a scale factor is generated with —
+    the same arithmetic ensure_pages uses (single source of truth for code
+    that must reason about shard row ranges, e.g. kgqueries.merge_cut_rows)."""
+    n = n_rows_for_sf(sf) * mult
+    return n, max(8, n // 2000)
+
+
 def ensure_pages(sf: float, seed: int = 42, mult: int = 1) -> str:
     """Generate (once, cached under /tmp) the pages corpus for a scale factor
     (optionally ``mult``x larger, e.g. for the scaling benchmark); returns
     the directory."""
-    n = n_rows_for_sf(sf) * mult
-    n_files = max(8, n // 2000)
+    n, n_files = pages_shape(sf, mult)
     d = default_pages_dir(sf, mult)
     write_pages(d, n, n_files=n_files, seed=seed)
     return d
