@@ -184,7 +184,14 @@ def _add_sort_key(t: pa.Table) -> pa.Table:
     matches numeric order at ANY id cardinality (8-digit padding silently
     broke past 100M entities). The only negative id is the -1 unknown
     sentinel, which pads to a '-'-prefixed key sorting before every
-    0-padded nonnegative id, preserving tuple order."""
+    0-padded nonnegative id, preserving tuple order.
+
+    The key MUST stay a STRING column: a compact fixed-width binary
+    encoding (8-byte big-endian ids) measured ~10% faster but Ray 2.49's
+    range-partitioned sort silently MIS-SORTS binary keys — the output
+    came back grouped, not globally ordered (caught by
+    test_graph_invariants and the openvocab byte-parity tests; verified
+    with a standalone repro). Do not retry without a sortedness assert."""
     import pyarrow.compute as pc
 
     s = pa.string()
