@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assembly,
         attribution,
         corpusstat,
+        curate,
         fuzzy,
         gopher,
         graphalgo,
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(webclean.QUERIES)
     q.update(corpusstat.QUERIES)
     q.update(gopher.QUERIES)
+    q.update(curate.QUERIES)
     q.update(attribution.QUERIES)
     q.update(itemsets.QUERIES)
     q.update(pareto.QUERIES)
@@ -117,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         assembly,
         attribution,
         corpusstat,
+        curate,
         fuzzy,
         gopher,
         itemsets,
@@ -140,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         **webclean.ORACLE_SQL,
         **corpusstat.ORACLE_SQL,
         **gopher.ORACLE_SQL,
+        **curate.ORACLE_SQL,
         **attribution.ORACLE_SQL,
         **itemsets.ORACLE_SQL,
         **pareto.ORACLE_SQL,

@@ -204,6 +204,9 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         from agenticknowledgegraphconstructionsystem_ray.pipelines import mixture
 
         timed("q59_mixture_sample", mixture.q59_mixture_sample)
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import curate
+
+        timed("ta_curate", curate.ta_curate)
         timed("q67_bloom_semijoin", assembly.q67_bloom_semijoin)
         from agenticknowledgegraphconstructionsystem_ray.pipelines import weblinks
 
