@@ -211,6 +211,11 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         from agenticknowledgegraphconstructionsystem_ray.pipelines import weblinks
 
         timed("wg_host_graph", weblinks.wg_host_graph)
+        # artifact-level full-text search: the pipeline build is cached
+        # (untimed here - kg_pipeline above is the build segment); the
+        # timed part is the two-stat-pass + top-k BM25 query itself
+        kgqueries._ensure_run(sf_dir)
+        timed("kg_search", kgqueries.kg_search)
 
     total = round(sum(queries.values()), 3)
     out = {

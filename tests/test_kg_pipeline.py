@@ -216,3 +216,48 @@ def test_merge_runs_bit_identical_to_full_run(ray_session, tmp_path):
         return t.sort_by([(c, "ascending") for c in t.column_names])
 
     assert issues(merged).equals(issues(full))
+
+
+def test_merge_runs_openvocab_and_multiway(ray_session, tmp_path):
+    """merge_runs must hold on the open-vocabulary phase-B path (the 100-TB
+    configuration) and for MULTI-way merges: three third-corpus runs merged
+    open-vocab == one full default-path run, bit-exact."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray import synth
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+
+    root = str(tmp_path)
+    pages = os.path.join(root, "pages")
+    synth.write_pages(pages, 300, n_files=6)
+    files = sorted(glob.glob(os.path.join(pages, "*.parquet")))
+
+    thirds = []
+    for i in range(3):
+        pdir = os.path.join(root, f"pages_{i}")
+        os.makedirs(pdir)
+        for f in files[2 * i: 2 * i + 2]:
+            os.symlink(f, os.path.join(pdir, os.path.basename(f)))
+        out = os.path.join(root, f"out_{i}")
+        kg.run_pipeline(kg.KGConfig(pages_dir=pdir, out_dir=out, chunk_files=2))
+        thirds.append(out)
+
+    merged = os.path.join(root, "merged_ov")
+    kg.merge_runs(thirds, merged, open_vocab=True)
+    full = os.path.join(root, "full")
+    kg.run_pipeline(kg.KGConfig(pages_dir=pages, out_dir=full, chunk_files=2))
+
+    def tbl(out, sub):
+        return pq.read_table(
+            sorted(glob.glob(os.path.join(out, sub, "**", "*.parquet"),
+                             recursive=True))
+        )
+
+    for sub in ("nodes", "edges"):
+        m, f = tbl(merged, sub), tbl(full, sub)
+        assert m.select(sorted(m.column_names)).equals(
+            f.select(sorted(f.column_names))
+        ), sub
