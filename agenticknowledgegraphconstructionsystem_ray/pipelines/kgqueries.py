@@ -506,7 +506,18 @@ KG_SEARCH_K = 20
 def kg_search(sf_dir: str):
     """Top-{KG_SEARCH_K} pages containing ALL of {KG_SEARCH_QUERY} ranked by
     integer-exact BM25 over the extracted text, enriched with the count of
-    distinct KG entities linked on the page and the best link score."""
+    distinct KG entities linked on the page and total in-page mentions.
+
+    One tokenization pass over the corpus emits (a) per-block corpus-stat
+    partials (N, T, df per query term) and (b) one NARROW candidate row
+    (url, dl, tf...) per AND-matching page; the tiny union is materialized,
+    stats are summed from it, and scoring + per-block top-k runs over the
+    materialized candidates — the text is read and tokenized ONCE (the
+    two-pass form re-tokenized the corpus for scoring; this halves the
+    bench segment). Candidate volume is bounded by the AND selectivity of
+    the query — the tsquery-'&' regime this mirrors; a single-term or
+    stop-word query would make it corpus-sized (use the q89 single-pass
+    top-k shape for that)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -516,65 +527,83 @@ def kg_search(sf_dir: str):
 
     out = _ensure_run(sf_dir)
     qterms = list(KG_SEARCH_QUERY)
+    nq = len(qterms)
     text = kg.text_dataset(out, columns=["url", "text"])
 
-    def stats_partial(t: pa.Table) -> pa.Table:
+    def tokenize_pass(t: pa.Table) -> pa.Table:
         n, tok = 0, 0
-        dfp = {q: 0 for q in qterms}
-        for s in t["text"].to_pylist():
+        dfp = [0] * nq
+        c_url, c_dl = [], []
+        c_tf = [[] for _ in range(nq)]
+        for url, s in zip(t["url"].to_pylist(), t["text"].to_pylist()):
             toks = _TOKEN_RE.findall(s.lower())
             n += 1
             tok += len(toks)
-            seen = set(toks)
-            for q in qterms:
-                if q in seen:
-                    dfp[q] += 1
+            tfs = [toks.count(q) for q in qterms]
+            for i, tf in enumerate(tfs):
+                if tf:
+                    dfp[i] += 1
+            if all(tfs):  # tsquery AND: every term must match
+                c_url.append(url)
+                c_dl.append(len(toks))
+                for i, tf in enumerate(tfs):
+                    c_tf[i].append(tf)
+        # one partial row (url = null) + the block's candidate rows
         return pa.table(
             {
-                "n_p": pa.array([n], pa.int64()),
-                "tok_p": pa.array([tok], pa.int64()),
+                "url": pa.array([None] + c_url, pa.string()),
+                "dl": pa.array([0] + c_dl, pa.int64()),
                 **{
-                    f"df_{i}_p": pa.array([dfp[q]], pa.int64())
-                    for i, q in enumerate(qterms)
+                    f"tf_{i}": pa.array([0] + c_tf[i], pa.int64())
+                    for i in range(nq)
+                },
+                "n_p": pa.array([n] + [0] * len(c_url), pa.int64()),
+                "tok_p": pa.array([tok] + [0] * len(c_url), pa.int64()),
+                **{
+                    f"df_{i}_p": pa.array(
+                        [dfp[i]] + [0] * len(c_url), pa.int64()
+                    )
+                    for i in range(nq)
                 },
             }
         )
 
-    stats = text.map_batches(stats_partial, batch_format="pyarrow").sum(
-        ["n_p", "tok_p"] + [f"df_{i}_p" for i in range(len(qterms))]
+    narrow = text.map_batches(
+        tokenize_pass, batch_format="pyarrow"
+    ).materialize()  # partials + AND-candidates: tiny, never re-reads text
+
+    stats = narrow.sum(
+        ["n_p", "tok_p"] + [f"df_{i}_p" for i in range(nq)]
     )
     N = int(stats["sum(n_p)"])
     T = int(stats["sum(tok_p)"])
-    idf = {
-        q: len(str((2 * N + 1) // (2 * int(stats[f"sum(df_{i}_p)"]) + 1)))
-        for i, q in enumerate(qterms)
-    }
-    ref = ray.put((idf, T, N))
+    idf = [
+        len(str((2 * N + 1) // (2 * int(stats[f"sum(df_{i}_p)"]) + 1)))
+        for i in range(nq)
+    ]
+    sref = ray.put((idf, T, N))
 
-    def score_topk(t: pa.Table, _ref=ref) -> pa.Table:
+    def score_topk(t: pa.Table, _ref=sref) -> pa.Table:
         idf_, T_, N_ = ray.get(_ref) if hasattr(_ref, "hex") else _ref
-        urls, scores = [], []
-        for url, s in zip(t["url"].to_pylist(), t["text"].to_pylist()):
-            toks = _TOKEN_RE.findall(s.lower())
-            dl = len(toks)
-            total = 0
-            for q, w in idf_.items():
-                tf = toks.count(q)
-                if not tf:  # tsquery AND: every term must match
-                    total = 0
-                    break
-                part = (1_000_000 * 22 * T_ * tf) // (
-                    10 * T_ * tf + 3 * T_ + 9 * dl * N_
-                )
-                total += w * part
-            if total > 0:
-                urls.append(url)
-                scores.append(total)
-        if urls:
-            order = np.lexsort((np.array(urls), -np.array(scores)))
-            order = order[:KG_SEARCH_K]
-        else:
-            order = []
+        t = t.filter(pc.is_valid(t["url"]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "bm25_ppm": pa.array([], pa.int64()),
+                }
+            )
+        urls = t["url"].to_pylist()
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(object)
+        total = np.zeros(len(urls), dtype=object)
+        for i, w in enumerate(idf_):
+            tf = t[f"tf_{i}"].to_numpy(zero_copy_only=False).astype(object)
+            # exact integer BM25 tf-part (python-int objects: no overflow)
+            num = 1_000_000 * 22 * T_ * tf
+            den = 10 * T_ * tf + 3 * T_ + 9 * dl * N_
+            total = total + w * (num // den)
+        scores = [int(x) for x in total]
+        order = np.lexsort((np.array(urls), -np.array(scores)))[:KG_SEARCH_K]
         return pa.table(
             {
                 "url": pa.array([urls[i] for i in order], pa.string()),
@@ -582,7 +611,7 @@ def kg_search(sf_dir: str):
             }
         )
 
-    cand = text.map_batches(score_topk, batch_format="pyarrow").take_all()
+    cand = narrow.map_batches(score_topk, batch_format="pyarrow").take_all()
     cand.sort(key=lambda r: (-r["bm25_ppm"], r["url"]))
     top = cand[:KG_SEARCH_K]
     top_urls = [r["url"] for r in top]
