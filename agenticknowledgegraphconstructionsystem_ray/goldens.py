@@ -2394,6 +2394,14 @@ def kg_oracle_sql() -> dict[str, str]:
             WHERE e.pred = 'improves_on'
             ORDER BY e.confidence DESC, improving_entity, e.url
         """,
+        "kg_pages_needing_edges": f"""
+            SELECT m.url, CAST(COUNT(*) AS BIGINT) AS n_entities
+            FROM {_g('mentions')} m
+            WHERE NOT EXISTS (
+                SELECT 1 FROM {_g('edges')} e WHERE e.url = m.url
+            )
+            GROUP BY m.url ORDER BY m.url
+        """,
         "kg_pages_no_edges": f"""
             SELECT t.url, t.lang FROM {_g('text')} t
             WHERE NOT EXISTS (

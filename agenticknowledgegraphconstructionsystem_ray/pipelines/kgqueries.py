@@ -1169,3 +1169,90 @@ def kg_diff(sf_dir: str):
     return pa.concat_tables(batches).sort_by(
         [(c, "ascending") for c in ["change", *keys]]
     )
+
+
+def kg_pages_needing_edges(sf_dir: str):
+    """getPapersNeedingRelationships analog (database.ts:295-315: papers
+    WITH extracted concepts but WITHOUT successful relationship
+    extraction): pages that link at least one KG entity yet produced no
+    edge — the work queue a relationship-discovery retry pass would read.
+
+    Shape: anti+semi join (J4) entirely over per-url presence bits — the
+    mentions side emits per-block DISTINCT (url, n_entities-partial) rows,
+    the edges side per-block DISTINCT (url, has_edge) rows; one url-keyed
+    groupby sums/maxes the bits. No text moves; (url, norm_surface) rows
+    are globally distinct so the entity-count partials sum exactly.
+    """
+    out = _ensure_run(sf_dir)
+    return pages_needing_edges(out)
+
+
+def pages_needing_edges(out: str):
+    """Core of kg_pages_needing_edges over a completed run dir (separable
+    so tests can drive it on constructed corpora — the driver corpus has
+    no mention-without-triple page, so the driver check is empty-vs-empty
+    and the non-empty behavior is pinned by pytest)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    ments = kg.mentions_dataset(out, columns=["url", "norm_surface"])
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["url"],
+    )
+
+    def mention_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("url").aggregate([("norm_surface", "count")])
+        return pa.table(
+            {
+                "url": g["url"],
+                "n_p": pc.cast(g["norm_surface_count"], pa.int64()),
+                "has_edge": pa.array([0] * g.num_rows, pa.int64()),
+            }
+        )
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["url"])
+        return pa.table(
+            {
+                "url": u,
+                "n_p": pa.array([0] * len(u), pa.int64()),
+                "has_edge": pa.array([1] * len(u), pa.int64()),
+            }
+        )
+
+    agg = (
+        ments.map_batches(mention_partial, batch_format="pyarrow")
+        .union(edges.map_batches(edge_partial, batch_format="pyarrow"))
+        .groupby("url")
+        .aggregate(
+            Sum("n_p", alias_name="n_entities"),
+            Max("has_edge", alias_name="has_edge"),
+        )
+    )
+
+    def needing(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["has_edge"], 0))
+        return pa.table(
+            {
+                "url": t["url"],
+                "n_entities": pc.cast(t["n_entities"], pa.int64()),
+            }
+        )
+
+    batches = list(
+        agg.map_batches(needing, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    if not batches:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "n_entities": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(batches).sort_by([("url", "ascending")])

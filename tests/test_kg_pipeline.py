@@ -261,3 +261,49 @@ def test_merge_runs_openvocab_and_multiway(ray_session, tmp_path):
         assert m.select(sorted(m.column_names)).equals(
             f.select(sorted(f.column_names))
         ), sub
+
+
+def test_pages_needing_edges_nonempty(ray_session, tmp_path):
+    """A page that links an entity but yields no SVO triple must appear in
+    pages_needing_edges (the getPapersNeedingRelationships analog); pages
+    with triples must not."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+    from agenticknowledgegraphconstructionsystem_ray.pipelines.kgqueries import (
+        pages_needing_edges,
+    )
+    from agenticknowledgegraphconstructionsystem_ray.synth import PAGES
+
+    pages = str(tmp_path / "pages")
+    os.makedirs(pages)
+    rows = [
+        # mention, no verb pattern -> no triple
+        ("https://a.example/1", b"<html><body><p>Neural Radiance Fields."
+                                b"</p></body></html>"),
+        # subject-verb-object -> a triple
+        ("https://a.example/2", b"<html><body><p>Gaussian Splatting extends "
+                                b"Neural Radiance Fields.</p></body></html>"),
+        # no entity at all
+        ("https://a.example/3", b"<html><body><p>nothing here.</p></body></html>"),
+    ]
+    t = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.string()),
+            pa.array([1, 2, 3], pa.timestamp("us")),
+            pa.array([r[1] for r in rows], pa.binary()),
+            pa.array([None] * 3, pa.string()),
+            pa.array(["en"] * 3, pa.string()),
+        ],
+        schema=PAGES,
+    )
+    pq.write_table(t, os.path.join(pages, "pages-00000.parquet"))
+    out = str(tmp_path / "out")
+    kg.run_pipeline(kg.KGConfig(pages_dir=pages, out_dir=out, chunk_files=1))
+
+    res = pages_needing_edges(out)
+    assert res["url"].to_pylist() == ["https://a.example/1"]
+    assert res["n_entities"].to_pylist()[0] >= 1
