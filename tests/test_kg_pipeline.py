@@ -307,3 +307,66 @@ def test_pages_needing_edges_nonempty(ray_session, tmp_path):
     res = pages_needing_edges(out)
     assert res["url"].to_pylist() == ["https://a.example/1"]
     assert res["n_entities"].to_pylist()[0] >= 1
+
+
+def test_merge_runs_recrawl_overlap_with_global_dedup(ray_session, tmp_path):
+    """Re-crawl case: two runs whose url sets OVERLAP (a file crawled in
+    both) violate merge_runs' disjointness assumption — with
+    global_edge_dedup=True the merged graph must equal the full run over
+    the deduplicated corpus, exercising the D4 re-crawl path end to end.
+
+    Mention counts intentionally DOUBLE for re-crawled pages (the
+    reference's ON CONFLICT mention_count accumulation counts every
+    observation; db_init.py documents no url-dedup before extraction), so
+    node parity is checked on identity columns, not counts; the edge
+    table, where D4 defines dedup, must match exactly."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray import synth
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+
+    root = str(tmp_path)
+    pages = os.path.join(root, "pages")
+    synth.write_pages(pages, 300, n_files=6)
+    files = sorted(glob.glob(os.path.join(pages, "*.parquet")))
+
+    halves = []
+    # overlap: file 2 appears in BOTH runs
+    for name, part in (("a", files[:3]), ("b", files[2:])):
+        pdir = os.path.join(root, f"pages_{name}")
+        os.makedirs(pdir)
+        for f in part:
+            os.symlink(f, os.path.join(pdir, os.path.basename(f)))
+        out = os.path.join(root, f"out_{name}")
+        kg.run_pipeline(kg.KGConfig(pages_dir=pdir, out_dir=out, chunk_files=2))
+        halves.append(out)
+
+    merged = os.path.join(root, "merged")
+    kg.merge_runs(halves, merged, global_edge_dedup=True)
+    full = os.path.join(root, "full")
+    kg.run_pipeline(kg.KGConfig(pages_dir=pages, out_dir=full, chunk_files=2))
+
+    def tbl(out, sub, columns=None):
+        return pq.read_table(
+            sorted(glob.glob(os.path.join(out, sub, "**", "*.parquet"),
+                             recursive=True)),
+            columns=columns,
+        )
+
+    edges_m = tbl(merged, "edges")
+    edges_f = tbl(full, "edges")
+    assert edges_m.equals(edges_f)
+
+    id_cols = ["entity_id", "canonical_name", "ent_type"]
+    assert tbl(merged, "nodes", id_cols).equals(tbl(full, "nodes", id_cols))
+    # re-crawled pages counted twice, never less than the full run
+    m = tbl(merged, "nodes", ["canonical_name", "mention_count"])
+    f = tbl(full, "nodes", ["canonical_name", "mention_count"])
+    fm = dict(zip(f["canonical_name"].to_pylist(),
+                  f["mention_count"].to_pylist()))
+    for name, mc in zip(m["canonical_name"].to_pylist(),
+                        m["mention_count"].to_pylist()):
+        assert mc >= fm[name]
