@@ -62,11 +62,59 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument("--no-resume", action="store_true")
         s.add_argument("--lang", default=None, help="comma list, e.g. en,de")
 
+    sm = sub.add_parser(
+        "merge",
+        help="incremental-crawl merge: phase B over several runs' artifacts",
+    )
+    sm.add_argument("--runs", required=True,
+                    help="comma list of completed run out-dirs")
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--open-vocab", action="store_true")
+    sm.add_argument("--global-edge-dedup", action="store_true",
+                    help="required when the merged runs share urls (re-crawl)")
+
+    sd = sub.add_parser(
+        "diff", help="edge-key diff between two completed runs"
+    )
+    sd.add_argument("--old", required=True)
+    sd.add_argument("--new", required=True)
+    sd.add_argument("--out", default=None,
+                    help="optional parquet path for the full change table")
+
     args = p.parse_args(argv)
     _ensure_ray()
 
     from . import metrics, oracle, synth
     from .pipelines import kg
+
+    if args.cmd == "merge":
+        res = kg.merge_runs(
+            [d.strip() for d in args.runs.split(",") if d.strip()],
+            args.out,
+            open_vocab=args.open_vocab,
+            global_edge_dedup=args.global_edge_dedup,
+        )
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "diff":
+        from .pipelines.kgqueries import diff_edges
+
+        t = diff_edges(args.old, args.new)
+        if args.out:
+            import pyarrow.parquet as pq
+
+            pq.write_table(t, args.out)
+        import pyarrow.compute as pc
+
+        print(json.dumps({
+            "added": int(pc.sum(pc.cast(pc.equal(t["change"], "added"),
+                                        "int64")).as_py() or 0),
+            "removed": int(pc.sum(pc.cast(pc.equal(t["change"], "removed"),
+                                          "int64")).as_py() or 0),
+            "out": args.out,
+        }))
+        return 0
 
     if args.cmd == "synth":
         n = args.rows or synth.n_rows_for_sf(args.sf)

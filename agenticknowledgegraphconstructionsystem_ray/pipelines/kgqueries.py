@@ -1107,14 +1107,20 @@ def kg_diff(sf_dir: str):
     key-keyed groupby sums the bits; rows present on both sides drop. The
     shuffle carries edge KEYS (no context/confidence payload).
     """
+    merged = _ensure_merge_run(sf_dir)
+    old_out = os.path.join(os.path.dirname(merged), "out_a")
+    return diff_edges(old_out, merged)
+
+
+def diff_edges(old_out: str, new_out: str):
+    """Core of kg_diff over two completed run dirs (separable for the CLI
+    `diff` command and tests)."""
     import glob
 
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    merged = _ensure_merge_run(sf_dir)
-    old_out = os.path.join(os.path.dirname(merged), "out_a")
     keys = ["subj", "pred", "obj", "url"]
 
     def edges_ds(out):
@@ -1137,7 +1143,7 @@ def kg_diff(sf_dir: str):
         return fn
 
     both = edges_ds(old_out).map_batches(tag(1, 0), batch_format="pyarrow").union(
-        edges_ds(merged).map_batches(tag(0, 1), batch_format="pyarrow")
+        edges_ds(new_out).map_batches(tag(0, 1), batch_format="pyarrow")
     )
     agg = both.groupby(keys).aggregate(
         Sum("in_old", alias_name="in_old"), Sum("in_new", alias_name="in_new")
