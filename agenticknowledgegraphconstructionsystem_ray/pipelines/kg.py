@@ -1081,9 +1081,22 @@ def merge_runs(
     one corpus relies on); pass ``global_edge_dedup=True`` for re-crawled
     urls, same as within a single run.
     """
+    sems = set()
     for d in record_dirs:
         if not _kind_files(d, "mcount") and not _kind_files(d, "mention"):
             raise ValueError(f"no phase-A record artifacts under {d!r}")
+        marker = os.path.join(d, "_LAYOUT")
+        if os.path.exists(marker):
+            sems.add(json.loads(open(marker).read()).get("sem"))
+    if len(sems) > 1:
+        # runs extracted under different semantics (layout version, lang
+        # filter, alias dict, or chunk plan) must not be silently merged -
+        # their records mean different things
+        raise ValueError(
+            "merge_runs: runs have differing extraction-semantics "
+            f"fingerprints ({len(sems)} distinct); re-extract with one "
+            "config before merging"
+        )
     os.makedirs(out_dir, exist_ok=True)
     cfg = KGConfig(
         pages_dir="",  # phase A never runs for a merge

@@ -370,3 +370,29 @@ def test_merge_runs_recrawl_overlap_with_global_dedup(ray_session, tmp_path):
     for name, mc in zip(m["canonical_name"].to_pylist(),
                         m["mention_count"].to_pylist()):
         assert mc >= fm[name]
+
+
+def test_merge_runs_refuses_mixed_semantics(ray_session, tmp_path):
+    """Runs extracted under different semantics (e.g. a lang filter) must
+    be refused by merge_runs, not silently merged."""
+    import os
+
+    import pytest
+
+    from agenticknowledgegraphconstructionsystem_ray import synth
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+
+    root = str(tmp_path)
+    pages = os.path.join(root, "pages")
+    synth.write_pages(pages, 60, n_files=2)
+    out_a = os.path.join(root, "out_a")
+    out_b = os.path.join(root, "out_b")
+    kg.run_pipeline(kg.KGConfig(pages_dir=pages, out_dir=out_a, chunk_files=1))
+    kg.run_pipeline(
+        kg.KGConfig(
+            pages_dir=pages, out_dir=out_b, chunk_files=1,
+            lang_allow=frozenset({"en"}),
+        )
+    )
+    with pytest.raises(ValueError, match="extraction-semantics"):
+        kg.merge_runs([out_a, out_b], os.path.join(root, "merged"))
