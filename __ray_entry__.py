@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_improves_seminal": kgqueries.kg_improves_seminal,
             "kg_pages_no_edges": kgqueries.kg_pages_no_edges,
             "kg_pages_needing_edges": kgqueries.kg_pages_needing_edges,
+            "kg_stats": kgqueries.kg_stats,
             "kg_conflicts": kgqueries.kg_conflicts,
             "kg_entity_history": kgqueries.kg_entity_history,
             "kg_diff": kgqueries.kg_diff,

@@ -2394,6 +2394,19 @@ def kg_oracle_sql() -> dict[str, str]:
             WHERE e.pred = 'improves_on'
             ORDER BY e.confidence DESC, improving_entity, e.url
         """,
+        "kg_stats": f"""
+            SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM {_g('text')})
+                    AS total_pages,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM {_g('nodes')})
+                    AS total_entities,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM {_g('mentions')})
+                    AS total_links,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM {_g('edges')})
+                    AS total_edges,
+                (SELECT CAST(SUM(CAST(validated AS BIGINT)) AS BIGINT)
+                 FROM {_g('edges')}) AS validated_edges
+        """,
         "kg_pages_needing_edges": f"""
             SELECT m.url, CAST(COUNT(*) AS BIGINT) AS n_entities
             FROM {_g('mentions')} m

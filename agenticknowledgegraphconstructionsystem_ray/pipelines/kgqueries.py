@@ -1262,3 +1262,50 @@ def pages_needing_edges(out: str):
             }
         )
     return pa.concat_tables(batches).sort_by([("url", "ascending")])
+
+
+def kg_stats(sf_dir: str):
+    """getStats analog (database.ts:197-221): one dashboard row of global
+    graph counts — pages, entities, page-entity links, edges, validated
+    edges — each a count() / tiny aggregate over a pruned single-column
+    read; nothing else moves."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = _ensure_run(sf_dir)
+    n_pages = kg.text_dataset(out, columns=["url"]).count()
+    n_links = kg.mentions_dataset(out, columns=["url"]).count()
+    import pyarrow.parquet as pq
+
+    n_entities = pq.read_table(
+        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+        columns=["entity_id"],
+    ).num_rows
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges/**/*.parquet"), recursive=True)),
+        columns=["validated"],
+    )
+
+    def vpart(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_p": pa.array([t.num_rows], pa.int64()),
+                "v_p": pa.array(
+                    [pc.sum(pc.cast(t["validated"], pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    s = edges.map_batches(vpart, batch_format="pyarrow").sum(["n_p", "v_p"])
+    return pa.table(
+        {
+            "total_pages": pa.array([n_pages], pa.int64()),
+            "total_entities": pa.array([n_entities], pa.int64()),
+            "total_links": pa.array([n_links], pa.int64()),
+            "total_edges": pa.array([int(s["sum(n_p)"])], pa.int64()),
+            "validated_edges": pa.array([int(s["sum(v_p)"])], pa.int64()),
+        }
+    )
