@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "32"  # v32: vectorized minhash band keys (band_keys kernel)
+GOLDEN_VERSION = "33"  # v33: + lsh_topk (random-hyperplane LSH ANN)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -472,6 +472,49 @@ def _seq_ivf_topk(
         order = np.argsort(-(cent @ qn), kind="stable")[:nprobe]
         probe = set(int(x) for x in order)
         mask = np.isin(assign, list(probe)) & (ids != qid)
+        cids = ids[mask]
+        sims = Mn[mask] @ qn
+        top = np.lexsort((cids, -sims))[:k]
+        for rank, j in enumerate(top, 1):
+            rows.append((qid, int(cids[j]), rank))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _seq_lsh_topk(
+    sf_dir: str,
+    query_ids=(0, 1, 2),
+    k: int = 10,
+    nbits: int | None = None,
+) -> pa.Table:
+    """Sequential LSH golden: same seeded hyperplanes + sign-code + Hamming-1
+    probe rule (stages/similarity.lsh_planes/lsh_codes — shared kernels), one
+    numpy pass instead of the bucketed Dataset pipeline."""
+    import numpy as np
+
+    from .stages.similarity import LSH_BITS, lsh_codes, lsh_planes
+
+    nbits = LSH_BITS if nbits is None else nbits
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    planes = lsh_planes(Mn.shape[1], nbits)
+    codes = lsh_codes(Mn, planes)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for qid in sorted(query_ids):
+        qn = Mn[pos[qid]]
+        qcode = int(lsh_codes(qn[None, :], planes)[0])
+        probe = {qcode} | {qcode ^ (1 << b) for b in range(nbits)}
+        mask = np.isin(codes, list(probe)) & (ids != qid)
         cids = ids[mask]
         sims = Mn[mask] @ qn
         top = np.lexsort((cids, -sims))[:k]
@@ -1609,6 +1652,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["dd_keep_simhash"] = _seq_pairs_keep(sf_dir, tables["dd_simhash"])
         tables["fingerprints"] = _seq_fingerprints(sf_dir)
         tables["ivf_topk"] = _seq_ivf_topk(sf_dir)
+        tables["lsh_topk"] = _seq_lsh_topk(sf_dir)
         tables["pq_topk"] = _seq_pq(sf_dir)
         tables["hll_users"] = _seq_hll_users(sf_dir)
         tables["hll_terms"] = _seq_hll_terms(sf_dir)
@@ -2181,6 +2225,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_topk": f"""
             SELECT query_id, vec_id, rank FROM {_g('ivf_topk')}
+        """,
+        "ann_lsh_topk": f"""
+            SELECT query_id, vec_id, rank FROM {_g('lsh_topk')}
         """,
         "dd_semdedup": f"""
             SELECT vec_id, cluster, keep FROM {_g('semdedup')}

@@ -525,6 +525,14 @@ def ann_ivf_topk(sf_dir: str):
     return similarity.ivf_topk(sf_dir, query_ids=[0, 1, 2], k=10)
 
 
+def ann_lsh_topk(sf_dir: str):
+    """Random-hyperplane LSH-bucketed approximate top-k
+    (stages/similarity.lsh_topk): seeded sign-code bucketing + Hamming-1
+    multiprobe — the training-free ANN scale path. Golden-file oracle
+    (goldens._seq_lsh_topk) proves bit-exact parity."""
+    return similarity.lsh_topk(sf_dir, query_ids=[0, 1, 2], k=10)
+
+
 def ann_pq_rerank(sf_dir: str):
     """PQ shortlist + exact cosine re-rank (stages/similarity.pq_rerank_topk)
     — the production ANN recipe that closes code-only scoring's recall gap.
@@ -774,6 +782,7 @@ QUERIES = {
     "sk_cms_terms": sk_cms_terms,
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_topk": ann_lsh_topk,
     "ml_kmeans": ml_kmeans,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,

@@ -70,16 +70,32 @@ class PartialTopK:
     the block truncation and the global merge — block-position tie-breaking
     could drop the globally tie-preferred vec_id.
 
-    ``probe_ref`` (optional, the IVF path): broadcast ``{qid: set(buckets)}``;
-    rows outside a query's probed buckets are excluded for that query (the
-    block must then carry a ``bucket`` column)."""
+    ``probe_ref`` (optional, the IVF/LSH path): broadcast
+    ``{qid: set(buckets)}``; rows outside a query's probed buckets are
+    excluded for that query (the block must then carry a ``bucket`` column).
+    The union-of-all-probes pre-filter is FUSED here (not a separate
+    map_batches filter stage): a standalone filter stage emits 0-row blocks
+    for every unprobed-bucket block, and a downstream stage whose task input
+    is entirely empty never calls the UDF — Ray then builds a SCHEMALESS
+    empty output block and the streaming executor logs "RefBundle with a
+    different schema ... new schema: ." for it. Fusing keeps every task
+    input non-empty, so every output block carries the real schema."""
 
     def __init__(self, ref, k, probe_ref=None) -> None:
         self.qids, self.Q = ray.get(ref)
         self.k = k
         self.probe = ray.get(probe_ref) if probe_ref is not None else None
+        self.keep = (
+            pa.array(sorted(set().union(*self.probe.values())), pa.int32())
+            if self.probe
+            else None
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        if self.keep is not None:
+            t = t.filter(
+                pc.is_valid(pc.index_in(t["bucket"], value_set=self.keep))
+            )
         m = _matrix(t)
         ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         if not len(ids):
@@ -210,35 +226,20 @@ def ivf_topk(
     for qid, qn in zip(qid_order, Q):
         order = np.argsort(-(cent @ qn), kind="stable")[:nprobe]
         probe[qid] = set(int(x) for x in order)
-    all_probed = set().union(*probe.values()) if probe else set()
-    probed_ref = ray.put(all_probed)
     q_ref = ray.put((qid_order, Q))
     probe_ref = ray.put(probe)
 
-    class KeepProbed:
-        def __init__(self, ref) -> None:
-            self.keep = pa.array(sorted(ray.get(ref)), pa.int32())
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(
-                pc.is_valid(pc.index_in(t["bucket"], value_set=self.keep))
-            )
-
     # per-block top-k combiner within the probed buckets (same pattern as the
     # brute-force path) — only k rows per (block, query) reach the driver;
-    # probed-bucket vectors are never materialized
-    partials = (
-        bucketed.map_batches(
-            KeepProbed, fn_constructor_kwargs={"ref": probed_ref},
-            batch_format="pyarrow", concurrency=(1, 2),
-        )
-        .map_batches(
-            PartialTopK,
-            fn_constructor_kwargs={"ref": q_ref, "k": k, "probe_ref": probe_ref},
-            batch_format="pyarrow", concurrency=(1, 4),
-        )
-        .take_all()
-    )
+    # probed-bucket vectors are never materialized. The union-of-probes
+    # pre-filter runs INSIDE PartialTopK (see its docstring: a standalone
+    # filter stage feeds empty task inputs downstream, which Ray turns into
+    # schemaless empty blocks).
+    partials = bucketed.map_batches(
+        PartialTopK,
+        fn_constructor_kwargs={"ref": q_ref, "k": k, "probe_ref": probe_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).take_all()
     return _merge_partials(partials, k)
 
 
@@ -734,3 +735,95 @@ def rrf_topk(sf_dir: str, query_ids: list[int] | None = None,
     exact = brute_force_topk(sf_dir, query_ids, k=k)
     approx = pq_topk(sf_dir, query_ids, k=k)
     return rrf_fuse_kernel([exact, approx], k)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH top-k — the LSH-BUCKETED ANN scale path (Charikar
+# 2002 sign-random-projection). Complements IVF: no training pass at all —
+# the bucketing function is a fixed seeded hyperplane matrix, so ingest is
+# embarrassingly parallel and a new vector's bucket never depends on corpus
+# state (IVF centroids drift with the corpus; LSH codes do not). A query
+# probes its own code plus every code at Hamming distance 1 (nbits + 1
+# buckets of ~N / 2^nbits vectors each), so search cost is
+# ~(nbits + 1) / 2^nbits of brute force while the scan stays the same
+# per-block top-k combiner: only k rows per (block, query) leave a worker.
+# ---------------------------------------------------------------------------
+
+LSH_BITS = 10
+LSH_SEED = 7
+
+
+def lsh_planes(dim: int, nbits: int = LSH_BITS, seed: int = LSH_SEED) -> np.ndarray:
+    """Deterministic hyperplane matrix (nbits, dim) — the shared kernel:
+    pipeline and sequential golden call this, so bucketing is identical by
+    construction (no trained state to ship; 5 KiB at dim=64)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def lsh_codes(mn: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit codes for (rows, dim) vectors: bit i set iff row @ planes[i]
+    > 0. Norm-invariant (signs only), so normalized/raw input agree."""
+    if not len(mn):
+        return np.zeros(0, np.int64)
+    bits = (mn @ planes.T) > 0.0
+    weights = np.int64(1) << np.arange(planes.shape[0], dtype=np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def lsh_topk(
+    sf_dir: str,
+    query_ids: list[int] | tuple[int, ...] = (0, 1, 2),
+    k: int = 10,
+    nbits: int = LSH_BITS,
+    table: str = "embeddings",
+) -> pa.Table:
+    """LSH approximate top-k: bucket by hyperplane sign code, probe the
+    query's bucket plus all Hamming-1 neighbors. Output
+    (query_id, vec_id, rank) — same contract as ivf_topk/pq_topk, golden
+    oracle goldens._seq_lsh_topk."""
+    emb = read_table(sf_dir, table, columns=["vec_id", "embedding"])
+
+    want = pa.array(sorted(set(query_ids)), pa.int64())
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.is_valid(pc.index_in(t["vec_id"], value_set=want))),
+        batch_format="pyarrow",
+    ).take_all()
+    q_by_id = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in qrows
+    }
+    qid_order = sorted(q_by_id)
+    Q = np.asarray([q_by_id[qid] for qid in qid_order], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    planes = lsh_planes(Q.shape[1], nbits)
+    planes_ref = ray.put(planes)
+    qcodes = lsh_codes(Q, planes)
+    probe: dict[int, set[int]] = {}
+    for qid, code in zip(qid_order, qcodes):
+        probe[qid] = {int(code)} | {int(code) ^ (1 << b) for b in range(nbits)}
+    q_ref = ray.put((qid_order, Q))
+    probe_ref = ray.put(probe)
+
+    class AssignLshBucket:
+        def __init__(self, ref) -> None:
+            self.planes = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return t.append_column("bucket", pa.array([], pa.int32()))
+            codes = lsh_codes(_matrix(t), self.planes)
+            return t.append_column(
+                "bucket", pa.array(codes.astype(np.int32), pa.int32())
+            )
+
+    bucketed = emb.map_batches(
+        AssignLshBucket, fn_constructor_kwargs={"ref": planes_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    partials = bucketed.map_batches(
+        PartialTopK,
+        fn_constructor_kwargs={"ref": q_ref, "k": k, "probe_ref": probe_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).take_all()
+    return _merge_partials(partials, k)

@@ -298,3 +298,45 @@ class TestRrfFusion:
             assert top1 in set(
                 fused.loc[fused["query_id"] == qid, "vec_id"]
             )
+
+
+class TestLshTopk:
+    def test_codes_norm_invariant_and_bounded(self):
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            LSH_BITS,
+            lsh_codes,
+            lsh_planes,
+        )
+
+        rng = np.random.default_rng(5)
+        m = rng.normal(size=(50, 16))
+        planes = lsh_planes(16)
+        c1 = lsh_codes(m, planes)
+        c2 = lsh_codes(m / np.linalg.norm(m, axis=1, keepdims=True), planes)
+        assert np.array_equal(c1, c2)  # sign codes ignore row norms
+        assert c1.min() >= 0 and c1.max() < (1 << LSH_BITS)
+        assert len(lsh_codes(np.zeros((0, 16)), planes)) == 0
+
+    def test_matches_sequential_golden(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.goldens import (
+            _seq_lsh_topk,
+        )
+
+        got = similarity.lsh_topk(SF)
+        want = _seq_lsh_topk(SF)
+        assert got.equals(want)
+
+    def test_deterministic_and_ranks_dense(self, ray_session):
+        r1 = similarity.lsh_topk(SF).to_pydict()
+        r2 = similarity.lsh_topk(SF).to_pydict()
+        assert r1 == r2
+        for q in (0, 1, 2):
+            ranks = [r for qq, r in zip(r1["query_id"], r1["rank"]) if qq == q]
+            assert ranks == list(range(1, len(ranks) + 1))
+
+    def test_full_probe_equals_brute(self, ray_session):
+        """With 1 bit, Hamming-1 probing covers BOTH buckets — the LSH path
+        must then reproduce the exact scan."""
+        brute = similarity.brute_force_topk(SF, query_ids=[5], k=5).to_pydict()
+        full = similarity.lsh_topk(SF, query_ids=[5], k=5, nbits=1).to_pydict()
+        assert full["vec_id"] == brute["vec_id"]
