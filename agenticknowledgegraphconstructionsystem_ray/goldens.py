@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "33"  # v33: + lsh_topk (random-hyperplane LSH ANN)
+GOLDEN_VERSION = "34"  # v34: + lsh_topk (LSH ANN), pca (moment-combiner PCA)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -527,6 +527,27 @@ def _seq_lsh_topk(
             "rank": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def _seq_pca(sf_dir: str) -> pa.Table:
+    """Sequential PCA golden: ONE integer moment partial over the whole
+    matrix (same pca_partial kernel), then the same driver eigensolve.
+    Integer partial sums are associative, so this is bit-identical to the
+    pipeline's per-block merge."""
+    import numpy as np
+
+    from .stages.similarity import pca_eigen_ppm, pca_partial
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    n, s, o = pca_partial(M)
+    s_obj = [int(x) for x in s]
+    o_obj = np.asarray([int(x) for x in o.reshape(-1)], dtype=object).reshape(
+        o.shape
+    )
+    return pca_eigen_ppm(n, s_obj, o_obj)
 
 
 def _seq_pairs_keep(
@@ -1653,6 +1674,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["fingerprints"] = _seq_fingerprints(sf_dir)
         tables["ivf_topk"] = _seq_ivf_topk(sf_dir)
         tables["lsh_topk"] = _seq_lsh_topk(sf_dir)
+        tables["pca"] = _seq_pca(sf_dir)
         tables["pq_topk"] = _seq_pq(sf_dir)
         tables["hll_users"] = _seq_hll_users(sf_dir)
         tables["hll_terms"] = _seq_hll_terms(sf_dir)
@@ -2228,6 +2250,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": f"""
             SELECT query_id, vec_id, rank FROM {_g('lsh_topk')}
+        """,
+        "ml_pca_var": f"""
+            SELECT component, var_ppm, cum_ppm FROM {_g('pca')}
         """,
         "dd_semdedup": f"""
             SELECT vec_id, cluster, keep FROM {_g('semdedup')}

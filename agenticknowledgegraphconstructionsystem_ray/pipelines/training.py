@@ -533,6 +533,17 @@ def ann_lsh_topk(sf_dir: str):
     return similarity.lsh_topk(sf_dir, query_ids=[0, 1, 2], k=10)
 
 
+def ml_pca_var(sf_dir: str):
+    """PCA explained-variance spectrum over the embeddings table
+    (stages/similarity.pca_explained_var): per-block integer (count, sum,
+    X^T X) moment partials -> exact Python-int driver merge -> one 64x64
+    eigensolve. Golden-file oracle (goldens._seq_pca) proves bit-exact
+    parity at any parallelism."""
+    from ..stages.similarity import pca_explained_var
+
+    return pca_explained_var(sf_dir)
+
+
 def ann_pq_rerank(sf_dir: str):
     """PQ shortlist + exact cosine re-rank (stages/similarity.pq_rerank_topk)
     — the production ANN recipe that closes code-only scoring's recall gap.
@@ -784,6 +795,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ml_kmeans": ml_kmeans,
+    "ml_pca_var": ml_pca_var,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
     "ann_rrf_topk": ann_rrf_topk,

@@ -827,3 +827,96 @@ def lsh_topk(
         batch_format="pyarrow", concurrency=(1, 4),
     ).take_all()
     return _merge_partials(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA explained variance — the dim^2-state moment combiner.
+# Embeddings are quantized to int64 (PCA_QUANT), each block contributes an
+# EXACT integer (count, sum, X^T X) partial — dim + dim^2 int64s (~33 KiB at
+# dim=64) — and the driver merges partials in arbitrary-precision Python
+# ints, so the scatter matrix n*S2 - s s^T is bit-identical at any block
+# layout or parallelism (int addition is associative/commutative; the
+# sequential golden reproduces it exactly). The one float step, a 64x64
+# eigensolve, runs ONCE on the driver over that bit-identical integer
+# matrix. The corpus is streamed, never materialized.
+#
+# Overflow bound: a block's X^T X entry is <= rows_per_block * (max|x| *
+# PCA_QUANT)^2; at PCA_QUANT=2^15 and |x|<=4 that allows ~5e8 rows/block.
+# The driver-side merge and scatter matrix use Python ints (unbounded).
+# ---------------------------------------------------------------------------
+
+PCA_QUANT = 1 << 15
+PCA_TOP = 8
+
+
+def pca_partial(m: np.ndarray) -> tuple[int, np.ndarray, np.ndarray]:
+    """Integer moment partial for one block: (n, sum (dim,), X^T X (dim,dim)),
+    all int64. Shared by the pipeline and the sequential golden."""
+    qm = np.rint(m * PCA_QUANT).astype(np.int64)
+    return len(qm), qm.sum(axis=0, dtype=np.int64), qm.T @ qm
+
+
+def pca_eigen_ppm(n: int, s, o, top: int = PCA_TOP) -> pa.Table:
+    """Exact-integer scatter matrix -> eigensolve -> explained-variance ppm.
+    ``s``/``o`` are (dim,) and (dim,dim) arrays of PYTHON ints (exact).
+    Output: (component 1.., var_ppm, cum_ppm) for the top components by
+    eigenvalue, var_ppm = floor(lambda_i * 1e6 / trace)."""
+    s = np.asarray(s, dtype=object)
+    o = np.asarray(o, dtype=object)
+    scatter = n * o - np.outer(s, s)  # exact ints: n * X^T X - s s^T
+    tr = float(sum(int(x) for x in np.diag(scatter)))
+    ev = np.linalg.eigvalsh(scatter.astype(np.float64))[::-1]
+    top = min(top, len(ev))
+    var_ppm = [int(ev[i] * 1_000_000 / tr) for i in range(top)]
+    cum = np.cumsum(var_ppm)
+    return pa.table(
+        {
+            "component": pa.array(range(1, top + 1), pa.int64()),
+            "var_ppm": pa.array(var_ppm, pa.int64()),
+            "cum_ppm": pa.array(cum, pa.int64()),
+        }
+    )
+
+
+def pca_explained_var(
+    sf_dir: str, table: str = "embeddings", top: int = PCA_TOP
+) -> pa.Table:
+    """Distributed PCA spectrum over the embeddings table: per-block integer
+    moment partials -> exact driver merge -> one driver eigensolve. Golden
+    oracle goldens._seq_pca proves bit-exact parity."""
+    emb = read_table(sf_dir, table, columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _matrix(t)
+        if not len(m):
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.list_(pa.int64())),
+                    "o": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        n, s, o = pca_partial(m)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([s.tolist()], pa.list_(pa.int64())),
+                "o": pa.array([o.reshape(-1).tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    rows = emb.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError(f"no embeddings in {sf_dir}/{table}")
+    dim = int(round(len(rows[0]["s"])))
+    n_total = 0
+    s_total = [0] * dim
+    o_total = [0] * (dim * dim)
+    for r in rows:  # one tiny row per block — Python-int exact merge
+        n_total += int(r["n"])
+        for i, v in enumerate(r["s"]):
+            s_total[i] += int(v)
+        for i, v in enumerate(r["o"]):
+            o_total[i] += int(v)
+    o_mat = np.asarray(o_total, dtype=object).reshape(dim, dim)
+    return pca_eigen_ppm(n_total, s_total, o_mat, top)

@@ -340,3 +340,47 @@ class TestLshTopk:
         brute = similarity.brute_force_topk(SF, query_ids=[5], k=5).to_pydict()
         full = similarity.lsh_topk(SF, query_ids=[5], k=5, nbits=1).to_pydict()
         assert full["vec_id"] == brute["vec_id"]
+
+
+class TestPcaVar:
+    def test_partials_additive_under_blocking(self):
+        """Integer moment partials merge exactly: any block split sums to
+        the full-matrix partial (the distributed-determinism invariant)."""
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            pca_partial,
+        )
+
+        rng = np.random.default_rng(9)
+        m = rng.normal(0, 1.5, (300, 8))
+        n_full, s_full, o_full = pca_partial(m)
+        n_sum, s_sum, o_sum = 0, np.zeros(8, np.int64), np.zeros((8, 8), np.int64)
+        for lo, hi in ((0, 71), (71, 200), (200, 300)):
+            n, s, o = pca_partial(m[lo:hi])
+            n_sum += n
+            s_sum += s
+            o_sum += o
+        assert n_sum == n_full
+        assert np.array_equal(s_sum, s_full)
+        assert np.array_equal(o_sum, o_full)
+
+    def test_matches_sequential_golden(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.goldens import _seq_pca
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            pca_explained_var,
+        )
+
+        got = pca_explained_var(SF)
+        want = _seq_pca(SF)
+        assert got.equals(want)
+
+    def test_spectrum_properties(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            pca_explained_var,
+        )
+
+        out = pca_explained_var(SF).to_pydict()
+        v = out["var_ppm"]
+        assert v == sorted(v, reverse=True)  # eigenvalues descending
+        assert all(x >= 0 for x in v)
+        assert out["cum_ppm"][-1] <= 1_000_000
+        assert out["component"] == list(range(1, len(v) + 1))
