@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "34"  # v34: + lsh_topk (LSH ANN), pca (moment-combiner PCA)
+GOLDEN_VERSION = "35"  # v35: + lsh_topk, pca, knn (exact-top-k label vote)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -548,6 +548,38 @@ def _seq_pca(sf_dir: str) -> pa.Table:
         o.shape
     )
     return pca_eigen_ppm(n, s_obj, o_obj)
+
+
+def _seq_knn(sf_dir: str) -> pa.Table:
+    """Sequential kNN golden: exact cosine top-k per query in one numpy pass
+    (same (sim DESC, vec_id ASC) tie-break as the distributed merge) + the
+    shared knn_vote kernel."""
+    import numpy as np
+
+    from .stages.similarity import KNN_K, KNN_QUERIES, knn_vote
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    out = {"query_id": [], "pred_label": [], "true_label": [], "votes": []}
+    for qid in sorted(set(KNN_QUERIES)):
+        qn = Mn[pos[qid]]
+        mask = ids != qid
+        cids = ids[mask]
+        sims = Mn[mask] @ qn
+        top = np.lexsort((cids, -sims))[:KNN_K]
+        lab, votes = knn_vote([int(labels[mask][j]) for j in top])
+        out["query_id"].append(qid)
+        out["pred_label"].append(lab)
+        out["true_label"].append(int(labels[pos[qid]]))
+        out["votes"].append(votes)
+    return pa.table({c: pa.array(v, pa.int64()) for c, v in out.items()})
 
 
 def _seq_pairs_keep(
@@ -1675,6 +1707,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["ivf_topk"] = _seq_ivf_topk(sf_dir)
         tables["lsh_topk"] = _seq_lsh_topk(sf_dir)
         tables["pca"] = _seq_pca(sf_dir)
+        tables["knn"] = _seq_knn(sf_dir)
         tables["pq_topk"] = _seq_pq(sf_dir)
         tables["hll_users"] = _seq_hll_users(sf_dir)
         tables["hll_terms"] = _seq_hll_terms(sf_dir)
@@ -2253,6 +2286,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "ml_pca_var": f"""
             SELECT component, var_ppm, cum_ppm FROM {_g('pca')}
+        """,
+        "ml_knn": f"""
+            SELECT query_id, pred_label, true_label, votes FROM {_g('knn')}
         """,
         "dd_semdedup": f"""
             SELECT vec_id, cluster, keep FROM {_g('semdedup')}

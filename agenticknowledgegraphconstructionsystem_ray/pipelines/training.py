@@ -544,6 +544,16 @@ def ml_pca_var(sf_dir: str):
     return pca_explained_var(sf_dir)
 
 
+def ml_knn(sf_dir: str):
+    """kNN label classification (stages/similarity.knn_classify): exact
+    per-block top-k combiner scan + one broadcast-filtered label fetch of
+    only the involved ids + deterministic majority vote. Golden-file oracle
+    (goldens._seq_knn)."""
+    from ..stages.similarity import knn_classify
+
+    return knn_classify(sf_dir)
+
+
 def ann_pq_rerank(sf_dir: str):
     """PQ shortlist + exact cosine re-rank (stages/similarity.pq_rerank_topk)
     — the production ANN recipe that closes code-only scoring's recall gap.
@@ -796,6 +806,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ml_kmeans": ml_kmeans,
     "ml_pca_var": ml_pca_var,
+    "ml_knn": ml_knn,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
     "ann_rrf_topk": ann_rrf_topk,

@@ -920,3 +920,64 @@ def pca_explained_var(
             o_total[i] += int(v)
     o_mat = np.asarray(o_total, dtype=object).reshape(dim, dim)
     return pca_eigen_ppm(n_total, s_total, o_mat, top)
+
+
+# ---------------------------------------------------------------------------
+# kNN label classification — majority vote over the exact cosine top-k.
+# The scan is the same per-block top-k combiner as brute_force_topk (only k
+# rows per (block, query) leave a worker); the label fetch is ONE broadcast-
+# filtered pass that materializes labels for just the <= |queries| * (k+1)
+# involved ids, never the corpus. The reference's analog is relationship-
+# type assignment from nearest concept overlap (relationship-discovery
+# agent); this is the embedding-space version of that assignment shape.
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_QUERIES = tuple(range(20))
+
+
+def knn_vote(neigh_labels: list[int]) -> tuple[int, int]:
+    """Majority label; ties break to the SMALLEST label (deterministic).
+    Returns (label, votes). Shared by pipeline and sequential golden."""
+    counts: dict[int, int] = {}
+    for lab in neigh_labels:
+        counts[lab] = counts.get(lab, 0) + 1
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+
+def knn_classify(
+    sf_dir: str,
+    query_ids: tuple[int, ...] = KNN_QUERIES,
+    k: int = KNN_K,
+    table: str = "embeddings",
+) -> pa.Table:
+    """Predict each query vector's label from its k exact cosine neighbors
+    (self excluded). Output (query_id, pred_label, true_label, votes).
+    Golden oracle goldens._seq_knn."""
+    topk = brute_force_topk(sf_dir, sorted(set(query_ids)), k=k, table=table)
+    by_q: dict[int, list[int]] = {}
+    for q, v in zip(topk["query_id"].to_pylist(), topk["vec_id"].to_pylist()):
+        by_q.setdefault(q, []).append(v)
+
+    need = sorted(set(topk["vec_id"].to_pylist()) | set(query_ids))
+    want = pa.array(need, pa.int64())
+    rows = (
+        read_table(sf_dir, table, columns=["vec_id", "label"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.is_valid(pc.index_in(t["vec_id"], value_set=want))
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    label_of = {r["vec_id"]: int(r["label"]) for r in rows}
+
+    out = {"query_id": [], "pred_label": [], "true_label": [], "votes": []}
+    for q in sorted(by_q):
+        lab, votes = knn_vote([label_of[v] for v in by_q[q]])
+        out["query_id"].append(q)
+        out["pred_label"].append(lab)
+        out["true_label"].append(label_of[q])
+        out["votes"].append(votes)
+    return pa.table({c: pa.array(vals, pa.int64()) for c, vals in out.items()})

@@ -342,6 +342,38 @@ class TestLshTopk:
         assert full["vec_id"] == brute["vec_id"]
 
 
+class TestKnn:
+    def test_vote_majority_and_tiebreak(self):
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            knn_vote,
+        )
+
+        assert knn_vote([3, 1, 3, 2, 3]) == (3, 3)
+        assert knn_vote([2, 1, 2, 1]) == (1, 2)  # tie -> smallest label
+        assert knn_vote([7]) == (7, 1)
+
+    def test_matches_sequential_golden(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.goldens import _seq_knn
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            knn_classify,
+        )
+
+        got = knn_classify(SF)
+        want = _seq_knn(SF)
+        assert got.equals(want)
+
+    def test_shape_and_vote_bounds(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            KNN_K,
+            KNN_QUERIES,
+            knn_classify,
+        )
+
+        out = knn_classify(SF).to_pydict()
+        assert out["query_id"] == sorted(set(KNN_QUERIES))
+        assert all(1 <= v <= KNN_K for v in out["votes"])
+
+
 class TestPcaVar:
     def test_partials_additive_under_blocking(self):
         """Integer moment partials merge exactly: any block split sums to
