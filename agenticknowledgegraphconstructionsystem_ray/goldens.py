@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "35"  # v35: + lsh_topk, pca, knn (exact-top-k label vote)
+GOLDEN_VERSION = "36"  # v36: + lsh_topk, pca, knn, ridge (linear probe fit)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -580,6 +580,29 @@ def _seq_knn(sf_dir: str) -> pa.Table:
         out["true_label"].append(int(labels[pos[qid]]))
         out["votes"].append(votes)
     return pa.table({c: pa.array(v, pa.int64()) for c, v in out.items()})
+
+
+def _seq_ridge(sf_dir: str) -> pa.Table:
+    """Sequential ridge golden: ONE integer moment partial over the whole
+    matrix (same ridge_partial kernel), then the same driver solve —
+    integer partial sums are associative, so this is bit-identical to the
+    pipeline's per-block merge."""
+    import numpy as np
+
+    from .stages.similarity import ridge_partial, ridge_solve_ppm
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding", "label"]
+    )
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    y = np.asarray(t["label"].to_pylist(), dtype=np.int64)
+    n, sx, xtx, xty, sy, sy2 = ridge_partial(M, y)
+    xtx_obj = np.asarray(
+        [int(x) for x in xtx.reshape(-1)], dtype=object
+    ).reshape(xtx.shape)
+    return ridge_solve_ppm(
+        n, [int(v) for v in sx], xtx_obj, [int(v) for v in xty], sy, sy2
+    )
 
 
 def _seq_pairs_keep(
@@ -1708,6 +1731,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["lsh_topk"] = _seq_lsh_topk(sf_dir)
         tables["pca"] = _seq_pca(sf_dir)
         tables["knn"] = _seq_knn(sf_dir)
+        tables["ridge"] = _seq_ridge(sf_dir)
         tables["pq_topk"] = _seq_pq(sf_dir)
         tables["hll_users"] = _seq_hll_users(sf_dir)
         tables["hll_terms"] = _seq_hll_terms(sf_dir)
@@ -2289,6 +2313,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "ml_knn": f"""
             SELECT query_id, pred_label, true_label, votes FROM {_g('knn')}
+        """,
+        "ml_ridge": f"""
+            SELECT name, value_ppm FROM {_g('ridge')}
         """,
         "dd_semdedup": f"""
             SELECT vec_id, cluster, keep FROM {_g('semdedup')}

@@ -554,6 +554,17 @@ def ml_knn(sf_dir: str):
     return knn_classify(sf_dir)
 
 
+def ml_ridge(sf_dir: str):
+    """Distributed exact ridge-regression fit of label ~ embedding
+    (stages/similarity.ridge_fit) — TRAINS the linear quality-classifier
+    weights that q47 only applies: integer normal-equation moments per
+    block, arbitrary-precision driver merge, one (dim+1)-square solve.
+    Golden-file oracle (goldens._seq_ridge)."""
+    from ..stages.similarity import ridge_fit
+
+    return ridge_fit(sf_dir)
+
+
 def ann_pq_rerank(sf_dir: str):
     """PQ shortlist + exact cosine re-rank (stages/similarity.pq_rerank_topk)
     — the production ANN recipe that closes code-only scoring's recall gap.
@@ -807,6 +818,7 @@ QUERIES = {
     "ml_kmeans": ml_kmeans,
     "ml_pca_var": ml_pca_var,
     "ml_knn": ml_knn,
+    "ml_ridge": ml_ridge,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
     "ann_rrf_topk": ann_rrf_topk,

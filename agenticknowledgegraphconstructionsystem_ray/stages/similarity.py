@@ -981,3 +981,123 @@ def knn_classify(
         out["true_label"].append(label_of[q])
         out["votes"].append(votes)
     return pa.table({c: pa.array(vals, pa.int64()) for c, vals in out.items()})
+
+
+# ---------------------------------------------------------------------------
+# Distributed ridge-regression linear probe — TRAINING the quality-classifier
+# shape (q47 is inference with given weights; this learns them). Same moment
+# combiner as PCA extended with X^T y / sum y / y^T y: per-block exact int64
+# partials, arbitrary-precision Python-int driver merge, one (dim+1)-square
+# solve on the driver. Normal equations over the intercept-augmented design
+# scaled by PCA_QUANT^2 keep every distributed quantity an exact integer:
+#   (A' + LAM_Q2*I) w = b',  A' = [[X^T X, Q*sx],[Q*sx^T, n*Q^2]],
+#   b' = [Q*X^T y, Q^2*sy]   (all ints; X quantized by Q = PCA_QUANT)
+# so the float solve runs ONCE over bit-identical inputs at any parallelism.
+# ---------------------------------------------------------------------------
+
+RIDGE_LAM_Q2 = (PCA_QUANT * PCA_QUANT) // 1000  # lambda = 1e-3 in real units
+
+
+def ridge_partial(m: np.ndarray, y: np.ndarray):
+    """Integer moment partial for one block:
+    (n, sum_x (dim,), X^T X (dim,dim), X^T y (dim,), sum_y, sum_y2) —
+    all int64. Shared by pipeline and sequential golden."""
+    qm = np.rint(m * PCA_QUANT).astype(np.int64)
+    yi = y.astype(np.int64)
+    return (
+        len(qm),
+        qm.sum(axis=0, dtype=np.int64),
+        qm.T @ qm,
+        (qm * yi[:, None]).sum(axis=0, dtype=np.int64),
+        int(yi.sum()),
+        int((yi * yi).sum()),
+    )
+
+
+def ridge_solve_ppm(n, sx, xtx, xty, sy, sy2) -> pa.Table:
+    """Exact-integer normal equations -> one driver solve -> coefficients
+    and train R^2 in ppm. ``sx``/``xtx``/``xty`` are Python-int arrays
+    (exact). Output: (name, value_ppm) — coef_00..coef_{dim-1}, intercept,
+    r2."""
+    dim = len(sx)
+    q = PCA_QUANT
+    A = np.zeros((dim + 1, dim + 1), dtype=object)
+    A[:dim, :dim] = np.asarray(xtx, dtype=object)
+    A[:dim, dim] = [q * int(v) for v in sx]
+    A[dim, :dim] = [q * int(v) for v in sx]
+    A[dim, dim] = n * q * q
+    b = np.asarray([q * int(v) for v in xty] + [q * q * sy], dtype=object)
+    Af = A.astype(np.float64) + RIDGE_LAM_Q2 * np.eye(dim + 1)
+    bf = b.astype(np.float64)
+    w = np.linalg.solve(Af, bf)
+    # SSE = y^T y - 2 w.b/q^2 + w^T (A/q^2) w ; SST = y^T y - sy^2/n
+    sse = (
+        float(sy2)
+        - 2.0 * float(w @ bf) / (q * q)
+        + float(w @ (A.astype(np.float64) @ w)) / (q * q)
+    )
+    sst = float(sy2) - float(sy) * float(sy) / n
+    r2 = 1.0 - sse / sst if sst > 0 else 0.0
+    names = [f"coef_{i:02d}" for i in range(dim)] + ["intercept", "r2"]
+    vals = [int(x * 1_000_000) for x in w] + [int(r2 * 1_000_000)]
+    return pa.table(
+        {
+            "name": pa.array(names, pa.string()),
+            "value_ppm": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+def ridge_fit(sf_dir: str, table: str = "embeddings") -> pa.Table:
+    """Distributed exact ridge fit of label ~ embedding over the corpus.
+    Golden oracle goldens._seq_ridge."""
+    emb = read_table(sf_dir, table, columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _matrix(t)
+        if not len(m):
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "sx": pa.array([], pa.list_(pa.int64())),
+                    "xtx": pa.array([], pa.list_(pa.int64())),
+                    "xty": pa.array([], pa.list_(pa.int64())),
+                    "sy": pa.array([], pa.int64()),
+                    "sy2": pa.array([], pa.int64()),
+                }
+            )
+        y = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
+        n, sx, xtx, xty, sy, sy2 = ridge_partial(m, y)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sx": pa.array([sx.tolist()], pa.list_(pa.int64())),
+                "xtx": pa.array([xtx.reshape(-1).tolist()], pa.list_(pa.int64())),
+                "xty": pa.array([xty.tolist()], pa.list_(pa.int64())),
+                "sy": pa.array([sy], pa.int64()),
+                "sy2": pa.array([sy2], pa.int64()),
+            }
+        )
+
+    rows = emb.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError(f"no embeddings in {sf_dir}/{table}")
+    dim = len(rows[0]["sx"])
+    n = 0
+    sx = [0] * dim
+    xtx = [0] * (dim * dim)
+    xty = [0] * dim
+    sy = 0
+    sy2 = 0
+    for r in rows:  # one tiny row per block — Python-int exact merge
+        n += int(r["n"])
+        sy += int(r["sy"])
+        sy2 += int(r["sy2"])
+        for i, v in enumerate(r["sx"]):
+            sx[i] += int(v)
+        for i, v in enumerate(r["xty"]):
+            xty[i] += int(v)
+        for i, v in enumerate(r["xtx"]):
+            xtx[i] += int(v)
+    xtx_mat = np.asarray(xtx, dtype=object).reshape(dim, dim)
+    return ridge_solve_ppm(n, sx, xtx_mat, xty, sy, sy2)

@@ -374,6 +374,60 @@ class TestKnn:
         assert all(1 <= v <= KNN_K for v in out["votes"])
 
 
+class TestRidge:
+    def test_partials_additive_under_blocking(self):
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            ridge_partial,
+        )
+
+        rng = np.random.default_rng(11)
+        m = rng.normal(0, 1.2, (250, 6))
+        y = rng.integers(0, 10, 250)
+        full = ridge_partial(m, y)
+        parts = [ridge_partial(m[lo:hi], y[lo:hi]) for lo, hi in
+                 ((0, 93), (93, 170), (170, 250))]
+        assert sum(p[0] for p in parts) == full[0]
+        assert np.array_equal(sum(p[1] for p in parts), full[1])
+        assert np.array_equal(sum(p[2] for p in parts), full[2])
+        assert np.array_equal(sum(p[3] for p in parts), full[3])
+        assert sum(p[4] for p in parts) == full[4]
+        assert sum(p[5] for p in parts) == full[5]
+
+    def test_recovers_planted_linear_signal(self):
+        """On y = 3*x0 - 2*x1 + 1 (+0 noise), the fit recovers the plant."""
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            ridge_partial,
+            ridge_solve_ppm,
+        )
+
+        rng = np.random.default_rng(4)
+        m = rng.normal(0, 1.0, (2000, 3))
+        y = np.rint(3 * m[:, 0] - 2 * m[:, 1] + 1).astype(np.int64)
+        n, sx, xtx, xty, sy, sy2 = ridge_partial(m, y)
+        xtx_obj = np.asarray(
+            [int(x) for x in xtx.reshape(-1)], dtype=object
+        ).reshape(xtx.shape)
+        out = ridge_solve_ppm(
+            n, [int(v) for v in sx], xtx_obj, [int(v) for v in xty], sy, sy2
+        ).to_pydict()
+        got = dict(zip(out["name"], out["value_ppm"]))
+        assert abs(got["coef_00"] - 3_000_000) < 100_000
+        assert abs(got["coef_01"] + 2_000_000) < 100_000
+        assert abs(got["coef_02"]) < 100_000
+        assert abs(got["intercept"] - 1_000_000) < 100_000
+        assert got["r2"] > 900_000  # rounding noise only
+
+    def test_matches_sequential_golden(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.goldens import _seq_ridge
+        from agenticknowledgegraphconstructionsystem_ray.stages.similarity import (
+            ridge_fit,
+        )
+
+        got = ridge_fit(SF)
+        want = _seq_ridge(SF)
+        assert got.equals(want)
+
+
 class TestPcaVar:
     def test_partials_additive_under_blocking(self):
         """Integer moment partials merge exactly: any block split sums to
