@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_lineage": kgqueries.kg_lineage,
             "kg_edge_history": kgqueries.kg_edge_history,
             "kg_growth": kgqueries.kg_growth,
+            "kg_trending": kgqueries.kg_trending,
             "kg_search": kgqueries.kg_search,
             "kg_merge_nodes": kgqueries.kg_merge_nodes,
             "kg_merge_edges": kgqueries.kg_merge_edges,

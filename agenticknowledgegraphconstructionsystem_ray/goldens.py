@@ -2241,6 +2241,28 @@ def kg_oracle_sql() -> dict[str, str]:
                        AS n_cum_edges
             FROM h ORDER BY hour
         """,
+        "kg_trending": f"""
+            WITH en AS (
+                SELECT epoch_us(warc_ts) // 3600000000 AS hour,
+                       subj_id AS entity_id
+                FROM {_g('edges')} WHERE subj_id >= 0
+                UNION ALL
+                SELECT epoch_us(warc_ts) // 3600000000, obj_id
+                FROM {_g('edges')} WHERE obj_id >= 0
+            ),
+            c AS (
+                SELECT hour, entity_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+                FROM en GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY hour ORDER BY n_edges DESC, entity_id
+                ) AS rank FROM c
+            )
+            SELECT CAST(hour AS BIGINT) AS hour, entity_id, n_edges,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5
+        """,
         "kg_edge_history": f"""
             SELECT subj_id, pred, obj_id,
                    CAST(COUNT(*) AS BIGINT) AS n_pages,

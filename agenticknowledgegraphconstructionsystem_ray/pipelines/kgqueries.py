@@ -477,6 +477,78 @@ def kg_growth(sf_dir: str):
     )
 
 
+def kg_trending(sf_dir: str, k: int = 5):
+    """Trending entities per crawl hour: the top-k entities by asserted-edge
+    participation (either endpoint) in each hour, ranked
+    (n_edges DESC, entity_id ASC) — the time-windowed leaderboard an
+    incremental crawl dashboard shows beside kg_growth's volume curve.
+
+    Scale shape: the endpoint expansion is map-only; a per-block pandas
+    combiner collapses to (hour, entity) partial counts before the ONE
+    groupby (cardinality bounded by hours x entity vocabulary, not edges);
+    the grouped top-k combiner (stages/topk.py) ships at most k rows per
+    (block, hour); ranks are assigned on the hours*k-row driver result.
+    Oracle: ANSI SQL window over the golden edges parquet."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.topk import grouped_topk
+
+    out = _ensure_run(sf_dir)
+    edges = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "edges", "**", "*.parquet"),
+                         recursive=True)),
+        columns=["subj_id", "obj_id", "warc_ts"],
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(t["warc_ts"], pa.int64()),
+                         pa.scalar(3_600_000_000, pa.int64()))
+        both = pa.concat_tables(
+            [
+                pa.table({"hour": hour, "entity_id": t["subj_id"]}),
+                pa.table({"hour": hour, "entity_id": t["obj_id"]}),
+            ]
+        )
+        return both.filter(pc.greater_equal(both["entity_id"], 0))
+
+    def block_counts(df):
+        return (
+            df.groupby(["hour", "entity_id"], sort=False)
+            .size()
+            .reset_index(name="n_p")
+        )
+
+    counts = (
+        edges.map_batches(expand, batch_format="pyarrow")
+        .map_batches(block_counts, batch_format="pandas")
+        .groupby(["hour", "entity_id"])
+        .aggregate(Sum("n_p", alias_name="n_edges"))
+    )
+    top = grouped_topk(
+        counts, "hour", by=["n_edges", "entity_id"], descending=[True, False],
+        k=k,
+    )
+    t = pa.concat_tables(
+        [b for b in top.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    df = t.to_pandas().sort_values(
+        ["hour", "n_edges", "entity_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("hour").cumcount() + 1
+    return pa.table(
+        {
+            "hour": pa.array(df["hour"].to_numpy(), pa.int64()),
+            "entity_id": pa.array(df["entity_id"].to_numpy(), pa.int64()),
+            "n_edges": pa.array(df["n_edges"].to_numpy(), pa.int64()),
+            "rank": pa.array(df["rank"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # kg_search: AND-semantics ranked full-text search over the KG artifacts —
 # the analog of the reference's tsvector sample query

@@ -103,3 +103,43 @@ def test_kg_search_matches_sequential(golden_dir):
     )
     want = [(u, s, n_ent.get(u, 0), n_men.get(u, 0)) for u, s in top]
     assert got == want
+
+
+def test_kg_trending_matches_sequential(golden_dir):
+    """kg_trending (per-hour top-k entity leaderboard) vs an independent
+    pandas recomputation over the golden edges parquet at sf0.001."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kgqueries
+
+    e = pq.read_table(
+        os.path.join(golden_dir, "edges.parquet"),
+        columns=["subj_id", "obj_id", "warc_ts"],
+    ).to_pandas()
+    hour = (e["warc_ts"].astype("int64") // 3_600_000_000).to_numpy()
+    both = pd.DataFrame(
+        {
+            "hour": list(hour) + list(hour),
+            "entity_id": list(e["subj_id"]) + list(e["obj_id"]),
+        }
+    )
+    both = both[both["entity_id"] >= 0]
+    c = both.groupby(["hour", "entity_id"], sort=False).size().reset_index(
+        name="n_edges"
+    )
+    c = c.sort_values(
+        ["hour", "n_edges", "entity_id"], ascending=[True, False, True]
+    )
+    c["rank"] = c.groupby("hour").cumcount() + 1
+    want = c[c["rank"] <= 5].reset_index(drop=True)
+
+    got = kgqueries.kg_trending("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == len(want)
+    for col in ("hour", "entity_id", "n_edges", "rank"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+    # every hour has a dense 1..k rank prefix
+    for _, g in got.groupby("hour"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
