@@ -1027,3 +1027,129 @@ def mm_audio_stats(sf_dir: str):
 
 
 QUERIES["mm_audio_stats"] = mm_audio_stats
+
+
+# ---------------------------------------------------------------------------
+# sk_quantiles: hash-rank-sample quantile sketch with exact certificate —
+# the quantile member of the sketch family (HLL distinct, CMS frequency,
+# KMV distinct, Misra-Gries heavy hitters). The sketch state is the SKQ_K
+# rows with the lexicographically smallest md5('sq:' || key) digests: a
+# per-block bottom-K combiner whose partials merge by concat+sort+take-K
+# (deterministic under any partitioning — the q56/sk_kmv merge algebra),
+# so the "sample" is identical at any parallelism and in SQL. Quantiles
+# are estimated at integer ranks ceil(a*K/b) over the sorted sample and
+# certified against the exact ranks over the full distinct-value histogram
+# (the q55 shape: the exact pass shuffles (value, count), never rows).
+# ---------------------------------------------------------------------------
+
+SKQ_K = 256
+
+
+def sk_quantiles(sf_dir: str):
+    """One row: (n_rows, n_sample, p{50,90,99}_est_c, p{50,90,99}_exact_c)
+    of o_totalprice cents over orders."""
+    import hashlib
+
+    from .corpusstat import _QUANTILES, _rank_ceil
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_pylist()
+        vals = cents(t["o_totalprice"]).to_pylist()
+        rows = sorted(
+            (hashlib.md5(f"sq:{k}".encode()).hexdigest(), k, v)
+            for k, v in zip(keys, vals)
+        )[:SKQ_K]
+        return pa.table(
+            {
+                "hx": pa.array([r[0] for r in rows], pa.string()),
+                "o_orderkey": pa.array([r[1] for r in rows], pa.int64()),
+                "value_c": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    samp_rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    samp = sorted((r["hx"], r["o_orderkey"], r["value_c"]) for r in samp_rows)
+    samp = samp[:SKQ_K]
+    sv = sorted(r[2] for r in samp)
+    k = len(sv)
+    est = {name: int(sv[_rank_ceil(a, b, k) - 1]) for a, b, name in _QUANTILES}
+
+    # exact certificate: distinct-value histogram (value, count) shuffle
+    def per_block(t: pa.Table) -> pa.Table:
+        v = cents(t["o_totalprice"])
+        g = pa.table({"value_c": v}).group_by("value_c").aggregate(
+            [("value_c", "count")]
+        )
+        return g.rename_columns(["value_c", "cnt"])
+
+    hist = (
+        ds.map_batches(per_block, batch_format="pyarrow")
+        .groupby("value_c")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct cents values: price-range bounded
+        .sort_values("value_c", kind="mergesort")
+    )
+    cum = hist["cnt"].to_numpy().cumsum()
+    vals = hist["value_c"].to_numpy()
+    n = int(cum[-1])
+    exact = {
+        name: int(vals[np.searchsorted(cum, _rank_ceil(a, b, n))])
+        for a, b, name in _QUANTILES
+    }
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "n_sample": pa.array([k], pa.int64()),
+            "p50_est_c": pa.array([est["p50"]], pa.int64()),
+            "p90_est_c": pa.array([est["p90"]], pa.int64()),
+            "p99_est_c": pa.array([est["p99"]], pa.int64()),
+            "p50_exact_c": pa.array([exact["p50"]], pa.int64()),
+            "p90_exact_c": pa.array([exact["p90"]], pa.int64()),
+            "p99_exact_c": pa.array([exact["p99"]], pa.int64()),
+        }
+    )
+
+
+QUERIES["sk_quantiles"] = sk_quantiles
+
+ORACLE_SQL["sk_quantiles"] = f"""
+    WITH v AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders
+    ),
+    samp AS (
+        SELECT c FROM (
+            SELECT c, row_number() OVER (
+                ORDER BY md5('sq:' || o_orderkey), o_orderkey) AS rk
+            FROM v
+        ) WHERE rk <= {SKQ_K}
+    ),
+    sr AS (
+        SELECT c, row_number() OVER (ORDER BY c) AS rn,
+               COUNT(*) OVER () AS k
+        FROM samp
+    ),
+    er AS (
+        SELECT c, row_number() OVER (ORDER BY c) AS rn,
+               COUNT(*) OVER () AS n
+        FROM v
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_rows,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS n_sample,
+        (SELECT CAST(MIN(CASE WHEN rn = (k + 1) // 2 THEN c END) AS BIGINT)
+            FROM sr) AS p50_est_c,
+        (SELECT CAST(MIN(CASE WHEN rn = (9 * k + 9) // 10 THEN c END)
+            AS BIGINT) FROM sr) AS p90_est_c,
+        (SELECT CAST(MIN(CASE WHEN rn = (99 * k + 99) // 100 THEN c END)
+            AS BIGINT) FROM sr) AS p99_est_c,
+        (SELECT CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN c END) AS BIGINT)
+            FROM er) AS p50_exact_c,
+        (SELECT CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN c END)
+            AS BIGINT) FROM er) AS p90_exact_c,
+        (SELECT CAST(MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN c END)
+            AS BIGINT) FROM er) AS p99_exact_c
+"""

@@ -117,3 +117,34 @@ def test_cms_distributed_matches_golden(ray_session):
     want = goldens._seq_cms(SF)
     assert got.equals(want)
     assert (got["overcount"].to_numpy(zero_copy_only=False) >= 0).all()
+
+
+class TestSkQuantiles:
+    def test_matches_oracle_shape_and_sanity(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.pipelines.training import (
+            SKQ_K,
+            sk_quantiles,
+        )
+
+        out = sk_quantiles("/root/testdata/sf0.001").to_pydict()
+        assert out["n_sample"][0] == min(SKQ_K, out["n_rows"][0])
+        # quantile monotonicity on both the sketch and the exact path
+        assert out["p50_est_c"][0] <= out["p90_est_c"][0] <= out["p99_est_c"][0]
+        assert (
+            out["p50_exact_c"][0]
+            <= out["p90_exact_c"][0]
+            <= out["p99_exact_c"][0]
+        )
+        # hash-rank sample is unbiased enough at K=256/n=1500 for a loose
+        # band: estimate within 25% of exact at the median
+        p50e, p50x = out["p50_est_c"][0], out["p50_exact_c"][0]
+        assert abs(p50e - p50x) <= 0.25 * p50x
+
+    def test_sample_deterministic_across_runs(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.pipelines.training import (
+            sk_quantiles,
+        )
+
+        a = sk_quantiles("/root/testdata/sf0.001").to_pydict()
+        b = sk_quantiles("/root/testdata/sf0.001").to_pydict()
+        assert a == b
