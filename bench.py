@@ -189,6 +189,8 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         timed("q14_term_counts", analytics.q14_term_counts)
         timed("q22_orders_lineitem_join", training.q22_orders_lineitem_join)
         timed("ann_brute_topk", training.ann_brute_topk)
+        timed("ann_lsh_topk", training.ann_lsh_topk)
+        timed("ml_pca_var", training.ml_pca_var)
         timed("dd_minhash_pairs", training.dd_minhash_pairs)
         timed("dd_decontaminate", assembly.dd_decontaminate)
         from agenticknowledgegraphconstructionsystem_ray.pipelines import (
