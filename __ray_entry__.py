@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_link_ra": graphalgo.kg_link_ra,
             "kg_clustering": graphalgo.kg_clustering,
             "kg_modularity": graphmetrics.kg_modularity,
+            "kg_type_matrix": graphmetrics.kg_type_matrix,
             "kg_assortativity": graphmetrics.kg_assortativity,
         }
     )

@@ -2241,6 +2241,15 @@ def kg_oracle_sql() -> dict[str, str]:
                        AS n_cum_edges
             FROM h ORDER BY hour
         """,
+        "kg_type_matrix": f"""
+            SELECT ns.ent_type AS type_a, no_.ent_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM {_g('edges')} e
+            JOIN {_g('nodes')} ns ON e.subj_id = ns.entity_id
+            JOIN {_g('nodes')} no_ ON e.obj_id = no_.entity_id
+            WHERE e.subj_id >= 0 AND e.obj_id >= 0
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "kg_trending": f"""
             WITH en AS (
                 SELECT epoch_us(warc_ts) // 3600000000 AS hour,

@@ -240,3 +240,96 @@ def kg_assortativity(sf_dir: str):
 
     out = _ensure_run(sf_dir)
     return degree_assortativity(_kg_edges_ds(out))
+
+
+# ---------------------------------------------------------------------------
+# kg_type_matrix: directed type-pair edge counts — the schema-usage census
+# over the materialized KG. Reference analog: the reference's closed
+# ConceptType enum x relationship assignment (types.ts:64-79) surfaced as
+# counts, i.e. "which kinds of things point at which kinds of things".
+#
+# Scale shape: both type lookups ride the coarse-bucket tag-union join
+# (node-sized side never broadcast, same as type_modularity); a per-block
+# |types|^2 bincount combiner reduces every block to at most |types|^2
+# rows before the ONE tiny groupby; type names decode on the driver over
+# a closed-enum-sized table.
+# ---------------------------------------------------------------------------
+
+
+def kg_type_matrix(sf_dir: str) -> pa.Table:
+    """(type_a, type_b, n_edges) per directed linked edge, sorted. Oracle:
+    SQL double join over the golden nodes/edges parquet."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    n_groups = max(8, cluster_cpus())
+    edges = _kg_edges_ds(out)
+    nodes_typed = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+        columns=["entity_id", "ent_type"],
+    )
+    type_rows = nodes_typed.groupby("ent_type").count().take_all()
+    types = sorted(r["ent_type"] for r in type_rows)
+    code_of = {t: i for i, t in enumerate(types)}
+    k = len(types)
+
+    def encode(t: pa.Table) -> pa.Table:
+        codes = [code_of[v] for v in t["ent_type"].to_pylist()]
+        return pa.table(
+            {
+                "entity_id": pa.compute.cast(t["entity_id"], pa.int64()),
+                "tcode": pa.array(codes, pa.int64()),
+            }
+        )
+
+    lut = nodes_typed.map_batches(encode, batch_format="pyarrow")
+
+    def as_ab(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["subj_id"], "b": t["obj_id"]})
+
+    pairs = edges.map_batches(as_ab, batch_format="pyarrow")
+    typed = _attach_i64(
+        _attach_i64(pairs, ["a", "b"], "a", lut, "entity_id", "tcode",
+                    "ta", n_groups),
+        ["a", "b", "ta"], "b", lut, "entity_id", "tcode", "tb", n_groups,
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        ta = t["ta"].combine_chunks().to_numpy(zero_copy_only=False)
+        tb = t["tb"].combine_chunks().to_numpy(zero_copy_only=False)
+        flat = np.bincount(ta * k + tb, minlength=k * k)
+        keep = np.flatnonzero(flat)
+        return pa.table(
+            {
+                "cell": pa.array(keep.astype(np.int64), pa.int64()),
+                "n_p": pa.array(flat[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        typed.map_batches(combine, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_p", alias_name="n_edges"))
+    )
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    cells = t["cell"].to_pylist()
+    counts = t["n_edges"].to_pylist()
+    rows = sorted(
+        (types[c // k], types[c % k], int(n)) for c, n in zip(cells, counts)
+    )
+    return pa.table(
+        {
+            "type_a": pa.array([r[0] for r in rows], pa.string()),
+            "type_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_edges": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

@@ -143,3 +143,38 @@ def test_kg_trending_matches_sequential(golden_dir):
     # every hour has a dense 1..k rank prefix
     for _, g in got.groupby("hour"):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_kg_type_matrix_consistency(golden_dir):
+    """kg_type_matrix totals must equal the linked-edge count, and every
+    type must come from the node table (independent pandas recompute)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import graphmetrics
+
+    got = graphmetrics.kg_type_matrix("/root/testdata/sf0.001").to_pandas()
+    e = pq.read_table(
+        os.path.join(golden_dir, "edges.parquet"),
+        columns=["subj_id", "obj_id"],
+    ).to_pandas()
+    n = pq.read_table(
+        os.path.join(golden_dir, "nodes.parquet"),
+        columns=["entity_id", "ent_type"],
+    ).to_pandas()
+    linked = e[(e["subj_id"] >= 0) & (e["obj_id"] >= 0)]
+    assert got["n_edges"].sum() == len(linked)
+    tmap = dict(zip(n["entity_id"], n["ent_type"]))
+    want = (
+        linked.assign(
+            type_a=linked["subj_id"].map(tmap), type_b=linked["obj_id"].map(tmap)
+        )
+        .groupby(["type_a", "type_b"], sort=True)
+        .size()
+        .reset_index(name="n_edges")
+    )
+    assert len(got) == len(want)
+    assert (got["type_a"].to_numpy() == want["type_a"].to_numpy()).all()
+    assert (got["type_b"].to_numpy() == want["type_b"].to_numpy()).all()
+    assert (got["n_edges"].to_numpy() == want["n_edges"].to_numpy()).all()
