@@ -1951,6 +1951,43 @@ def _kg_diff_sql() -> str:
         ORDER BY change, subj, pred, obj, url
     """
 
+def _walk_lift_sql() -> str:
+    """ANSI-SQL mirror of graphalgo.walk_cooc_lift over the golden walks:
+    the step-difference self-join equals the pipeline's shifted-array pair
+    pass because steps within a walk are contiguous; `//` on BIGINTs is the
+    same floor division the pipeline computes with Python ints."""
+    from .pipelines.graphalgo import LIFT_PPM, LIFT_WINDOW
+
+    return f"""
+        WITH w AS (SELECT start_id, step, node_id FROM {_g('walks')}),
+        p AS (
+            SELECT LEAST(w1.node_id, w2.node_id) AS a,
+                   GREATEST(w1.node_id, w2.node_id) AS b
+            FROM w w1 JOIN w w2
+              ON w2.start_id = w1.start_id
+             AND w2.step - w1.step BETWEEN 1 AND {LIFT_WINDOW}
+             AND w2.node_id <> w1.node_id
+        ),
+        cab AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_cooc
+            FROM p GROUP BY a, b
+        ),
+        occ AS (
+            SELECT node_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM w GROUP BY node_id
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM p)
+        SELECT cab.a, cab.b, cab.n_cooc,
+               CAST(({LIFT_PPM} * cab.n_cooc * tot.t)
+                    // (oa.c * ob.c) AS BIGINT) AS lift_ppm
+        FROM cab
+        CROSS JOIN tot
+        JOIN occ oa ON oa.node_id = cab.a
+        JOIN occ ob ON ob.node_id = cab.b
+        ORDER BY cab.a, cab.b
+    """
+
+
 def _kg_search_sql() -> str:
     """Golden oracle for kgqueries.kg_search: tokenize the golden text the
     same way as scoring._TOK_SQL, require ALL query terms (tsquery AND),
@@ -2481,6 +2518,7 @@ def kg_oracle_sql() -> dict[str, str]:
         "kg_walks": f"""
             SELECT start_id, step, node_id FROM {_g('walks')}
         """,
+        "kg_walk_lift": _walk_lift_sql(),
         "kg_lineage": f"""
             SELECT chunk_id, n_files, n_pages, status FROM {_g('lineage')}
         """,

@@ -1241,6 +1241,115 @@ def kg_negatives(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# walk-window co-occurrence lift — the skip-gram statistics of DeepWalk
+# (Perozzi et al. 2014) / node2vec (Grover & Leskovec 2016): the (center,
+# context) count matrix their embedding training factorizes, reported as an
+# integer lift (a strictly monotone transform of PMI, so rankings agree)
+# ---------------------------------------------------------------------------
+
+LIFT_WINDOW = 2  # skip-gram context window over the walk sequence
+LIFT_PPM = 10**6
+
+
+def walk_cooc_lift(
+    walks: "rd.Dataset", window: int = LIFT_WINDOW
+) -> "rd.Dataset":
+    """Co-occurrence statistics over a walk corpus: every unordered node
+    pair appearing within ``window`` steps of each other inside one walk is
+    a co-occurrence event; emit per-pair counts plus
+    ``lift_ppm = floor(1e6 * c_ab * T / (c_a * c_b))`` where ``c_x`` is the
+    node's total occurrence count in the corpus and ``T`` the total event
+    count. lift is exp(PMI): the same ranking, computed in exact integer
+    arithmetic (Python ints on the aggregated pair table — no float log, no
+    int64 overflow; cf. the wg_outlink_concentration exactness fix).
+
+    Shape: walks route to coarse buckets on start_id (a walk's rows all
+    share its start, so each walk resolves inside one bucket); pair
+    generation is a vectorized shifted-array pass per offset d<=window —
+    steps within a walk are contiguous, so rows d apart in (start, step)
+    order are exactly d steps apart. One (a, b) groupby aggregates counts.
+    Driver state: the node-occurrence dict (node-vocabulary-bounded — the
+    same bound as every nodes-table broadcast) and the scalar T."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — map_groups pandas format
+    import pyarrow.compute as pc  # noqa: F401
+    import ray
+
+    n_groups = max(8, cluster_cpus())
+
+    def route(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t["start_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bk", pa.array(s.astype(np.int64) % n_groups, pa.int64())
+        )
+
+    def bucket_pairs(df) -> pa.Table:
+        df = df.sort_values(["start_id", "step"], kind="mergesort")
+        s = df["start_id"].to_numpy(np.int64)
+        st = df["step"].to_numpy(np.int64)
+        nd = df["node_id"].to_numpy(np.int64)
+        los, his = [], []
+        for d in range(1, window + 1):
+            if len(s) <= d:
+                break
+            m = (s[d:] == s[:-d]) & (st[d:] - st[:-d] == d)
+            a, b = nd[:-d][m], nd[d:][m]
+            keep = a != b  # revisits: no self co-occurrence
+            a, b = a[keep], b[keep]
+            los.append(np.minimum(a, b))
+            his.append(np.maximum(a, b))
+        lo = np.concatenate(los) if los else np.empty(0, np.int64)
+        hi = np.concatenate(his) if his else np.empty(0, np.int64)
+        return pa.table(
+            {"a": pa.array(lo, pa.int64()), "b": pa.array(hi, pa.int64())}
+        )
+
+    cab = (
+        walks.map_batches(route, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_cooc"))
+        .materialize()
+    )
+    total = int(cab.sum("n_cooc") or 0)
+    occ_rows = (
+        walks.groupby("node_id").aggregate(Count(alias_name="c")).take_all()
+    )
+    occ_ref = ray.put({r["node_id"]: r["c"] for r in occ_rows})
+
+    def lift(t: pa.Table) -> pa.Table:
+        import ray
+
+        occ = ray.get(occ_ref)
+        lifts = [
+            (LIFT_PPM * int(c) * total) // (occ[int(x)] * occ[int(y)])
+            for x, y, c in zip(
+                t["a"].to_pylist(), t["b"].to_pylist(), t["n_cooc"].to_pylist()
+            )
+        ]
+        return t.append_column("lift_ppm", pa.array(lifts, pa.int64()))
+
+    return cab.map_batches(lift, batch_format="pyarrow").sort(["a", "b"])
+
+
+def kg_walk_lift(sf_dir: str):
+    """Driver query: skip-gram co-occurrence lift over the deterministic
+    walk corpus of the materialized KG. Oracle: ANSI-SQL self-join over the
+    sequential golden walks (goldens.kg_oracle_sql) — step-difference join
+    is equivalent to the shifted-array pass because walk steps are
+    contiguous."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = _kg_edges_ds(out)
+    nodes = _kg_nodes_ds(out)
+    return walk_cooc_lift(random_walks(edges, nodes))
+
+
+# ---------------------------------------------------------------------------
 # HITS hubs & authorities (Kleinberg 1999) — fixed-point integer power
 # iteration over the DIRECTED distinct-pair graph
 # ---------------------------------------------------------------------------

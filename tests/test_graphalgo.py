@@ -598,3 +598,78 @@ class TestClusteringCoefficients:
         rows.sort(key=lambda r: (-r[3], r[0]))
         want = rows[: len(got)]
         assert list(got.itertuples(index=False, name=None)) == want
+
+
+class TestWalkLift:
+    @staticmethod
+    def _seq_lift(walks_t, window=None):
+        """Pure sequential recompute of walk_cooc_lift from a walks table."""
+        from collections import Counter, defaultdict
+
+        window = window or graphalgo.LIFT_WINDOW
+        by_start = defaultdict(list)
+        for s, st, nd in zip(
+            walks_t["start_id"].to_pylist(),
+            walks_t["step"].to_pylist(),
+            walks_t["node_id"].to_pylist(),
+        ):
+            by_start[s].append((st, nd))
+        cab, occ, total = Counter(), Counter(), 0
+        for s, seq in by_start.items():
+            seq = [nd for _, nd in sorted(seq)]
+            for nd in seq:
+                occ[nd] += 1
+            for i in range(len(seq)):
+                for d in range(1, window + 1):
+                    if i + d >= len(seq):
+                        break
+                    a, b = seq[i], seq[i + d]
+                    if a != b:
+                        cab[(min(a, b), max(a, b))] += 1
+                        total += 1
+        rows = []
+        for (a, b), c in sorted(cab.items()):
+            lift = (graphalgo.LIFT_PPM * c * total) // (occ[a] * occ[b])
+            rows.append((a, b, c, lift))
+        return rows
+
+    def test_matches_sequential_on_random_graph(self, ray_session):
+        import numpy as np
+
+        from agenticknowledgegraphconstructionsystem_ray.goldens import _seq_walks
+
+        rng = np.random.default_rng(23)
+        n = 50
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(120, 2))
+            if a != b
+        ]
+        nodes_t, edges_t = _nodes(list(range(n))), _edges(pairs)
+        walks = graphalgo.random_walks(
+            rd.from_arrow(edges_t), rd.from_arrow(nodes_t)
+        )
+        got = graphalgo.walk_cooc_lift(walks).to_pandas()
+        want = self._seq_lift(_seq_walks(nodes_t, edges_t))
+        assert list(got.itertuples(index=False, name=None)) == want
+
+    def test_path_graph_hand_computed(self, ray_session):
+        # path 0-1-2: walks ping-pong; lift pairs only among path nodes,
+        # every pair's nodes within window 2 of each other
+        walks = graphalgo.random_walks(
+            rd.from_arrow(_edges([(0, 1), (1, 2)])),
+            rd.from_arrow(_nodes([0, 1, 2])),
+        )
+        got = graphalgo.walk_cooc_lift(walks).to_pandas()
+        want = self._seq_lift(
+            pa.table(
+                {
+                    "start_id": walks.to_pandas()["start_id"],
+                    "step": walks.to_pandas()["step"],
+                    "node_id": walks.to_pandas()["node_id"],
+                }
+            )
+        )
+        assert list(got.itertuples(index=False, name=None)) == want
+        # adjacent path nodes must co-occur
+        assert any((a, b) == (0, 1) for a, b, _, _ in want)
