@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "36"  # v36: + lsh_topk, pca, knn, ridge (linear probe fit)
+GOLDEN_VERSION = "37"  # v37: + nbayes (hashing-trick NB lang classifier)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -602,6 +602,59 @@ def _seq_ridge(sf_dir: str) -> pa.Table:
     ).reshape(xtx.shape)
     return ridge_solve_ppm(
         n, [int(v) for v in sx], xtx_obj, [int(v) for v in xty], sy, sy2
+    )
+
+
+def _seq_nbayes(sf_dir: str) -> pa.Table:
+    """Sequential Naive-Bayes golden: same pure kernels
+    (functions/nbayes.py) run single-process — train counts are order-free
+    integer sums and the argmax is exact rational comparison, so the
+    distributed pipeline must match bit-for-bit."""
+    from .functions import nbayes
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    rows = sorted(
+        zip(
+            t["doc_id"].to_pylist(),
+            t["text"].to_pylist(),
+            t["lang"].to_pylist(),
+        )
+    )
+    memo: dict[str, int] = {}
+    n_docs: dict[str, int] = {}
+    cnt: dict[tuple[str, int], int] = {}
+    tot: dict[str, int] = {}
+    for doc_id, text, lang in rows:
+        if nbayes.is_test_doc(doc_id):
+            continue
+        n_docs[lang] = n_docs.get(lang, 0) + 1
+        for b in nbayes.doc_buckets(text, memo):
+            cnt[(lang, b)] = cnt.get((lang, b), 0) + 1
+            tot[lang] = tot.get(lang, 0) + 1
+    classes = sorted(n_docs)
+    ids, true_l, pred_l = [], [], []
+    for doc_id, text, lang in rows:
+        if not nbayes.is_test_doc(doc_id):
+            continue
+        ids.append(doc_id)
+        true_l.append(lang)
+        pred_l.append(
+            nbayes.predict_doc(
+                nbayes.doc_buckets(text, memo), classes, n_docs, cnt, tot
+            )
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(true_l, pa.string()),
+            "pred_lang": pa.array(pred_l, pa.string()),
+            "correct": pa.array(
+                [int(a == b) for a, b in zip(true_l, pred_l)], pa.int64()
+            ),
+        }
     )
 
 
@@ -1732,6 +1785,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["pca"] = _seq_pca(sf_dir)
         tables["knn"] = _seq_knn(sf_dir)
         tables["ridge"] = _seq_ridge(sf_dir)
+        tables["nbayes"] = _seq_nbayes(sf_dir)
         tables["pq_topk"] = _seq_pq(sf_dir)
         tables["hll_users"] = _seq_hll_users(sf_dir)
         tables["hll_terms"] = _seq_hll_terms(sf_dir)
@@ -2384,6 +2438,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "ml_ridge": f"""
             SELECT name, value_ppm FROM {_g('ridge')}
+        """,
+        "ml_nbayes": f"""
+            SELECT doc_id, lang, pred_lang, correct FROM {_g('nbayes')}
         """,
         "dd_semdedup": f"""
             SELECT vec_id, cluster, keep FROM {_g('semdedup')}

@@ -572,6 +572,101 @@ def ann_pq_rerank(sf_dir: str):
     return similarity.pq_rerank_topk(sf_dir)
 
 
+def ml_nbayes(sf_dir: str):
+    """Hashing-trick multinomial Naive Bayes language classifier — TRAIN
+    distributed, APPLY distributed, all-integer (functions/nbayes.py has
+    the math; CCNet-style trained corpus classifier).
+
+    Shape: one pass over the train split emits per-block (lang, bucket, n)
+    partial counts (bucket -1 carries the per-class doc count, so priors
+    ride the same aggregation) -> ONE groupby over at most
+    classes*(N_BUCKETS+1) keys -> the fixed-size model (classes x 256 int
+    matrix) broadcasts via ray.put -> a stateless map scores the test
+    split with exact big-int argmax. Nothing vocabulary-sized anywhere:
+    the hashing trick bounds model, shuffle keys and driver state at
+    O(classes * 256) regardless of corpus vocabulary.
+
+    Oracle: golden-file sequential recompute (goldens._seq_nbayes) — the
+    pipeline's count aggregation is order-free integer addition and the
+    argmax is exact rational comparison, so parity is bit-exact at any
+    parallelism."""
+    import ray
+
+    from collections import Counter
+
+    from ..functions import nbayes
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def train_partials(t: pa.Table) -> pa.Table:
+        memo: dict[str, int] = {}
+        acc: Counter = Counter()
+        for doc_id, text, lang in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
+        ):
+            if nbayes.is_test_doc(doc_id):
+                continue
+            acc[(lang, -1)] += 1  # per-class doc count (prior)
+            for b in nbayes.doc_buckets(text, memo):
+                acc[(lang, b)] += 1
+        keys = list(acc)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "bucket": pa.array([k[1] for k in keys], pa.int64()),
+                "n": pa.array([acc[k] for k in keys], pa.int64()),
+            }
+        )
+
+    model_rows = (
+        docs.map_batches(train_partials, batch_format="pyarrow")
+        .groupby(["lang", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    n_docs: dict[str, int] = {}
+    cnt: dict[tuple[str, int], int] = {}
+    tot: dict[str, int] = {}
+    for r in model_rows:
+        if r["bucket"] == -1:
+            n_docs[r["lang"]] = r["n"]
+        else:
+            cnt[(r["lang"], r["bucket"])] = r["n"]
+            tot[r["lang"]] = tot.get(r["lang"], 0) + r["n"]
+    classes = sorted(n_docs)
+    model_ref = ray.put((classes, n_docs, cnt, tot))
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        classes, n_docs, cnt, tot = _ray.get(model_ref)
+        memo: dict[str, int] = {}
+        ids, true_l, pred_l = [], [], []
+        for doc_id, text, lang in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
+        ):
+            if not nbayes.is_test_doc(doc_id):
+                continue
+            ids.append(doc_id)
+            true_l.append(lang)
+            pred_l.append(
+                nbayes.predict_doc(
+                    nbayes.doc_buckets(text, memo), classes, n_docs, cnt, tot
+                )
+            )
+        correct = [int(a == b) for a, b in zip(true_l, pred_l)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(true_l, pa.string()),
+                "pred_lang": pa.array(pred_l, pa.string()),
+                "correct": pa.array(correct, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
 def mm_dhash(sf_dir: str):
     """Perceptual dHash over the REAL-codec image corpus
     (stages/imagehash.dhash_features): encode -> actual PNG/BMP/GIF/JPEG
@@ -819,6 +914,7 @@ QUERIES = {
     "ml_pca_var": ml_pca_var,
     "ml_knn": ml_knn,
     "ml_ridge": ml_ridge,
+    "ml_nbayes": ml_nbayes,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
     "ann_rrf_topk": ann_rrf_topk,
