@@ -1203,3 +1203,116 @@ ORACLE_SQL["q95_price_band_selfjoin"] = f"""
     GROUP BY a.p_partkey, a.price_c
     ORDER BY a.p_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# q96: hourly anomaly detection — integer-exact 3-sigma outlier flags over
+# the tumbling-window count series (the streaming anomaly-detector shape,
+# run batch: per-series mean/variance as exact integer moments, the sigma
+# test cross-multiplied so no sqrt/float ever enters)
+# ---------------------------------------------------------------------------
+
+ANOM_K2 = 9  # flag |c - mean| > 3*sigma  <=>  (m*c - S)^2 > 9*(m*Q - S^2)
+
+
+def q96_anomaly_hours(sf_dir: str):
+    """Per-event-type hourly counts, then flag hours whose count deviates
+    from the type's mean by more than 3 population standard deviations.
+    The test runs on cross-multiplied integers: with m hours, S = sum of
+    counts, Q = sum of squared counts, hour count c is anomalous iff
+    (m*c - S)^2 > ANOM_K2 * (m*Q - S^2) — exactly the 3-sigma rule scaled
+    by m^2, evaluated in int64 (|m*c| <= total events <= 2^31 at any
+    plausible per-type hour range; the product stays far inside int64 —
+    and the oracle computes the identical integers).
+
+    Shape: ONE (event_type, hour) groupby builds the count series; the
+    per-type moment reduce is a tiny second groupby over series rows (rows
+    = types x hours, not events); the per-type stats table (O(types))
+    broadcasts into the final vectorized filter pass. Nothing driver-side
+    is corpus-sized; the series itself stays distributed."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            }
+        )
+
+    hourly = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+        .materialize()
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "m": pa.array(np.ones(len(n), np.int64)),
+                "s1": pa.array(n.astype(np.int64)),
+                "s2": pa.array((n * n).astype(np.int64)),
+            }
+        )
+
+    stats_rows = (
+        hourly.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("m", alias_name="m"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+        .take_all()
+    )
+    stats = {
+        r["event_type"]: (int(r["m"]), int(r["s1"]), int(r["s2"]))
+        for r in stats_rows
+    }
+    stats_ref = ray.put(stats)
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        et = t["event_type"].to_pylist()
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.array([st[e][0] for e in et], np.int64)
+        s1 = np.array([st[e][1] for e in et], np.int64)
+        s2 = np.array([st[e][2] for e in et], np.int64)
+        dev = m * n - s1
+        keep = dev * dev > ANOM_K2 * (m * s2 - s1 * s1)
+        out = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_type": out["event_type"],
+                "hour": pc.cast(out["hour"], pa.timestamp("us")),
+                "n": pc.cast(out["n"], pa.int64()),
+            }
+        )
+
+    return hourly.map_batches(flag, batch_format="pyarrow").sort(
+        ["event_type", "hour"]
+    )
+
+
+QUERIES["q96_anomaly_hours"] = q96_anomaly_hours
+
+ORACLE_SQL["q96_anomaly_hours"] = f"""
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, hour
+    ),
+    s AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(n) AS BIGINT) AS s1,
+               CAST(SUM(n*n) AS BIGINT) AS s2
+        FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, h.n
+    FROM h JOIN s USING (event_type)
+    WHERE (s.m*h.n - s.s1)*(s.m*h.n - s.s1) > {ANOM_K2} * (s.m*s.s2 - s.s1*s.s1)
+    ORDER BY h.event_type, h.hour
+"""

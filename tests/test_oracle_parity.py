@@ -91,6 +91,7 @@ FAST_QUERIES = [
     "q93_fk_audit",
     "q94_sliding_distinct",
     "q95_price_band_selfjoin",
+    "q96_anomaly_hours",
     "ta_curate",
 ]
 

@@ -236,3 +236,44 @@ class TestAssortativity:
         got = kg_assortativity(SF).to_pandas()
         assert got.loc[0, "m"] == M
         assert got.loc[0, "r_ppm"] == want
+
+
+class TestAnomalyHours:
+    def test_planted_spike_is_the_only_flag(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agenticknowledgegraphconstructionsystem_ray.pipelines.temporal import (
+            q96_anomaly_hours,
+        )
+
+        t0 = dt.datetime(2024, 3, 1)
+        rows = []
+        eid = 0
+        # type "a": 2 events in each of 30 hours, except hour 7 gets 40
+        for h in range(30):
+            for k in range(40 if h == 7 else 2):
+                rows.append((eid, t0 + dt.timedelta(hours=h, minutes=k), "a"))
+                eid += 1
+        # type "b": perfectly uniform -> zero variance, nothing flagged
+        for h in range(10):
+            rows.append((eid, t0 + dt.timedelta(hours=h), "b"))
+            eid += 1
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = q96_anomaly_hours(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        assert got.iloc[0]["event_type"] == "a"
+        assert got.iloc[0]["n"] == 40
+        assert got.iloc[0]["hour"] == t0 + dt.timedelta(hours=7)
