@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_jaccard": graphalgo.kg_jaccard,
             "kg_walks": graphalgo.kg_walks,
             "kg_walk_lift": graphalgo.kg_walk_lift,
+            "kg_harmonic": graphalgo.kg_harmonic,
             "kg_negatives": graphalgo.kg_negatives,
             "kg_hits": graphalgo.kg_hits,
             "kg_link_ra": graphalgo.kg_link_ra,

@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "37"  # v37: + nbayes (hashing-trick NB lang classifier)
+GOLDEN_VERSION = "38"  # v38: + harmonic (sampled harmonic centrality)
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -970,6 +970,50 @@ def _seq_walks(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
     )
 
 
+def _seq_harmonic(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
+    """Sequential harmonic-centrality golden: per-seed BFS to HC_MAX_D over
+    the undirected distinct-pair graph, same integer 1e6//d contributions
+    as pipelines.graphalgo.harmonic_centrality."""
+    from collections import deque
+
+    from .pipelines.graphalgo import HC_MAX_D, HC_PPM, HC_SEED_MOD
+
+    adj: dict[int, set[int]] = {}
+    for s, o in zip(
+        edges_t["subj_id"].to_pylist(), edges_t["obj_id"].to_pylist()
+    ):
+        if s >= 0 and o >= 0 and s != o:
+            adj.setdefault(s, set()).add(o)
+            adj.setdefault(o, set()).add(s)
+    h: dict[int, int] = {}
+    n_seeds: dict[int, int] = {}
+    for seed in sorted(nodes_t["entity_id"].to_pylist()):
+        if seed % HC_SEED_MOD != 0:
+            continue
+        dist = {seed: 0}
+        q = deque([seed])
+        while q:
+            u = q.popleft()
+            if dist[u] >= HC_MAX_D:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if d > 0:
+                h[v] = h.get(v, 0) + HC_PPM // d
+                n_seeds[v] = n_seeds.get(v, 0) + 1
+    ids = sorted(h)
+    return pa.table(
+        {
+            "entity_id": pa.array(ids, pa.int64()),
+            "harmonic_ppm": pa.array([h[i] for i in ids], pa.int64()),
+            "n_seeds": pa.array([n_seeds[i] for i in ids], pa.int64()),
+        }
+    )
+
+
 def _seq_lineage(pages_dir: str) -> pa.Table:
     """Sequential lineage golden: replays the deterministic chunk plan
     (kg.plan_chunks over the sorted page files — a pure function of the
@@ -1762,6 +1806,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     tables["kcore"] = _seq_kcore(tables["edges"])
     tables["bfs"] = _seq_bfs(tables["nodes"], tables["edges"])
     tables["walks"] = _seq_walks(tables["nodes"], tables["edges"])
+    tables["harmonic"] = _seq_harmonic(tables["nodes"], tables["edges"])
     tables["lineage"] = _seq_lineage(pages_dir)
     tables["hits"] = _seq_hits(tables["nodes"], tables["edges"])
     (
@@ -2576,6 +2621,9 @@ def kg_oracle_sql() -> dict[str, str]:
             SELECT start_id, step, node_id FROM {_g('walks')}
         """,
         "kg_walk_lift": _walk_lift_sql(),
+        "kg_harmonic": f"""
+            SELECT entity_id, harmonic_ppm, n_seeds FROM {_g('harmonic')}
+        """,
         "kg_lineage": f"""
             SELECT chunk_id, n_files, n_pages, status FROM {_g('lineage')}
         """,

@@ -1241,6 +1241,170 @@ def kg_negatives(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# harmonic centrality from a deterministic seed sample (Boldi & Vigna 2014,
+# "Axioms for centrality": harmonic is the principled closeness variant on
+# disconnected graphs) — per-SEED BFS, the multi-landmark generalization of
+# bfs_hops' nearest-seed distance
+# ---------------------------------------------------------------------------
+
+HC_SEED_MOD = 16  # seeds = entity_id % 16 == 0 (deterministic sample)
+HC_MAX_D = 4  # distance cutoff: 1/d contributions below 1/4 truncated
+HC_PPM = 10**6
+
+
+def harmonic_centrality(
+    edges: "rd.Dataset",
+    nodes: "rd.Dataset",
+    seed_mod: int = HC_SEED_MOD,
+    max_d: int = HC_MAX_D,
+) -> "rd.Dataset":
+    """Sampled harmonic centrality: for every node, sum floor(1e6 / d(s,n))
+    over the seed sample (entity_id % seed_mod == 0) that reaches it within
+    ``max_d`` hops (d >= 1; a seed contributes nothing to itself). The
+    estimator is the standard landmark/pivot sampling scheme for closeness
+    centrality at scale; every arithmetic step is integer, so the result is
+    bit-reproducible at any parallelism.
+
+    BSP shape (the bfs_hops loop with a seed dimension): visited state is
+    (seed, node, dist) rows — O(S * V) worst case, distributed; per round
+    the frontier bucket-merges against the symmetric adjacency (an m:n
+    pandas merge inside coarse src buckets — the random_walks resolver
+    pattern, since _attach_i64 is strictly 1:1), new minima come from ONE
+    (seed, node) Min groupby, and the newly-reached rows (min == r+1) form
+    the next frontier. Driver sees one frontier count per round; the final
+    reduce is a (node) groupby over visited rows."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    import pyarrow.compute as pc
+
+    n_groups = max(8, cluster_cpus())
+
+    pairs = _distinct_undirected_pairs(edges)
+
+    def route_sym(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "seed": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "node": pc.cast(t["src"], pa.int64()),
+                "dst": pc.cast(t["dst"], pa.int64()),
+                "_tag": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "_bk": pa.array(src.astype(np.int64) % n_groups, pa.int64()),
+            }
+        )
+
+    sym_routed = (
+        _symmetrize_pairs(pairs)
+        .map_batches(route_sym, batch_format="pyarrow")
+        .repartition(n_groups)
+        .materialize()
+    )
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        ids = t["entity_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        seeds = ids[ids % seed_mod == 0].astype(np.int64)
+        return pa.table(
+            {
+                "seed": pa.array(seeds, pa.int64()),
+                "node": pa.array(seeds, pa.int64()),
+                "dist": pa.array(np.zeros(len(seeds), np.int64), pa.int64()),
+            }
+        )
+
+    visited = nodes.map_batches(seed_rows, batch_format="pyarrow").materialize()
+    frontier = visited
+
+    for r in range(max_d):
+        if frontier.count() == 0:
+            break
+
+        def route_frontier(t: pa.Table) -> pa.Table:
+            nd = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "seed": pc.cast(t["seed"], pa.int64()),
+                    "node": pc.cast(t["node"], pa.int64()),
+                    "dst": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                    "_tag": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                    "_bk": pa.array(
+                        nd.astype(np.int64) % n_groups, pa.int64()
+                    ),
+                }
+            )
+
+        def expand(df, rr=r) -> pa.Table:
+            f = df[df["_tag"] == 0][["seed", "node"]]
+            s = df[df["_tag"] == 1][["node", "dst"]]
+            cand = f.merge(s, on="node")  # (seed, node, dst) candidates
+            if not len(cand):
+                return pa.table(
+                    {
+                        "seed": pa.array([], pa.int64()),
+                        "node": pa.array([], pa.int64()),
+                        "dist": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "seed": pa.array(cand["seed"].to_numpy(np.int64)),
+                    "node": pa.array(cand["dst"].to_numpy(np.int64)),
+                    "dist": pa.array(
+                        np.full(len(cand), rr + 1, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        cand = (
+            frontier.map_batches(route_frontier, batch_format="pyarrow")
+            .union(sym_routed)
+            .groupby("_bk")
+            .map_groups(expand, batch_format="pandas")
+        )
+        visited = (
+            visited.union(cand)
+            .groupby(["seed", "node"])
+            .aggregate(Min("dist", alias_name="dist"))
+            .repartition(n_groups)
+            .materialize()
+        )
+        frontier = visited.filter(expr=f"dist == {r + 1}")
+
+    def contrib(t: pa.Table) -> pa.Table:
+        d = t["dist"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = d > 0  # self-distance excluded
+        return pa.table(
+            {
+                "entity_id": pc.cast(t["node"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "h": pa.array(HC_PPM // d[keep].astype(np.int64), pa.int64()),
+                "one": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+
+    return (
+        visited.map_batches(contrib, batch_format="pyarrow")
+        .groupby("entity_id")
+        .aggregate(
+            Sum("h", alias_name="harmonic_ppm"),
+            Sum("one", alias_name="n_seeds"),
+        )
+        .sort("entity_id")
+    )
+
+
+def kg_harmonic(sf_dir: str):
+    """Driver query: sampled harmonic centrality over the materialized KG.
+    Oracle: golden-file sequential per-seed BFS (goldens._seq_harmonic)."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = _kg_edges_ds(out)
+    nodes = _kg_nodes_ds(out)
+    return harmonic_centrality(edges, nodes)
+
+
+# ---------------------------------------------------------------------------
 # walk-window co-occurrence lift — the skip-gram statistics of DeepWalk
 # (Perozzi et al. 2014) / node2vec (Grover & Leskovec 2016): the (center,
 # context) count matrix their embedding training factorizes, reported as an

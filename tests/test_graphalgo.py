@@ -673,3 +673,51 @@ class TestWalkLift:
         assert list(got.itertuples(index=False, name=None)) == want
         # adjacent path nodes must co-occur
         assert any((a, b) == (0, 1) for a, b, _, _ in want)
+
+
+class TestHarmonicCentrality:
+    def test_matches_sequential_on_random_graph(self, ray_session):
+        import numpy as np
+
+        from agenticknowledgegraphconstructionsystem_ray.goldens import _seq_harmonic
+
+        rng = np.random.default_rng(7)
+        n = 64
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(140, 2))
+            if a != b
+        ]
+        nodes_t, edges_t = _nodes(list(range(n))), _edges(pairs)
+        got = graphalgo.harmonic_centrality(
+            rd.from_arrow(edges_t), rd.from_arrow(nodes_t)
+        ).to_pandas()
+        want = _seq_harmonic(nodes_t, edges_t).to_pandas()
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    def test_path_hand_computed(self, ray_session):
+        # path 0-1-2-3: only seed is 0 (ids < 16); distances 1,2,3
+        got = graphalgo.harmonic_centrality(
+            rd.from_arrow(_edges([(0, 1), (1, 2), (2, 3)])),
+            rd.from_arrow(_nodes([0, 1, 2, 3])),
+        ).to_pandas()
+        rows = {
+            int(r.entity_id): (int(r.harmonic_ppm), int(r.n_seeds))
+            for r in got.itertuples()
+        }
+        ppm = graphalgo.HC_PPM
+        assert rows == {
+            1: (ppm // 1, 1),
+            2: (ppm // 2, 1),
+            3: (ppm // 3, 1),
+        }
+
+    def test_cutoff_truncates(self, ray_session):
+        # path of 7 nodes: node 6 is 6 hops from seed 0 -> beyond HC_MAX_D
+        got = graphalgo.harmonic_centrality(
+            rd.from_arrow(_edges([(i, i + 1) for i in range(6)])),
+            rd.from_arrow(_nodes(list(range(7)))),
+        ).to_pandas()
+        ids = set(got["entity_id"].tolist())
+        assert 6 not in ids and 5 not in ids
+        assert {1, 2, 3, 4} <= ids
