@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "38"  # v38: + harmonic (sampled harmonic centrality)
+GOLDEN_VERSION = "39"  # v39: + harmonic, nbayes, ivfpq_rerank
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -1220,6 +1220,93 @@ def _seq_pq_rerank(sf_dir: str) -> pa.Table:
     return exact_rerank_kernel(Q, query_ids, sl_vid, cand_mat, sl_qid, k)
 
 
+def _seq_ivfpq_rerank(
+    sf_dir: str,
+    query_ids=(0, 1, 2),
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Sequential IVFPQ+refine golden: the _seq_ivf_topk sample/probe
+    conventions (file-order 2048 sample, normalized argmax buckets, self
+    excluded) + the _seq_pq integer codebook trainer and LUT scoring, then
+    the shared exact re-rank kernel over the cand_mult*k shortlist."""
+    import numpy as np
+
+    from .stages.similarity import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQR_CAND_MULT,
+        _kmeans_lite,
+        exact_rerank_kernel,
+        km_assign,
+        km_quantize,
+        pq_encode,
+    )
+
+    query_ids = sorted(set(query_ids))
+    cand_k = PQR_CAND_MULT * k
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    # IVF side (conventions of _seq_ivf_topk)
+    ivf_cent = _kmeans_lite(Mn[:2048], nlist)
+    assign = np.argmax(Mn @ ivf_cent.T, axis=1)
+
+    # PQ side (trainer of _seq_pq — integer, order-free)
+    mat = km_quantize(M)
+    dim = mat.shape[1]
+    dsub = dim // PQ_M
+    smat = mat[ids < PQ_K]
+    cents = np.stack(
+        [smat[:, j * dsub : (j + 1) * dsub].copy() for j in range(PQ_M)]
+    )
+    for _ in range(PQ_ITERS):
+        new = cents.copy()
+        for j in range(PQ_M):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            cl, _ = km_assign(sub, cents[j])
+            for c in range(PQ_K):
+                sel = sub[cl == c]
+                if len(sel):
+                    new[j, c] = sel.sum(axis=0) // len(sel)
+        cents = new
+    codes = pq_encode(mat, cents)
+
+    sl_qid, sl_vid = [], []
+    for qid in query_ids:
+        qn = Mn[pos[qid]]
+        order = np.argsort(-(ivf_cent @ qn), kind="stable")[:nprobe]
+        probe = set(int(x) for x in order)
+        mask = np.isin(assign, list(probe)) & (ids != qid)
+        cids = ids[mask]
+        qv = mat[pos[qid]]
+        lut = np.stack(
+            [qv[j * dsub : (j + 1) * dsub] @ cents[j].T for j in range(PQ_M)]
+        )
+        scores = lut[np.arange(PQ_M)[None, :], codes[mask]].sum(axis=1)
+        top = np.lexsort((cids, -scores))[:cand_k]
+        sl_qid.extend([qid] * len(top))
+        sl_vid.extend(cids[top].tolist())
+    sl_qid = np.asarray(sl_qid, np.int64)
+    sl_vid = np.asarray(sl_vid, np.int64)
+
+    Q = np.stack([Mn[pos[q]] for q in query_ids])
+    cand_mat = (
+        np.stack([M[pos[int(v)]] for v in sl_vid])
+        if len(sl_vid)
+        else np.zeros((0, M.shape[1]))
+    )
+    return exact_rerank_kernel(Q, list(query_ids), sl_vid, cand_mat, sl_qid, k)
+
+
 def _seq_bpe(sf_dir: str) -> pa.Table:
     """Sequential BPE golden: plain-Python word counting + the shared merge
     kernel (functions/bpe.py) — the distributed side's word-count shuffle
@@ -1848,6 +1935,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["kmeans"] = _seq_kmeans(sf_dir)
         tables["semdedup"] = _seq_semdedup(sf_dir)
         tables["pq_rerank"] = _seq_pq_rerank(sf_dir)
+        tables["ivfpq_rerank"] = _seq_ivfpq_rerank(sf_dir)
 
     import shutil
 
@@ -2492,6 +2580,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "ann_pq_rerank": f"""
             SELECT query_id, vec_id, rank FROM {_g('pq_rerank')}
+        """,
+        "ann_ivfpq_rerank": f"""
+            SELECT query_id, vec_id, rank FROM {_g('ivfpq_rerank')}
         """,
         "ann_pq_topk": f"""
             SELECT query_id, vec_id, rank FROM {_g('pq_topk')}

@@ -572,6 +572,14 @@ def ann_pq_rerank(sf_dir: str):
     return similarity.pq_rerank_topk(sf_dir)
 
 
+def ann_ivfpq_rerank(sf_dir: str):
+    """IVFPQ + exact refine (stages/similarity.ivfpq_rerank_topk) — the
+    FAISS-style production composition: IVF probe bounds the scan, PQ codes
+    score the probed slice, exact cosine re-ranks the shortlist.
+    Golden-file oracle (goldens._seq_ivfpq_rerank)."""
+    return similarity.ivfpq_rerank_topk(sf_dir)
+
+
 def ml_nbayes(sf_dir: str):
     """Hashing-trick multinomial Naive Bayes language classifier — TRAIN
     distributed, APPLY distributed, all-integer (functions/nbayes.py has
@@ -915,6 +923,7 @@ QUERIES = {
     "ml_knn": ml_knn,
     "ml_ridge": ml_ridge,
     "ml_nbayes": ml_nbayes,
+    "ann_ivfpq_rerank": ann_ivfpq_rerank,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
     "ann_rrf_topk": ann_rrf_topk,

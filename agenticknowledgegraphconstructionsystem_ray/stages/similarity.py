@@ -678,6 +678,168 @@ def pq_rerank_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    cand_mult: int = PQR_CAND_MULT,
+) -> pa.Table:
+    """IVFPQ + exact refine — the production composition (the FAISS
+    IVFPQ+refine recipe; Jegou et al. 2011 §V combine the inverted file
+    with product codes exactly this way): IVF partition probing bounds the
+    scan to nprobe/nlist of the corpus, PQ codes score the probed slice by
+    table lookups (no raw vectors move), and the cand_mult*k shortlist is
+    re-ranked by the exact shared float64 kernel. At 10^11 vectors this is
+    the only scan shape that is both compute-bounded (probe fraction) and
+    memory-bounded (M uint8 codes per vector).
+
+    Reuses the verified building blocks unchanged: _kmeans_lite sample
+    training + argmax bucket rule (ivf_topk), km_quantize/pq_train_partial
+    integer codebook trainer (pq_topk — partials merge by integer addition,
+    bit-equal to the sequential trainer), exact_rerank_kernel. One scan
+    emits per-block integer-score top-C rows; the driver merges
+    blocks x C rows, fetches |shortlist|+|queries| raw vectors, reranks.
+    IVF's self-exclusion rule applies (a query never retrieves itself).
+    Output: (query_id, vec_id, rank) — bit-identical to the sequential
+    golden (goldens._seq_ivfpq_rerank) at any parallelism."""
+    query_ids = sorted(set(query_ids or [0, 1, 2]))
+    cand_k = cand_mult * k
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # --- IVF side: sample-trained centroids + per-query probe sets
+    # (identical conventions to ivf_topk: file-order limit(2048) sample,
+    # normalized argmax assignment, stable argsort probe rule)
+    sample_rows = ds.limit(2048).take_all()
+    S = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    ivf_cent = _kmeans_lite(S, nlist)
+
+    want = pa.array(sorted(set(query_ids)), pa.int64())
+    qrows = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(pc.index_in(t["vec_id"], value_set=want))),
+        batch_format="pyarrow",
+    ).take_all()
+    q_raw = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in qrows
+    }
+    Qn = np.stack([q_raw[q] for q in query_ids])
+    Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
+    probe: dict[int, set[int]] = {}
+    for qid, qn in zip(query_ids, Qn):
+        order = np.argsort(-(ivf_cent @ qn), kind="stable")[:nprobe]
+        probe[qid] = set(int(x) for x in order)
+
+    # --- PQ side: integer codebooks (identical trainer to pq_topk)
+    m, kk = PQ_M, PQ_K
+    seeds = ds.filter(expr=f"vec_id < {kk}").take_all()
+    seeds.sort(key=lambda r: r["vec_id"])
+    smat = km_quantize(np.array([r["embedding"] for r in seeds], np.float64))
+    dim = smat.shape[1]
+    dsub = dim // m
+    cents = np.stack(
+        [smat[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+    )
+    for _ in range(PQ_ITERS):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            q = km_quantize(_matrix(t))
+            subs, cls, ns, sums = pq_train_partial(q, c)
+            return pa.table(
+                {
+                    "sub": pa.array(subs, pa.int64()),
+                    "cluster": pa.array(cls, pa.int64()),
+                    "n": pa.array(ns, pa.int64()),
+                    "s": pa.array(sums, pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        counts = np.zeros((m, kk), np.int64)
+        sums = np.zeros_like(cents)
+        for r in parts:
+            counts[r["sub"], r["cluster"]] += r["n"]
+            sums[r["sub"], r["cluster"]] += np.asarray(r["s"], np.int64)
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] // counts[nz][:, None]
+
+    # query LUTs over the quantized query vectors (pq_topk convention)
+    qmat = km_quantize(np.array([q_raw[i] for i in query_ids], np.float64))
+    lut = np.stack(
+        [
+            np.stack(
+                [
+                    qmat[qi, j * dsub : (j + 1) * dsub] @ cents[j].T
+                    for j in range(m)
+                ]
+            )
+            for qi in range(len(query_ids))
+        ]
+    )  # (Q, M, K)
+    scan_ref = ray.put((ivf_cent, cents, lut, list(query_ids), probe))
+
+    def block_topk(t: pa.Table, _ref=scan_ref) -> pa.Table:
+        icent, c, l, qids, prb = ray.get(_ref)
+        raw = _matrix(t)
+        rn = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+        buckets = np.argmax(rn @ icent.T, axis=1)
+        qz = km_quantize(raw)
+        codes = pq_encode(qz, c)
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(buckets, list(prb[qid])) & (ids != qid)
+            if not mask.any():
+                continue
+            cids = ids[mask]
+            scores = l[qi][
+                np.arange(codes.shape[1])[None, :], codes[mask]
+            ].sum(axis=1)
+            top = np.lexsort((cids, -scores))[:cand_k]
+            out_q.extend([qid] * len(top))
+            out_v.extend(cids[top].tolist())
+            out_s.extend(scores[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(block_topk, batch_format="pyarrow").take_all()
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(r["query_id"], []).append((r["score"], r["vec_id"]))
+    sl_qid, sl_vid = [], []
+    for qid in sorted(by_q):
+        for _, vid in sorted(by_q[qid], key=lambda x: (-x[0], x[1]))[:cand_k]:
+            sl_qid.append(qid)
+            sl_vid.append(vid)
+    sl_qid = np.asarray(sl_qid, np.int64)
+    sl_vid = np.asarray(sl_vid, np.int64)
+
+    # --- exact refine over the shortlist (pq_rerank_topk convention)
+    need = pa.array(
+        sorted(set(sl_vid.tolist()) | set(query_ids)), pa.int64()
+    )
+    rows = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(pc.index_in(t["vec_id"], value_set=need))),
+        batch_format="pyarrow",
+    ).take_all()  # |shortlist| + |queries| rows — corpus-size independent
+    emb_by_id = {
+        r["vec_id"]: np.asarray(r["embedding"], np.float64) for r in rows
+    }
+    cand_mat = np.stack([emb_by_id[v] for v in sl_vid]) if len(sl_vid) else (
+        np.zeros((0, Qn.shape[1]))
+    )
+    return exact_rerank_kernel(Qn, query_ids, sl_vid, cand_mat, sl_qid, k)
+
+
 # ---------------------------------------------------------------------------
 # Reciprocal-rank fusion — combine heterogeneous retrieval lists (Cormack,
 # Clarke & Buettcher 2009). The standard recipe for merging an exact scan's

@@ -470,3 +470,24 @@ class TestPcaVar:
         assert all(x >= 0 for x in v)
         assert out["cum_ppm"][-1] <= 1_000_000
         assert out["component"] == list(range(1, len(v) + 1))
+
+
+class TestIVFPQRerank:
+    def test_matches_sequential_golden(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.goldens import (
+            _seq_ivfpq_rerank,
+        )
+        from agenticknowledgegraphconstructionsystem_ray.stages import similarity
+
+        sf = "/root/testdata/sf0.001"
+        got = similarity.ivfpq_rerank_topk(sf).to_pandas()
+        want = _seq_ivfpq_rerank(sf).to_pandas()
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    def test_self_excluded_and_ranked(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.stages import similarity
+
+        got = similarity.ivfpq_rerank_topk("/root/testdata/sf0.001").to_pandas()
+        assert not ((got.query_id == got.vec_id).any())
+        for _, g in got.groupby("query_id"):
+            assert list(g["rank"]) == list(range(1, len(g) + 1))
