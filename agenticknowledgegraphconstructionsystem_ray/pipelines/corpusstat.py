@@ -505,3 +505,154 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY source_a, source_b
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# tx_vocab_growth: vocabulary-growth (Heaps' law) census — cumulative
+# distinct-term count vs cumulative token count over doc_id-ordered corpus
+# prefixes. The curve every tokenizer/vocab-size decision reads first.
+# ---------------------------------------------------------------------------
+
+VG_BUCKETS = 20
+
+
+def tx_vocab_growth(sf_dir: str):
+    """Corpus prefixes = VG_BUCKETS equal doc_id ranges (bucket =
+    doc_id * B // (max_id + 1) — no density assumption, just range
+    splitting). A term's contribution lands in the bucket of its FIRST
+    document (groupby term -> Min(doc_id)), so per-bucket new-term counts
+    sum to the cumulative vocabulary.
+
+    Shape: per-block distinct (term, min doc_id) partials -> ONE term-keyed
+    groupby Min (the only vocabulary-sized shuffle, carrying (term, int)
+    pairs) -> bucket histogram (B rows); per-bucket doc/token counts are a
+    map-side bincount partial -> B-row groupby. The driver joins two
+    B-row tables and prefix-sums them — O(B) state. Output per bucket:
+    n_docs, n_tokens, new_terms, vocab_cum, tokens_cum (all int64)."""
+    import pyarrow.compute as pc
+    import re
+
+    from ray.data.aggregate import Count
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_max = int(docs.max("doc_id")) + 1
+
+    def term_first(t: pa.Table) -> pa.Table:
+        first: dict[str, int] = {}
+        for doc_id, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            for term in tok_re.findall(text.lower()):
+                prev = first.get(term)
+                if prev is None or doc_id < prev:
+                    first[term] = doc_id
+        return pa.table(
+            {
+                "term": pa.array(list(first), pa.string()),
+                "fd": pa.array(list(first.values()), pa.int64()),
+            }
+        )
+
+    new_terms_rows = (
+        docs.map_batches(term_first, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Min("fd", alias_name="fd"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": pc.cast(
+                        pc.divide(
+                            pc.multiply(t["fd"], VG_BUCKETS), n_max
+                        ),
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .aggregate(Count(alias_name="new_terms"))
+        .take_all()
+    )  # <= VG_BUCKETS rows
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        toks = [
+            len(tok_re.findall(x.lower())) for x in t["text"].to_pylist()
+        ]
+        bucket = [i * VG_BUCKETS // n_max for i in ids]
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "one": pa.array([1] * len(ids), pa.int64()),
+                "n_tok": pa.array(toks, pa.int64()),
+            }
+        )
+
+    doc_rows = (
+        docs.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("one", alias_name="n_docs"),
+            Sum("n_tok", alias_name="n_tokens"),
+        )
+        .take_all()
+    )  # <= VG_BUCKETS rows
+
+    nt = {r["bucket"]: r["new_terms"] for r in new_terms_rows}
+    rows = sorted((r["bucket"], r["n_docs"], r["n_tokens"]) for r in doc_rows)
+    out, vocab_cum, tokens_cum = [], 0, 0
+    for b, n_docs, n_tokens in rows:
+        new = nt.get(b, 0)
+        vocab_cum += new
+        tokens_cum += n_tokens
+        out.append((b, n_docs, n_tokens, new, vocab_cum, tokens_cum))
+    return pa.table(
+        {
+            "bucket": pa.array([r[0] for r in out], pa.int64()),
+            "n_docs": pa.array([r[1] for r in out], pa.int64()),
+            "n_tokens": pa.array([r[2] for r in out], pa.int64()),
+            "new_terms": pa.array([r[3] for r in out], pa.int64()),
+            "vocab_cum": pa.array([r[4] for r in out], pa.int64()),
+            "tokens_cum": pa.array([r[5] for r in out], pa.int64()),
+        }
+    )
+
+
+QUERIES["tx_vocab_growth"] = tx_vocab_growth
+
+ORACLE_SQL["tx_vocab_growth"] = f"""
+    WITH nn AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+            '[^a-z0-9]+'), x -> x <> '')) AS term
+        FROM documents
+    ),
+    first AS (SELECT term, MIN(doc_id) AS fd FROM tok GROUP BY term),
+    fb AS (
+        SELECT CAST(fd * {VG_BUCKETS} // nd AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS new_terms
+        FROM first CROSS JOIN nn GROUP BY 1
+    ),
+    dt AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    db AS (
+        SELECT CAST(doc_id * {VG_BUCKETS} // nd AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM dt CROSS JOIN nn GROUP BY 1
+    )
+    SELECT db.bucket, db.n_docs, db.n_tokens,
+           CAST(COALESCE(fb.new_terms, 0) AS BIGINT) AS new_terms,
+           CAST(SUM(COALESCE(fb.new_terms, 0))
+                OVER (ORDER BY db.bucket) AS BIGINT) AS vocab_cum,
+           CAST(SUM(db.n_tokens) OVER (ORDER BY db.bucket) AS BIGINT)
+               AS tokens_cum
+    FROM db LEFT JOIN fb ON fb.bucket = db.bucket
+    ORDER BY db.bucket
+"""

@@ -133,3 +133,26 @@ def test_overlap_matrix_matches_bruteforce(ray_session):
         for _, r in got.iterrows()
     }
     assert have == want and len(have) > 0
+
+
+class TestVocabGrowth:
+    def test_conservation_and_monotonicity(self, ray_session):
+        import duckdb
+
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import corpusstat
+
+        sf = "/root/testdata/sf0.001"
+        got = corpusstat.tx_vocab_growth(sf).to_pandas()
+        assert (got["vocab_cum"].diff().dropna() >= 0).all()
+        assert (got["tokens_cum"].diff().dropna() > 0).all()
+        assert got["new_terms"].sum() == got["vocab_cum"].iloc[-1]
+        assert got["n_tokens"].sum() == got["tokens_cum"].iloc[-1]
+        con = duckdb.connect()
+        n_terms, n_docs = con.execute(
+            "SELECT COUNT(DISTINCT term), COUNT(DISTINCT doc_id) FROM ("
+            "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term "
+            f"FROM read_parquet('{sf}/documents.parquet'))"
+        ).fetchone()
+        assert got["vocab_cum"].iloc[-1] == n_terms
+        assert got["n_docs"].sum() == n_docs
