@@ -2532,6 +2532,16 @@ def kg_oracle_sql() -> dict[str, str]:
         "dd_minhash_pairs": f"""
             SELECT doc_a, doc_b, jaccard_ppm FROM {_g('dd_minhash')}
         """,
+        # incremental = full pairs filtered to delta-involving (delta =
+        # md5(doc_id) last hex 0-3, stages/dedup.is_delta_doc)
+        "dd_minhash_incremental": f"""
+            SELECT doc_a, doc_b, jaccard_ppm FROM {_g('dd_minhash')}
+            WHERE substr(md5(CAST(doc_a AS VARCHAR)), 32, 1)
+                      IN ('0', '1', '2', '3')
+               OR substr(md5(CAST(doc_b AS VARCHAR)), 32, 1)
+                      IN ('0', '1', '2', '3')
+            ORDER BY doc_a, doc_b
+        """,
         "dd_simhash_pairs": f"""
             SELECT doc_a, doc_b, hamming FROM {_g('dd_simhash')}
         """,

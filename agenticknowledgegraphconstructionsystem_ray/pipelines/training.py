@@ -439,6 +439,15 @@ def dd_minhash_pairs(sf_dir: str):
     return dedup.minhash_near_dups(sf_dir, threshold=0.8)
 
 
+def dd_minhash_incremental(sf_dir: str):
+    """Crawl-increment near-dup: delta docs vs the persisted old-corpus band
+    index (stages/dedup.minhash_near_dups_incremental) — old text is never
+    re-banded, old x old pairs never re-verified. Oracle: the golden full
+    pair table filtered to delta-involving pairs (equal by the
+    bit-compatibility contract in the stage docstring)."""
+    return dedup.minhash_near_dups_incremental(sf_dir, threshold=0.8)
+
+
 def dd_simhash_pairs(sf_dir: str):
     return dedup.simhash_near_dups(sf_dir, max_hamming=3)
 
@@ -924,6 +933,7 @@ QUERIES = {
     "ml_ridge": ml_ridge,
     "ml_nbayes": ml_nbayes,
     "ann_ivfpq_rerank": ann_ivfpq_rerank,
+    "dd_minhash_incremental": dd_minhash_incremental,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
     "ann_rrf_topk": ann_rrf_topk,

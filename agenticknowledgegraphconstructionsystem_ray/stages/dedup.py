@@ -429,6 +429,18 @@ def minhash_near_dups(
         if isinstance(sf_dir_or_ds, rd.Dataset)
         else read_table(sf_dir_or_ds, table, columns=["doc_id", "text"])
     )
+    pairs = minhash_candidate_pairs_ds(docs).materialize()
+    return _verify_jaccard(docs, pairs, threshold)
+
+
+def _verify_jaccard(
+    docs: rd.Dataset, pairs: rd.Dataset, threshold: float
+) -> pa.Table:
+    """Exact-Jaccard verification of a candidate-pair Dataset (the
+    expensive half of the near-dup pipeline — shared by the full and the
+    incremental paths): broadcast the involved-id set (2x pairs, small by
+    LSH construction), fetch shingles for involved docs only, two
+    distributed pair-payload joins, vectorized per-pair Jaccard."""
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -436,7 +448,6 @@ def minhash_near_dups(
             "jaccard_ppm": pa.array([], pa.int64()),
         }
     )
-    pairs = minhash_candidate_pairs_ds(docs).materialize()
     involved = _involved_id_set(pairs)
     if not involved:
         return empty
@@ -489,6 +500,129 @@ def minhash_near_dups(
             "jaccard_ppm": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash-LSH: delta-vs-corpus near-dup via a persisted band
+# index — the crawl-increment shape. A real 100-TB pipeline cannot re-band
+# the whole corpus for every increment: the old corpus contributes ONLY its
+# persisted (band, bkey, doc_id) index rows (written once, read as parquet),
+# the delta is banded live, and only pairs touching the delta are verified
+# (old x old pairs were already adjudicated when their docs arrived).
+# ---------------------------------------------------------------------------
+
+MH_INDEX_VERSION = "1"
+_DELTA_HEX = "0123"  # delta = md5(doc_id) last hex in 0-3 (~25%; the
+# q32_stable_split convention — partitioning/order independent)
+
+
+def is_delta_doc(doc_id: int) -> bool:
+    return hashlib.md5(str(doc_id).encode()).hexdigest()[-1] in _DELTA_HEX
+
+
+def _split_mask(t: pa.Table, want_delta: bool) -> pa.Table:
+    keep = pa.array(
+        [is_delta_doc(i) == want_delta for i in t["doc_id"].to_pylist()]
+    )
+    return t.filter(keep)
+
+
+def minhash_band_index(
+    docs_old: rd.Dataset, index_dir: str
+) -> str:
+    """Persist the old corpus's LSH band rows as a parquet index (idempotent
+    — atomic marker-guarded rename, same recipe as goldens.ensure_kg_golden;
+    concurrent builders race benignly on identical deterministic content).
+    Index rows are exactly what _minhash_bands_batch emits, so reading them
+    back unions cleanly with live delta bands."""
+    import os
+    import shutil
+
+    marker = os.path.join(index_dir, "_INDEX_OK")
+    tag = f"v{MH_INDEX_VERSION}:{_N_PERM}:{_BANDS}:{N_COARSE_TASKS}"
+    if os.path.exists(marker) and open(marker).read() == tag:
+        return index_dir
+    tmp = index_dir + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _spread(docs_old).map_batches(
+        _minhash_bands_batch, batch_format="pyarrow"
+    ).write_parquet(tmp)
+    with open(os.path.join(tmp, "_INDEX_OK"), "w") as f:
+        f.write(tag)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    try:
+        os.replace(tmp, index_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not (os.path.exists(marker) and open(marker).read() == tag):
+            raise
+    return index_dir
+
+
+def minhash_near_dups_incremental(
+    sf_dir: str,
+    threshold: float = 0.8,
+    table: str = "documents",
+    index_dir: str | None = None,
+) -> pa.Table:
+    """Near-dup pairs INVOLVING the crawl delta (delta = the is_delta_doc
+    ~25% split), against old+delta: old band rows come from the persisted
+    index (minhash_band_index), delta bands are computed live, candidate
+    pairs are pruned to delta-involving BEFORE the expensive shingle-fetch
+    + Jaccard verification.
+
+    Bit-compatibility contract: the unioned band rows are content-identical
+    to a full-corpus banding, so _coarse_bucket_pairs (including its
+    hot-bucket chain cap) produces exactly the full run's pair set, and the
+    result equals the full run's verified pairs filtered to delta-involving
+    — which is what the SQL oracle asserts over the golden pair table."""
+    import os
+
+    from ..sources.tables import read_table
+
+    docs = read_table(sf_dir, table, columns=["doc_id", "text"])
+    if index_dir is None:
+        tag = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}:{table}:v{MH_INDEX_VERSION}".encode()
+        ).hexdigest()[:16]
+        index_dir = f"/tmp/agkg_mh_index/{tag}"
+    old = docs.map_batches(
+        lambda t: _split_mask(t, want_delta=False), batch_format="pyarrow"
+    )
+    delta = docs.map_batches(
+        lambda t: _split_mask(t, want_delta=True), batch_format="pyarrow"
+    )
+    minhash_band_index(old, index_dir)
+    import glob
+
+    # glob the data files: the marker file in the dir is not parquet
+    old_bands = rd.read_parquet(sorted(glob.glob(f"{index_dir}/*.parquet")))
+    new_bands = _spread(delta).map_batches(
+        _minhash_bands_batch, batch_format="pyarrow"
+    )
+
+    def keep_delta_pairs(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            [
+                is_delta_doc(a) or is_delta_doc(b)
+                for a, b in zip(
+                    t["doc_a"].to_pylist(), t["doc_b"].to_pylist()
+                )
+            ]
+        )
+        return t.filter(keep)
+
+    pairs = (
+        old_bands.union(new_bands)
+        .groupby("coarse")
+        .map_groups(_coarse_bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_buckets"))
+        .select_columns(["doc_a", "doc_b"])
+        .map_batches(keep_delta_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    return _verify_jaccard(docs, pairs, threshold)
 
 
 # ---------------------------------------------------------------------------

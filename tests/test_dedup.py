@@ -153,3 +153,46 @@ def test_near_dup_keep_best_score(planted_docs):
     assert score_of[102] == score_of[2]
     assert out.loc[2, "keep"] and out.loc[102, "rep_id"] == 2
     assert out.groupby(out["rep_id"])["keep"].sum().eq(1).all()
+
+
+class TestIncrementalMinhash:
+    def test_equals_full_pairs_filtered(self, ray_session, tmp_path):
+        sf = "/root/testdata/sf0.001"
+        full = dedup.minhash_near_dups(sf, threshold=0.8).to_pandas()
+        inc = dedup.minhash_near_dups_incremental(
+            sf, threshold=0.8, index_dir=str(tmp_path / "idx")
+        ).to_pandas()
+        keep = full.apply(
+            lambda r: dedup.is_delta_doc(int(r.doc_a))
+            or dedup.is_delta_doc(int(r.doc_b)),
+            axis=1,
+        )
+        want = full[keep] if len(full) else full
+        assert inc.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    def test_index_persisted_and_reused(self, ray_session, tmp_path):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        sf = "/root/testdata/sf0.001"
+        idx = str(tmp_path / "idx2")
+        first = dedup.minhash_near_dups_incremental(
+            sf, index_dir=idx
+        ).to_pandas()
+        marker = os.path.join(idx, "_INDEX_OK")
+        assert os.path.exists(marker)
+        stamp = os.path.getmtime(marker)
+        # index holds ONLY old (non-delta) docs' band rows
+        files = sorted(glob.glob(f"{idx}/*.parquet"))
+        ids = set()
+        for f in files:
+            ids.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        assert ids and not any(dedup.is_delta_doc(i) for i in ids)
+        # second run reuses the index (marker untouched) and matches
+        second = dedup.minhash_near_dups_incremental(
+            sf, index_dir=idx
+        ).to_pandas()
+        assert os.path.getmtime(marker) == stamp
+        assert first.equals(second)
