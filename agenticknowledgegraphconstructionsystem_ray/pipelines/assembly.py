@@ -1348,3 +1348,180 @@ ORACLE_SQL["q90_auc"] = f"""
                 ELSE 0 END AS BIGINT) AS auc_ppm
     FROM u CROSS JOIN tie CROSS JOIN tot
 """
+
+
+# ---------------------------------------------------------------------------
+# ta_zorder: Z-order (Morton) data layout vs naive id-ordered layout —
+# per-chunk min/max pruning envelopes. The layout-optimization operator a
+# Parquet lake needs: sorting the corpus by an interleaved (length-bucket,
+# source-bucket) Morton code makes each written chunk's min/max statistics
+# tight in BOTH dimensions, so a reader filtering on either column can skip
+# chunks (Morton 1966; the technique behind Delta/Iceberg Z-ORDER BY).
+# Emitting BOTH layouts side by side makes the pruning win a checkable
+# number instead of a claim.
+# ---------------------------------------------------------------------------
+
+ZO_BITS = 4  # 16 buckets per dimension
+ZO_CHUNK = 64  # docs per written chunk
+
+
+def _zo_features(t: pa.Table, mc: int) -> tuple[np.ndarray, np.ndarray]:
+    """Integer layout dimensions: x = length bucket (n_chars * 16 // mc),
+    y = source hash bucket (first md5 hex nibble). Shared pipeline/SQL."""
+    x = (
+        t["n_chars"].combine_chunks().to_numpy(zero_copy_only=False)
+        * (1 << ZO_BITS)
+        // mc
+    ).astype(np.int64)
+    y = np.array(
+        [
+            int(hashlib.md5(s.encode()).hexdigest()[0], 16)
+            for s in t["source"].to_pylist()
+        ],
+        np.int64,
+    )
+    return x, y
+
+
+def _morton(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    m = np.zeros_like(x)
+    for b in range(ZO_BITS):
+        m |= ((x >> b) & 1) << (2 * b)
+        m |= ((y >> b) & 1) << (2 * b + 1)
+    return m
+
+
+def ta_zorder(sf_dir: str):
+    """Per-chunk pruning envelopes under two physical layouts: 'zorder'
+    (sorted by Morton code of (length bucket, source bucket)) and 'byid'
+    (naive doc_id order). Output per (layout, chunk_id): n_docs, min/max of
+    both dimensions, and vol = (max_x-min_x+1)*(max_y-min_y+1) — the
+    fraction of the filter space a reader must consider chunk-intersecting.
+
+    Shape: one feature map pass; ONE sort per layout (the all-to-all any
+    layout rewrite pays by definition); global chunk positions via the
+    per-block offset prefix scan (the q45 pattern — one int per block to
+    the driver); per-chunk Min/Max/Sum groupby. Nothing corpus-sized on the
+    driver."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars", "source"])
+    mc = int(docs.max("n_chars")) + 1
+
+    def featurize(t: pa.Table) -> pa.Table:
+        x, y = _zo_features(t, mc)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "morton": pa.array(_morton(x, y), pa.int64()),
+            }
+        )
+
+    feats = docs.map_batches(featurize, batch_format="pyarrow")
+
+    def chunked(ordered: rd.Dataset, layout: str) -> rd.Dataset:
+        refs = ordered.materialize().to_arrow_refs()
+
+        @ray.remote
+        def _blockcount(t: pa.Table) -> int:
+            return t.num_rows
+
+        @ray.remote
+        def _assign(t: pa.Table, base: int, lay: str) -> pa.Table:
+            if not t.num_rows or "doc_id" not in t.column_names:
+                return pa.schema(
+                    [
+                        ("layout", pa.string()),
+                        ("chunk_id", pa.int64()),
+                        ("x", pa.int64()),
+                        ("y", pa.int64()),
+                        ("one", pa.int64()),
+                    ]
+                ).empty_table()
+            pos = base + np.arange(t.num_rows, dtype=np.int64)
+            return pa.table(
+                {
+                    "layout": pa.array([lay] * t.num_rows, pa.string()),
+                    "chunk_id": pa.array(pos // ZO_CHUNK, pa.int64()),
+                    "x": t["x"],
+                    "y": t["y"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+
+        counts = ray.get([_blockcount.remote(r) for r in refs])
+        bases = (
+            np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+        )
+        return rd.from_arrow_refs(
+            [_assign.remote(r, int(b), layout) for r, b in zip(refs, bases)]
+        )
+
+    z = chunked(feats.sort(["morton", "doc_id"]), "zorder")
+    n = chunked(feats.sort("doc_id"), "byid")
+
+    from ray.data.aggregate import Max, Min
+
+    def finish(t: pa.Table) -> pa.Table:
+        vol = pc.multiply(
+            pc.add(pc.subtract(t["max_x"], t["min_x"]), 1),
+            pc.add(pc.subtract(t["max_y"], t["min_y"]), 1),
+        )
+        return t.append_column("vol", pc.cast(vol, pa.int64()))
+
+    return (
+        z.union(n)
+        .groupby(["layout", "chunk_id"])
+        .aggregate(
+            Sum("one", alias_name="n_docs"),
+            Min("x", alias_name="min_x"),
+            Max("x", alias_name="max_x"),
+            Min("y", alias_name="min_y"),
+            Max("y", alias_name="max_y"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["layout", "chunk_id"])
+    )
+
+
+QUERIES["ta_zorder"] = ta_zorder
+
+_ZO_FEAT_SQL = f"""
+    SELECT doc_id,
+           CAST(n_chars * {1 << ZO_BITS} // mc AS BIGINT) AS x,
+           CAST(strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1
+                AS BIGINT) AS y
+    FROM documents CROSS JOIN (SELECT MAX(n_chars) + 1 AS mc FROM documents)
+"""
+
+ORACLE_SQL["ta_zorder"] = f"""
+    WITH f AS ({_ZO_FEAT_SQL}),
+    m AS (
+        SELECT doc_id, x, y,
+               ((x // 1) % 2) * 1 + ((y // 1) % 2) * 2
+             + ((x // 2) % 2) * 4 + ((y // 2) % 2) * 8
+             + ((x // 4) % 2) * 16 + ((y // 4) % 2) * 32
+             + ((x // 8) % 2) * 64 + ((y // 8) % 2) * 128 AS morton
+        FROM f
+    ),
+    ranked AS (
+        SELECT 'zorder' AS layout,
+               (row_number() OVER (ORDER BY morton, doc_id) - 1)
+                   // {ZO_CHUNK} AS chunk_id, x, y
+        FROM m
+        UNION ALL
+        SELECT 'byid' AS layout,
+               (row_number() OVER (ORDER BY doc_id) - 1)
+                   // {ZO_CHUNK} AS chunk_id, x, y
+        FROM m
+    )
+    SELECT layout, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+           CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+           CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT)
+               AS vol
+    FROM ranked
+    GROUP BY layout, chunk_id
+    ORDER BY layout, chunk_id
+"""

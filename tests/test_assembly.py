@@ -191,3 +191,21 @@ class TestQualityClassifier:
             assert row["keep"] == int(
                 row["score"] >= assembly.QUALITY_THRESHOLD
             )
+
+
+class TestZOrder:
+    def test_zorder_prunes_tighter_than_byid(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import assembly
+
+        got = assembly.ta_zorder("/root/testdata/sf0.01").to_pandas()
+        z = got[got.layout == "zorder"]
+        n = got[got.layout == "byid"]
+        # same docs, same chunk count
+        assert z["n_docs"].sum() == n["n_docs"].sum()
+        assert len(z) == len(n)
+        # the point of the layout: total pruning volume strictly shrinks
+        assert z["vol"].sum() < n["vol"].sum()
+        # envelopes are valid boxes within the bucket domain
+        assert (got["min_x"] <= got["max_x"]).all()
+        assert (got["min_y"] <= got["max_y"]).all()
+        assert got["min_x"].min() >= 0 and got["max_y"].max() < 16
