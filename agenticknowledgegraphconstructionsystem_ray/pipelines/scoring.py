@@ -1161,3 +1161,68 @@ ORACLE_SQL["q89_bm25_topk"] = f"""
     WHERE bm25_ppm > 0
     ORDER BY bm25_ppm DESC, doc_id LIMIT {BM25_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# tx_freq_spectrum: frequency-of-frequencies (the Good-Turing N_f table,
+# Good 1953) — for every corpus frequency f, how many distinct terms occur
+# exactly f times. The table smoothing estimators and vocabulary-size
+# decisions read; also the quickest corpus-health fingerprint (a healthy
+# Zipfian corpus has monotonically falling N_f at small f).
+# ---------------------------------------------------------------------------
+
+
+def tx_freq_spectrum(sf_dir: str):
+    """Shape: per-block partial term counts (the q14 combiner) -> ONE
+    term-keyed groupby (the only vocabulary-sized shuffle, terms + one int)
+    -> per-block bincount partials over f -> a tiny f-keyed groupby
+    (distinct-frequency-sized, O(sqrt(total tokens)) rows by Zipf).
+    Output: (f, n_terms) ascending; integer-only."""
+    from .analytics import _TOKEN_RE
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in t["text"].to_pylist():
+            for tok in _TOKEN_RE.findall(text.lower()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n_p": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def spectrum_partial(t: pa.Table) -> pa.Table:
+        f: dict[int, int] = {}
+        for n in t["n"].to_pylist():
+            f[n] = f.get(n, 0) + 1
+        return pa.table(
+            {
+                "f": pa.array(list(f.keys()), pa.int64()),
+                "nt": pa.array(list(f.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .map_batches(spectrum_partial, batch_format="pyarrow")
+        .groupby("f")
+        .aggregate(Sum("nt", alias_name="n_terms"))
+        .sort("f")
+    )
+
+
+QUERIES["tx_freq_spectrum"] = tx_freq_spectrum
+
+ORACLE_SQL["tx_freq_spectrum"] = f"""
+    WITH tc AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM ({_TOK_SQL})
+        GROUP BY term
+    )
+    SELECT f, CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM tc GROUP BY f ORDER BY f
+"""

@@ -348,3 +348,23 @@ class TestZlibRatio:
         comp = zlib.compress(s.encode(), textstats.ZLIB_LEVEL)
         assert out["n_comp"][0].as_py() == len(comp)
         assert out["ratio_ppm"][0].as_py() == len(comp) * 1_000_000 // len(s.encode())
+
+
+class TestFreqSpectrum:
+    def test_conservation(self, ray_session):
+        import duckdb
+
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import scoring
+
+        sf = "/root/testdata/sf0.001"
+        got = scoring.tx_freq_spectrum(sf).to_pandas()
+        assert (got["f"] > 0).all() and (got["n_terms"] > 0).all()
+        con = duckdb.connect()
+        n_tok, n_terms = con.execute(
+            "SELECT COUNT(*), COUNT(DISTINCT term) FROM ("
+            "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '')) AS term "
+            f"FROM read_parquet('{sf}/documents.parquet'))"
+        ).fetchone()
+        assert int((got["f"] * got["n_terms"]).sum()) == n_tok
+        assert int(got["n_terms"].sum()) == n_terms
