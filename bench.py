@@ -192,6 +192,13 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         timed("ann_lsh_topk", training.ann_lsh_topk)
         timed("ml_pca_var", training.ml_pca_var)
         timed("dd_minhash_pairs", training.dd_minhash_pairs)
+        # crawl-increment path: persisted old-corpus band index (built
+        # untimed — a real increment inherits it from the previous run),
+        # delta banded live, only delta-involving pairs verified
+        from agenticknowledgegraphconstructionsystem_ray.stages import dedup as _dd
+
+        _dd.minhash_near_dups_incremental(sf_dir)  # warm/build the index
+        timed("dd_minhash_incremental", training.dd_minhash_incremental)
         timed("dd_decontaminate", assembly.dd_decontaminate)
         from agenticknowledgegraphconstructionsystem_ray.pipelines import (
             corpusstat,
