@@ -589,6 +589,18 @@ def ann_ivfpq_rerank(sf_dir: str):
     return similarity.ivfpq_rerank_topk(sf_dir)
 
 
+def ml_quantize(sf_dir: str):
+    """Per-dimension int8 scalar-quantization profile of the embedding
+    corpus (stages/similarity.quantize_int8_stats): learn (min, max) per
+    dim, code to 0..255, report the EXACT integer reconstruction error —
+    the compression-loss audit before an ANN index switches to 1-byte
+    codes. One float->fixed bridge shared verbatim with the SQL oracle;
+    everything after it is int64, so parity is bit-exact."""
+    from ..stages.similarity import quantize_int8_stats
+
+    return quantize_int8_stats(sf_dir)
+
+
 def ml_nbayes(sf_dir: str):
     """Hashing-trick multinomial Naive Bayes language classifier — TRAIN
     distributed, APPLY distributed, all-integer (functions/nbayes.py has
@@ -858,6 +870,34 @@ ORACLE_SQL: dict[str, str] = {
                    AS BIGINT) AS n_last_hour
         FROM events
     """,
+    "ml_quantize": """
+        WITH v AS (
+            SELECT CAST(floor(unnest(CAST(embedding AS DOUBLE[]))
+                              * 1048576.0 + 0.5) AS BIGINT) AS x,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+            FROM embeddings
+        ),
+        mm AS (
+            SELECT dim, MIN(x) AS mn, MAX(x) AS mx,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM v GROUP BY dim
+        ),
+        e AS (
+            SELECT v.dim,
+                   CASE WHEN mm.mx = mm.mn THEN 0
+                        ELSE abs((v.x - mm.mn)
+                                 - ((((v.x - mm.mn) * 255) // (mm.mx - mm.mn))
+                                    * (mm.mx - mm.mn)) // 255)
+                   END AS err
+            FROM v JOIN mm USING (dim)
+        )
+        SELECT mm.dim, mm.mn AS min_fp, mm.mx AS max_fp, mm.n AS n_vals,
+               CAST(SUM(e.err) AS BIGINT) AS sum_abs_err,
+               CAST(MAX(e.err) AS BIGINT) AS max_err
+        FROM e JOIN mm USING (dim)
+        GROUP BY mm.dim, mm.mn, mm.mx, mm.n
+        ORDER BY mm.dim
+    """,
     "ann_brute_topk": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings)
@@ -931,6 +971,7 @@ QUERIES = {
     "ml_pca_var": ml_pca_var,
     "ml_knn": ml_knn,
     "ml_ridge": ml_ridge,
+    "ml_quantize": ml_quantize,
     "ml_nbayes": ml_nbayes,
     "ann_ivfpq_rerank": ann_ivfpq_rerank,
     "dd_minhash_incremental": dd_minhash_incremental,

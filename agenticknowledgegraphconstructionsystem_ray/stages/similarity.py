@@ -1263,3 +1263,149 @@ def ridge_fit(sf_dir: str, table: str = "embeddings") -> pa.Table:
             xtx[i] += int(v)
     xtx_mat = np.asarray(xtx, dtype=object).reshape(dim, dim)
     return ridge_solve_ppm(n, sx, xtx_mat, xty, sy, sy2)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the 4x-memory compression step an ANN index
+# applies before PQ is worth its training cost (FAISS ScalarQuantizer shape;
+# Guo et al. 2020 "Accelerating Large-Scale Inference with Anisotropic
+# Vector Quantization" motivates the per-dimension affine form). Per
+# dimension: learn (min, max) over the corpus, code each value to
+# floor((x - min) * 255 / (max - min)), and report the EXACT reconstruction
+# error of the round trip. Everything after the one float->fixed-point
+# bridge is int64, so the result is bit-reproducible at any parallelism and
+# ANSI-SQL-expressible (no golden needed).
+#
+# Shape (scales to 100 TB): pass 1 emits <= dim rows of (dim, min, max)
+# partials per block into a dim-keyed groupby (64 rows total); pass 2
+# broadcasts the 64-entry range table via ray.put and emits <= dim rows of
+# (dim, sum_abs_err, max_err, n) partials per block into the same tiny
+# groupby. Both shuffles carry O(blocks * dim) ints — never a vector.
+# ---------------------------------------------------------------------------
+
+QZ_FP = 1 << 20  # float->fixed bridge: x_fp = floor(x * QZ_FP + 0.5)
+QZ_LEVELS = 255  # int8 code range 0..255
+
+
+def qz_fixed(mat: np.ndarray) -> np.ndarray:
+    """float matrix -> int64 fixed-point, floor(x*FP + 0.5) — one double
+    multiply, one add, one floor: the exact sequence the SQL oracle runs
+    (CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)), so both sides see
+    identical IEEE-754 results."""
+    return np.floor(mat * float(QZ_FP) + 0.5).astype(np.int64)
+
+
+def qz_roundtrip_err(xfp: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """|x_fp - dequant(quant(x_fp))| per element, exact int64.
+    code = (x-mn)*255 // scale; deq = mn + code*scale // 255 (scale>0)."""
+    scale = mx - mn
+    d = xfp - mn[None, :]
+    err = np.zeros_like(xfp)
+    nz = scale > 0
+    if nz.any():
+        code = (d[:, nz] * QZ_LEVELS) // scale[None, nz]
+        deq = (code * scale[None, nz]) // QZ_LEVELS
+        err[:, nz] = np.abs(d[:, nz] - deq)
+    return err
+
+
+def quantize_int8_stats(sf_dir: str, table: str = "embeddings") -> pa.Table:
+    """Per-dimension int8 scalar-quantization profile: (dim, min_fp, max_fp,
+    n_vals, sum_abs_err, max_err) — the compression-loss report a pipeline
+    reads before switching its ANN corpus to 1-byte codes."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    emb = read_table(sf_dir, table, columns=["embedding"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        m = qz_fixed(_matrix(t))
+        if not m.size:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        dims = np.arange(m.shape[1], dtype=np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(dims, pa.int64()),
+                "mn": pa.array(m.min(axis=0), pa.int64()),
+                "mx": pa.array(m.max(axis=0), pa.int64()),
+            }
+        )
+
+    mm_rows = (
+        emb.map_batches(mm_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .take_all()
+    )  # dim rows
+    if not mm_rows:
+        raise ValueError(f"no embeddings in {sf_dir}/{table}")
+    dim = max(r["dim"] for r in mm_rows) + 1
+    mn = np.zeros(dim, dtype=np.int64)
+    mx = np.zeros(dim, dtype=np.int64)
+    for r in mm_rows:
+        mn[r["dim"]] = r["mn"]
+        mx[r["dim"]] = r["mx"]
+    ref = ray.put((mn, mx))
+
+    def err_partial(t: pa.Table, _ref=ref) -> pa.Table:
+        lo, hi = ray.get(_ref)
+        m = qz_fixed(_matrix(t))
+        if not m.size:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "sum_abs_err": pa.array([], pa.int64()),
+                    "max_err": pa.array([], pa.int64()),
+                    "n_vals": pa.array([], pa.int64()),
+                }
+            )
+        err = qz_roundtrip_err(m, lo, hi)
+        dims = np.arange(m.shape[1], dtype=np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(dims, pa.int64()),
+                "sum_abs_err": pa.array(err.sum(axis=0), pa.int64()),
+                "max_err": pa.array(err.max(axis=0), pa.int64()),
+                "n_vals": pa.array(
+                    np.full(m.shape[1], m.shape[0], dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    err_rows = (
+        emb.map_batches(err_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("sum_abs_err", alias_name="sum_abs_err"),
+            Max("max_err", alias_name="max_err"),
+            Sum("n_vals", alias_name="n_vals"),
+        )
+        .take_all()
+    )
+    by_dim = {r["dim"]: r for r in err_rows}
+    out = [
+        (
+            d,
+            int(mn[d]),
+            int(mx[d]),
+            int(by_dim[d]["n_vals"]),
+            int(by_dim[d]["sum_abs_err"]),
+            int(by_dim[d]["max_err"]),
+        )
+        for d in range(dim)
+    ]
+    return pa.table(
+        {
+            "dim": pa.array([r[0] for r in out], pa.int64()),
+            "min_fp": pa.array([r[1] for r in out], pa.int64()),
+            "max_fp": pa.array([r[2] for r in out], pa.int64()),
+            "n_vals": pa.array([r[3] for r in out], pa.int64()),
+            "sum_abs_err": pa.array([r[4] for r in out], pa.int64()),
+            "max_err": pa.array([r[5] for r in out], pa.int64()),
+        }
+    )

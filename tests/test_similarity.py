@@ -491,3 +491,48 @@ class TestIVFPQRerank:
         assert not ((got.query_id == got.vec_id).any())
         for _, g in got.groupby("query_id"):
             assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+class TestQuantizeInt8:
+    def _seq(self):
+        t = pq.read_table(glob.glob(f"{SF}/embeddings.parquet")[0])
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        xfp = similarity.qz_fixed(m)
+        mn, mx = xfp.min(axis=0), xfp.max(axis=0)
+        err = similarity.qz_roundtrip_err(xfp, mn, mx)
+        return xfp, mn, mx, err
+
+    def test_matches_sequential_recompute(self, ray_session):
+        out = similarity.quantize_int8_stats(SF).to_pydict()
+        xfp, mn, mx, err = self._seq()
+        assert out["min_fp"] == mn.tolist()
+        assert out["max_fp"] == mx.tolist()
+        assert out["sum_abs_err"] == err.sum(axis=0).tolist()
+        assert out["max_err"] == err.max(axis=0).tolist()
+        assert set(out["n_vals"]) == {xfp.shape[0]}
+
+    def test_error_bound(self, ray_session):
+        # floor-code/floor-dequant round trip loses at most
+        # scale//255 + 1 fixed-point units per element
+        out = similarity.quantize_int8_stats(SF).to_pydict()
+        for lo, hi, me in zip(out["min_fp"], out["max_fp"], out["max_err"]):
+            assert me <= (hi - lo) // similarity.QZ_LEVELS + 1
+
+    def test_kernel_blocking_invariance(self):
+        # per-block min/max + error partials merge to the single-block
+        # answer: the aggregation is associative by construction
+        rng = np.random.default_rng(7)
+        m = rng.normal(size=(40, 5))
+        xfp = similarity.qz_fixed(m)
+        mn, mx = xfp.min(axis=0), xfp.max(axis=0)
+        whole = similarity.qz_roundtrip_err(xfp, mn, mx)
+        parts = [similarity.qz_roundtrip_err(b, mn, mx)
+                 for b in np.array_split(xfp, 4)]
+        assert np.concatenate(parts).sum(axis=0).tolist() == \
+            whole.sum(axis=0).tolist()
+
+    def test_constant_dim_zero_error(self):
+        xfp = np.asarray([[5, 1], [5, 2], [5, 9]], dtype=np.int64)
+        err = similarity.qz_roundtrip_err(
+            xfp, xfp.min(axis=0), xfp.max(axis=0))
+        assert err[:, 0].tolist() == [0, 0, 0]
