@@ -2594,6 +2594,41 @@ def kg_oracle_sql() -> dict[str, str]:
         "ann_ivfpq_rerank": f"""
             SELECT query_id, vec_id, rank FROM {_g('ivfpq_rerank')}
         """,
+        "ann_recall": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            brute AS (
+                SELECT query_id, vec_id FROM (
+                    SELECT q.vec_id AS query_id, x.vec_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.v, x.v)
+                                        DESC, x.vec_id) AS rank
+                    FROM e q JOIN e x ON x.vec_id <> q.vec_id
+                    WHERE q.vec_id IN (0, 1, 2))
+                WHERE rank <= 10
+            ),
+            m AS (
+                SELECT 'ivf' AS method, query_id, vec_id
+                FROM {_g('ivf_topk')}
+                UNION ALL SELECT 'ivfpq_rerank', query_id, vec_id
+                FROM {_g('ivfpq_rerank')}
+                UNION ALL SELECT 'lsh', query_id, vec_id
+                FROM {_g('lsh_topk')}
+                UNION ALL SELECT 'pq', query_id, vec_id
+                FROM {_g('pq_topk')}
+                UNION ALL SELECT 'pq_rerank', query_id, vec_id
+                FROM {_g('pq_rerank')}
+            )
+            SELECT m.method, m.query_id, CAST(10 AS BIGINT) AS k,
+                   CAST(COUNT(b.vec_id) AS BIGINT) AS hits,
+                   CAST(COUNT(b.vec_id) * 1000000 // 10 AS BIGINT)
+                       AS recall_ppm
+            FROM m LEFT JOIN brute b
+                 ON b.query_id = m.query_id AND b.vec_id = m.vec_id
+            GROUP BY m.method, m.query_id
+            ORDER BY m.method, m.query_id
+        """,
         "ann_pq_topk": f"""
             SELECT query_id, vec_id, rank FROM {_g('pq_topk')}
         """,

@@ -589,6 +589,55 @@ def ann_ivfpq_rerank(sf_dir: str):
     return similarity.ivfpq_rerank_topk(sf_dir)
 
 
+def ann_recall(sf_dir: str):
+    """Recall@k evaluation of every approximate index against the exact
+    brute-force ground truth — the index-quality report a pipeline consults
+    before trading exactness for scan cost (the recall/QPS axis every ANN
+    paper plots). Runs each method's own distributed scan, then compares
+    ONLY the result lists: driver state is bounded by
+    methods x |queries| x k rows (30 per method here), never corpus-sized.
+
+    Output: (method, query_id, k, hits, recall_ppm) — hits = |approx top-k
+    ∩ exact top-k|, recall_ppm = hits * 1e6 // k. Oracle: the same set
+    intersection in SQL, exact side recomputed independently by DuckDB's
+    cosine window, approximate sides read from the sequential goldens."""
+    qids, k = [0, 1, 2], 10
+    truth: dict[int, set[int]] = {q: set() for q in qids}
+    brute = similarity.brute_force_topk(sf_dir, qids, k=k)
+    for q, v in zip(
+        brute["query_id"].to_pylist(), brute["vec_id"].to_pylist()
+    ):
+        truth[q].add(v)
+
+    methods = {
+        "ivf": similarity.ivf_topk(sf_dir, qids, k=k),
+        "ivfpq_rerank": similarity.ivfpq_rerank_topk(sf_dir, qids, k=k),
+        "lsh": similarity.lsh_topk(sf_dir, qids, k=k),
+        "pq": similarity.pq_topk(sf_dir, qids, k=k),
+        "pq_rerank": similarity.pq_rerank_topk(sf_dir, qids, k=k),
+    }
+    rows = []
+    for name in sorted(methods):
+        t = methods[name]
+        got: dict[int, set[int]] = {q: set() for q in qids}
+        for q, v in zip(
+            t["query_id"].to_pylist(), t["vec_id"].to_pylist()
+        ):
+            got[q].add(v)
+        for q in qids:
+            hits = len(got[q] & truth[q])
+            rows.append((name, q, k, hits, hits * 1_000_000 // k))
+    return pa.table(
+        {
+            "method": pa.array([r[0] for r in rows], pa.string()),
+            "query_id": pa.array([r[1] for r in rows], pa.int64()),
+            "k": pa.array([r[2] for r in rows], pa.int64()),
+            "hits": pa.array([r[3] for r in rows], pa.int64()),
+            "recall_ppm": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 def ml_quantize(sf_dir: str):
     """Per-dimension int8 scalar-quantization profile of the embedding
     corpus (stages/similarity.quantize_int8_stats): learn (min, max) per
@@ -972,6 +1021,7 @@ QUERIES = {
     "ml_knn": ml_knn,
     "ml_ridge": ml_ridge,
     "ml_quantize": ml_quantize,
+    "ann_recall": ann_recall,
     "ml_nbayes": ml_nbayes,
     "ann_ivfpq_rerank": ann_ivfpq_rerank,
     "dd_minhash_incremental": dd_minhash_incremental,

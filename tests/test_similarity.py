@@ -536,3 +536,23 @@ class TestQuantizeInt8:
         err = similarity.qz_roundtrip_err(
             xfp, xfp.min(axis=0), xfp.max(axis=0))
         assert err[:, 0].tolist() == [0, 0, 0]
+
+
+class TestAnnRecall:
+    def test_report_shape_and_rerank_dominance(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import training
+
+        t = training.ann_recall(SF).to_pydict()
+        assert len(t["method"]) == 5 * 3
+        assert all(0 <= r <= 1_000_000 for r in t["recall_ppm"])
+        assert all(
+            r == h * 1_000_000 // k
+            for r, h, k in zip(t["recall_ppm"], t["hits"], t["k"])
+        )
+        by = {}
+        for m, q, h in zip(t["method"], t["query_id"], t["hits"]):
+            by[(m, q)] = h
+        # exact re-ranking keeps every truth member the shortlist caught,
+        # so its recall dominates code-only scoring of the same shortlist
+        for q in (0, 1, 2):
+            assert by[("pq_rerank", q)] >= by[("pq", q)]
