@@ -656,3 +656,165 @@ ORACLE_SQL["tx_vocab_growth"] = f"""
     FROM db LEFT JOIN fb ON fb.bucket = db.bucket
     ORDER BY db.bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# ta_profile: column profiler — the schema/data-quality audit every engine
+# runs before trusting a new corpus drop (null fractions, cardinalities,
+# ranges, payload sizes). Reference analog: the reference's per-table stats
+# queries (SURVEY §2.5 A1/A8) generalized to a per-COLUMN report.
+#
+# Shape (scales to 100 TB): distinct counts go through ONE (col, hash)
+# groupby — per-block dedup first, and the shuffle carries 16-byte digests,
+# never text. Min/max/null/length stats are per-block partials (5 rows per
+# block) merged on the driver — O(blocks) ints, the ridge/pca partial
+# pattern. Exactness caveat: n_distinct counts distinct md5 digests; a
+# collision (2^-64 per pair) would undercount by one — documented trade for
+# never shuffling raw text.
+# ---------------------------------------------------------------------------
+
+PROFILE_INT_COLS = ("doc_id", "n_chars")
+PROFILE_STR_COLS = ("lang", "source", "text")
+PROFILE_COLS = PROFILE_INT_COLS + PROFILE_STR_COLS
+
+
+def ta_profile(sf_dir: str) -> pa.Table:
+    """Per-column profile of the documents table: (col, n_rows, n_null,
+    n_distinct, min_i, max_i, min_s, max_s, sum_len). Integer columns fill
+    min_i/max_i (min_s/max_s NULL); string columns fill min_s/max_s and
+    sum_len (character length, matching SQL length())."""
+    from ray.data.aggregate import Count
+
+    docs = read_table(sf_dir, "documents", columns=list(PROFILE_COLS))
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        cols, hs = [], []
+        for c in PROFILE_COLS:
+            vals = t[c].to_pylist()
+            seen = set()
+            for v in vals:
+                if v is None:
+                    continue
+                s = str(v) if c in PROFILE_INT_COLS else v
+                seen.add(hashlib.md5(s.encode("utf-8")).hexdigest())
+            cols.extend([c] * len(seen))
+            hs.extend(sorted(seen))
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "h": pa.array(hs, pa.string()),
+            }
+        )
+
+    distinct_rows = (
+        docs.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby(["col", "h"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {"col": t["col"], "one": pa.array([1] * len(t), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("col")
+        .aggregate(Sum("one", alias_name="n_distinct"))
+        .take_all()
+    )  # |PROFILE_COLS| rows
+    n_distinct = {r["col"]: r["n_distinct"] for r in distinct_rows}
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in PROFILE_COLS:
+            vals = [v for v in t[c].to_pylist()]
+            nn = sum(1 for v in vals if v is None)
+            live = [v for v in vals if v is not None]
+            if c in PROFILE_INT_COLS:
+                rows.append(
+                    (c, len(vals), nn,
+                     min(live) if live else None,
+                     max(live) if live else None,
+                     None, None, None)
+                )
+            else:
+                rows.append(
+                    (c, len(vals), nn, None, None,
+                     min(live) if live else None,
+                     max(live) if live else None,
+                     sum(len(v) for v in live))
+                )
+        return pa.table(
+            {
+                "col": pa.array([r[0] for r in rows], pa.string()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "n_null": pa.array([r[2] for r in rows], pa.int64()),
+                "min_i": pa.array([r[3] for r in rows], pa.int64()),
+                "max_i": pa.array([r[4] for r in rows], pa.int64()),
+                "min_s": pa.array([r[5] for r in rows], pa.string()),
+                "max_s": pa.array([r[6] for r in rows], pa.string()),
+                "sum_len": pa.array([r[7] for r in rows], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    agg: dict[str, list] = {}
+    for r in parts:  # O(blocks * n_cols) tiny rows — driver merge is exact
+        a = agg.setdefault(r["col"], [0, 0, None, None, None, None, None])
+        a[0] += r["n"]
+        a[1] += r["n_null"]
+        for i, key, lo in ((2, "min_i", True), (3, "max_i", False),
+                           (4, "min_s", True), (5, "max_s", False)):
+            v = r[key]
+            if v is None:
+                continue
+            if a[i] is None or (v < a[i] if lo else v > a[i]):
+                a[i] = v
+        if r["sum_len"] is not None:
+            a[6] = (a[6] or 0) + r["sum_len"]
+    out = sorted(agg)
+    return pa.table(
+        {
+            "col": pa.array(out, pa.string()),
+            "n_rows": pa.array([agg[c][0] for c in out], pa.int64()),
+            "n_null": pa.array([agg[c][1] for c in out], pa.int64()),
+            "n_distinct": pa.array(
+                [n_distinct.get(c, 0) for c in out], pa.int64()
+            ),
+            "min_i": pa.array([agg[c][2] for c in out], pa.int64()),
+            "max_i": pa.array([agg[c][3] for c in out], pa.int64()),
+            "min_s": pa.array([agg[c][4] for c in out], pa.string()),
+            "max_s": pa.array([agg[c][5] for c in out], pa.string()),
+            "sum_len": pa.array([agg[c][6] for c in out], pa.int64()),
+        }
+    )
+
+
+QUERIES["ta_profile"] = ta_profile
+
+_PROFILE_SQL_PARTS = []
+for _c in PROFILE_INT_COLS:
+    _PROFILE_SQL_PARTS.append(f"""
+        SELECT '{_c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {_c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               CAST(COUNT(DISTINCT {_c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({_c}) AS BIGINT) AS min_i,
+               CAST(MAX({_c}) AS BIGINT) AS max_i,
+               CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s,
+               CAST(NULL AS BIGINT) AS sum_len
+        FROM documents""")
+for _c in PROFILE_STR_COLS:
+    _PROFILE_SQL_PARTS.append(f"""
+        SELECT '{_c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {_c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               CAST(COUNT(DISTINCT {_c}) AS BIGINT) AS n_distinct,
+               CAST(NULL AS BIGINT) AS min_i, CAST(NULL AS BIGINT) AS max_i,
+               MIN({_c}) AS min_s, MAX({_c}) AS max_s,
+               CAST(SUM(length({_c})) AS BIGINT) AS sum_len
+        FROM documents""")
+
+ORACLE_SQL["ta_profile"] = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(_PROFILE_SQL_PARTS)
+    + ") ORDER BY col"
+)

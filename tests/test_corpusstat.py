@@ -156,3 +156,32 @@ class TestVocabGrowth:
         ).fetchone()
         assert got["vocab_cum"].iloc[-1] == n_terms
         assert got["n_docs"].sum() == n_docs
+
+
+class TestTaProfile:
+    def test_profile_matches_pandas(self, ray_session):
+        import pyarrow.parquet as _pq
+
+        from agenticknowledgegraphconstructionsystem_ray.pipelines.corpusstat import (
+            PROFILE_INT_COLS,
+            PROFILE_STR_COLS,
+            ta_profile,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["col"]: r for r in ta_profile(sf).to_pylist()}
+        df = _pq.read_table(f"{sf}/documents.parquet").to_pandas()
+        assert set(got) == set(PROFILE_INT_COLS) | set(PROFILE_STR_COLS)
+        for c in PROFILE_INT_COLS:
+            assert got[c]["n_rows"] == len(df)
+            assert got[c]["n_null"] == int(df[c].isna().sum())
+            assert got[c]["n_distinct"] == df[c].nunique()
+            assert got[c]["min_i"] == int(df[c].min())
+            assert got[c]["max_i"] == int(df[c].max())
+            assert got[c]["min_s"] is None and got[c]["sum_len"] is None
+        for c in PROFILE_STR_COLS:
+            assert got[c]["n_distinct"] == df[c].nunique()
+            assert got[c]["min_s"] == df[c].min()
+            assert got[c]["max_s"] == df[c].max()
+            assert got[c]["sum_len"] == int(df[c].str.len().sum())
+            assert got[c]["min_i"] is None and got[c]["max_i"] is None
