@@ -1359,3 +1359,174 @@ ORACLE_SQL["sk_quantiles"] = f"""
         (SELECT CAST(MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN c END)
             AS BIGINT) FROM er) AS p99_exact_c
 """
+
+
+# ---------------------------------------------------------------------------
+# sk_join_cardinality: sketch-based join-size estimation — the planner-grade
+# |A JOIN B| estimate from two Count-Min sketches (Cormode & Muthukrishnan
+# 2005 §4.2: est = min_d <CMS_A[d], CMS_B[d]> upper-bounds the true inner
+# product Σ_k cnt_A(k)·cnt_B(k), which IS the join cardinality). Each side
+# is sketched in one map pass with per-block partials (≤ depth·width rows
+# per block, 16-byte hex bucket keys); the merged sketch is a FIXED
+# depth×width int matrix regardless of key cardinality — the state a 256-
+# node planner can afford to keep per (table, column). The exact join size
+# rides along as the certificate via a tag-union key groupby (never a
+# broadcast: either side may be arbitrarily large).
+# ---------------------------------------------------------------------------
+
+JC_DEPTH = 4
+JC_WIDTH = 256  # bucket key = first hex byte of md5('jc{d}:' || key)
+
+
+def _jc_bucket(d: int, key: str) -> str:
+    import hashlib
+
+    return hashlib.md5(f"jc{d}:{key}".encode()).hexdigest()[:2]
+
+
+def _jc_cms_rows(keys: list, out_n: dict) -> None:
+    for k in keys:
+        s = str(k)
+        for d in range(JC_DEPTH):
+            b = (d, _jc_bucket(d, s))
+            out_n[b] = out_n.get(b, 0) + 1
+
+
+def sk_join_cardinality(sf_dir: str) -> pa.Table:
+    """One row: (exact_n, est_n, depth, width, over_ppm) for
+    orders ⋈ customer on custkey. est_n >= exact_n always (CMS dot
+    products only ever over-count); over_ppm quantifies the estimation
+    error the fixed-size state buys."""
+    a = read_table(sf_dir, "orders", columns=["o_custkey"])
+    b = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def cms_partial(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            acc: dict = {}
+            _jc_cms_rows(t[col].to_pylist(), acc)
+            ks = sorted(acc)
+            return pa.table(
+                {
+                    "d": pa.array([k[0] for k in ks], pa.int64()),
+                    "bkt": pa.array([k[1] for k in ks], pa.string()),
+                    "n": pa.array([acc[k] for k in ks], pa.int64()),
+                }
+            )
+
+        return fn
+
+    def cms_merge(ds) -> dict:
+        rows = (
+            ds.groupby(["d", "bkt"]).aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )  # <= depth * width rows
+        return {(r["d"], r["bkt"]): int(r["n"]) for r in rows}
+
+    cms_a = cms_merge(a.map_batches(cms_partial("o_custkey"),
+                                    batch_format="pyarrow"))
+    cms_b = cms_merge(b.map_batches(cms_partial("c_custkey"),
+                                    batch_format="pyarrow"))
+    est = min(
+        sum(
+            n * cms_b.get((d, bkt), 0)
+            for (dd, bkt), n in cms_a.items()
+            if dd == d
+        )
+        for d in range(JC_DEPTH)
+    )
+
+    # exact certificate: tag-union key counts, then Σ na * nb
+    def tag(col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            acc: dict = {}
+            for k in t[col].to_pylist():
+                acc[k] = acc.get(k, 0) + 1
+            ks = sorted(acc)
+            na = [acc[k] if side == 0 else 0 for k in ks]
+            nb = [acc[k] if side == 1 else 0 for k in ks]
+            return pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "na": pa.array(na, pa.int64()),
+                    "nb": pa.array(nb, pa.int64()),
+                }
+            )
+
+        return fn
+
+    both = a.map_batches(tag("o_custkey", 0), batch_format="pyarrow").union(
+        b.map_batches(tag("c_custkey", 1), batch_format="pyarrow")
+    )
+    prod = (
+        both.groupby("k")
+        .aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "p": pa.array(
+                        [
+                            int(
+                                (np.asarray(t["na"], dtype=np.int64)
+                                 * np.asarray(t["nb"], dtype=np.int64)).sum()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("p")
+    )
+    exact = int(prod)
+    return pa.table(
+        {
+            "exact_n": pa.array([exact], pa.int64()),
+            "est_n": pa.array([est], pa.int64()),
+            "depth": pa.array([JC_DEPTH], pa.int64()),
+            "width": pa.array([JC_WIDTH], pa.int64()),
+            "over_ppm": pa.array(
+                [(est - exact) * 1_000_000 // exact if exact else 0],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+QUERIES["sk_join_cardinality"] = sk_join_cardinality
+
+ORACLE_SQL["sk_join_cardinality"] = f"""
+    WITH a AS (SELECT o_custkey AS k FROM orders),
+    b AS (SELECT c_custkey AS k FROM customer),
+    ex AS (
+        SELECT CAST(SUM(x.na * y.nb) AS BIGINT) AS n
+        FROM (SELECT k, COUNT(*) AS na FROM a GROUP BY k) x
+        JOIN (SELECT k, COUNT(*) AS nb FROM b GROUP BY k) y USING (k)
+    ),
+    depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    ca AS (
+        SELECT d, substr(md5('jc' || CAST(d AS VARCHAR) || ':'
+                             || CAST(k AS VARCHAR)), 1, 2) AS bkt,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM a, depths GROUP BY d, bkt
+    ),
+    cb AS (
+        SELECT d, substr(md5('jc' || CAST(d AS VARCHAR) || ':'
+                             || CAST(k AS VARCHAR)), 1, 2) AS bkt,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM b, depths GROUP BY d, bkt
+    ),
+    dot AS (
+        SELECT ca.d, CAST(SUM(ca.n * cb.n) AS BIGINT) AS ip
+        FROM ca JOIN cb ON ca.d = cb.d AND ca.bkt = cb.bkt
+        GROUP BY ca.d
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS n FROM dot)
+    SELECT ex.n AS exact_n, est.n AS est_n,
+           CAST({JC_DEPTH} AS BIGINT) AS depth,
+           CAST({JC_WIDTH} AS BIGINT) AS width,
+           CAST(CASE WHEN ex.n = 0 THEN 0
+                ELSE (est.n - ex.n) * 1000000 // ex.n END AS BIGINT)
+               AS over_ppm
+    FROM ex, est
+"""

@@ -148,3 +148,32 @@ class TestSkQuantiles:
         a = sk_quantiles("/root/testdata/sf0.001").to_pydict()
         b = sk_quantiles("/root/testdata/sf0.001").to_pydict()
         assert a == b
+
+
+class TestJoinCardinality:
+    def test_estimate_upper_bounds_exact(self, ray_session):
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import training
+
+        t = training.sk_join_cardinality("/root/testdata/sf0.001").to_pylist()[0]
+        assert t["est_n"] >= t["exact_n"] > 0
+        assert t["over_ppm"] == (t["est_n"] - t["exact_n"]) * 1_000_000 // t["exact_n"]
+
+    def test_exact_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import training
+
+        sf = "/root/testdata/sf0.001"
+        t = training.sk_join_cardinality(sf).to_pylist()[0]
+        n = duckdb.connect().execute(
+            f"SELECT COUNT(*) FROM read_parquet('{sf}/orders.parquet') o "
+            f"JOIN read_parquet('{sf}/customer.parquet') c "
+            "ON o.o_custkey = c.c_custkey"
+        ).fetchone()[0]
+        assert t["exact_n"] == n
+
+    def test_cms_bucket_deterministic(self):
+        from agenticknowledgegraphconstructionsystem_ray.pipelines.training import _jc_bucket
+
+        assert _jc_bucket(0, "42") == _jc_bucket(0, "42")
+        assert len(_jc_bucket(3, "x")) == 2
