@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_clustering": graphalgo.kg_clustering,
             "kg_modularity": graphmetrics.kg_modularity,
             "kg_type_matrix": graphmetrics.kg_type_matrix,
+            "kg_neigh_agg": graphmetrics.kg_neigh_agg,
             "kg_assortativity": graphmetrics.kg_assortativity,
         }
     )

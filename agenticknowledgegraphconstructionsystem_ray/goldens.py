@@ -2474,6 +2474,26 @@ def kg_oracle_sql() -> dict[str, str]:
             WHERE e.subj_id >= 0 AND e.obj_id >= 0
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "kg_neigh_agg": f"""
+            WITH pairs AS (
+                SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                                GREATEST(subj_id, obj_id) AS b
+                FROM {_g('edges')}
+                WHERE subj_id >= 0 AND obj_id >= 0 AND subj_id <> obj_id
+            ),
+            sym AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs
+            )
+            SELECT s.src AS entity_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_neigh,
+                   CAST(SUM(n.mention_count) AS BIGINT) AS sum_nbr_mentions,
+                   CAST(MAX(n.mention_count) AS BIGINT) AS max_nbr_mentions,
+                   CAST((SUM(n.mention_count) * 1000000) // COUNT(*)
+                        AS BIGINT) AS avg_nbr_mentions_ppm
+            FROM sym s JOIN {_g('nodes')} n ON n.entity_id = s.dst
+            GROUP BY s.src ORDER BY entity_id
+        """,
         "kg_trending": f"""
             WITH en AS (
                 SELECT epoch_us(warc_ts) // 3600000000 AS hour,

@@ -333,3 +333,98 @@ def kg_type_matrix(sf_dir: str) -> pa.Table:
             "n_edges": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# kg_neigh_agg: neighborhood feature aggregation — the GNN data-prep shape
+# (GraphSAGE, Hamilton et al. 2017: h_N(v) = AGG of neighbor features). For
+# every entity the DISTINCT-neighbor count plus sum/max/mean of the
+# neighbors' mention_count: the one-hop feature table a link-prediction or
+# node-classification trainer consumes (kg_link_ra scores candidate pairs;
+# this materializes per-NODE features).
+#
+# Scale shape: ONE distinct-pair dedup groupby (shared kernel), ONE
+# coarse-bucket attach of the node feature (node table never broadcast),
+# then per-block (src, n, sum, max) partials into a node-keyed groupby.
+# Every shuffle row is ints.
+# ---------------------------------------------------------------------------
+
+
+def kg_neigh_agg(sf_dir: str) -> pa.Table:
+    """(entity_id, n_neigh, sum_nbr_mentions, max_nbr_mentions,
+    avg_nbr_mentions_ppm) over the distinct undirected linked graph,
+    sorted by entity_id. Oracle: SQL over the golden nodes/edges."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from ray.data.aggregate import Max
+
+    from .graphalgo import _symmetrize_pairs
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    n_groups = max(8, cluster_cpus())
+    edges = _kg_edges_ds(out).filter(expr="subj_id >= 0 and obj_id >= 0")
+    lut = rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+        columns=["entity_id", "mention_count"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": pa.compute.cast(t["entity_id"], pa.int64()),
+                "mc": pa.compute.cast(t["mention_count"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    sym = _symmetrize_pairs(_distinct_undirected_pairs(edges))
+    feat = _attach_i64(
+        sym, ["src", "dst"], "dst", lut, "entity_id", "mc", "mc", n_groups
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        mc = t["mc"].combine_chunks().to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, mc)
+        mx = np.zeros(len(uniq), np.int64)
+        np.maximum.at(mx, inv, mc)
+        return pa.table(
+            {
+                "entity_id": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n_p": pa.array(n, pa.int64()),
+                "s_p": pa.array(s, pa.int64()),
+                "m_p": pa.array(mx, pa.int64()),
+            }
+        )
+
+    agg = (
+        feat.map_batches(partial, batch_format="pyarrow")
+        .groupby("entity_id")
+        .aggregate(
+            Sum("n_p", alias_name="n_neigh"),
+            Sum("s_p", alias_name="sum_nbr_mentions"),
+            Max("m_p", alias_name="max_nbr_mentions"),
+        )
+        .sort("entity_id")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_neigh"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["sum_nbr_mentions"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        avg = (s * 1_000_000) // n
+        return t.append_column(
+            "avg_nbr_mentions_ppm", pa.array(avg.astype(np.int64), pa.int64())
+        )
+
+    res = agg.map_batches(finish, batch_format="pyarrow")
+    return pa.concat_tables(
+        [b for b in res.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )

@@ -721,3 +721,47 @@ class TestHarmonicCentrality:
         ids = set(got["entity_id"].tolist())
         assert 6 not in ids and 5 not in ids
         assert {1, 2, 3, 4} <= ids
+
+
+class TestNeighAgg:
+    def test_matches_pandas_recompute(self, ray_session):
+        import glob as _glob
+
+        import pandas as pd
+
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import graphmetrics
+        from agenticknowledgegraphconstructionsystem_ray.pipelines.kgqueries import (
+            _ensure_run,
+        )
+
+        got = graphmetrics.kg_neigh_agg(SF).to_pandas()
+        out = _ensure_run(SF)
+        e = pq.read_table(
+            sorted(_glob.glob(os.path.join(out, "edges", "**", "*.parquet"),
+                              recursive=True)),
+            columns=["subj_id", "obj_id"],
+        ).to_pandas()
+        n = pq.read_table(
+            sorted(_glob.glob(os.path.join(out, "nodes", "*.parquet"))),
+            columns=["entity_id", "mention_count"],
+        ).to_pandas()
+        e = e[(e.subj_id >= 0) & (e.obj_id >= 0) & (e.subj_id != e.obj_id)]
+        a = e[["subj_id", "obj_id"]].to_numpy()
+        a.sort(axis=1)
+        pairs = pd.DataFrame(a, columns=["a", "b"]).drop_duplicates()
+        sym = pd.concat([
+            pairs.rename(columns={"a": "src", "b": "dst"}),
+            pairs.rename(columns={"b": "src", "a": "dst"})[["src", "dst"]],
+        ])
+        mc = n.set_index("entity_id")["mention_count"]
+        sym["mc"] = sym["dst"].map(mc).astype("int64")
+        g = sym.groupby("src")["mc"].agg(["count", "sum", "max"])
+        exp = {
+            int(k): (int(r["count"]), int(r["sum"]), int(r["max"]))
+            for k, r in g.iterrows()
+        }
+        assert len(got) == len(exp)
+        for r in got.itertuples():
+            c, s, m = exp[r.entity_id]
+            assert (r.n_neigh, r.sum_nbr_mentions, r.max_nbr_mentions) == (c, s, m)
+            assert r.avg_nbr_mentions_ppm == s * 1_000_000 // c
