@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_walks": graphalgo.kg_walks,
             "kg_walk_lift": graphalgo.kg_walk_lift,
             "kg_harmonic": graphalgo.kg_harmonic,
+            "kg_betweenness": graphalgo.kg_betweenness,
             "kg_negatives": graphalgo.kg_negatives,
             "kg_hits": graphalgo.kg_hits,
             "kg_link_ra": graphalgo.kg_link_ra,

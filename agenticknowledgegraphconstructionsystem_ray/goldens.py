@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "39"  # v39: + harmonic, nbayes, ivfpq_rerank
+GOLDEN_VERSION = "40"  # v40: + betweenness
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -1014,6 +1014,62 @@ def _seq_harmonic(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
     )
 
 
+def _seq_betweenness(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
+    """Sequential truncated-Brandes golden: per-seed BFS with path counts to
+    BC_MAX_D, then level-wise dependency accumulation with the SAME
+    per-successor-edge integer floor as
+    pipelines.graphalgo.betweenness_centrality."""
+    from collections import deque
+
+    from .pipelines.graphalgo import BC_MAX_D, BC_SCALE, BC_SEED_MOD
+
+    adj: dict[int, set[int]] = {}
+    for s, o in zip(
+        edges_t["subj_id"].to_pylist(), edges_t["obj_id"].to_pylist()
+    ):
+        if s >= 0 and o >= 0 and s != o:
+            adj.setdefault(s, set()).add(o)
+            adj.setdefault(o, set()).add(s)
+    bc: dict[int, int] = {}
+    n_seeds: dict[int, int] = {}
+    for seed in sorted(nodes_t["entity_id"].to_pylist()):
+        if seed % BC_SEED_MOD != 0:
+            continue
+        dist = {seed: 0}
+        sigma = {seed: 1}
+        q = deque([seed])
+        while q:
+            u = q.popleft()
+            if dist[u] >= BC_MAX_D:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        delta = {v: 0 for v in dist}
+        for v in sorted(dist, key=lambda x: -dist[x]):
+            acc = 0
+            for w in adj.get(v, ()):
+                if dist.get(w) == dist[v] + 1:
+                    acc += sigma[v] * (BC_SCALE + delta[w]) // sigma[w]
+            delta[v] = acc
+        for v, d in dist.items():
+            if d > 0:
+                bc[v] = bc.get(v, 0) + delta[v]
+                n_seeds[v] = n_seeds.get(v, 0) + 1
+    ids = sorted(bc)
+    return pa.table(
+        {
+            "entity_id": pa.array(ids, pa.int64()),
+            "bc_fp": pa.array([bc[i] for i in ids], pa.int64()),
+            "n_seeds": pa.array([n_seeds[i] for i in ids], pa.int64()),
+        }
+    )
+
+
 def _seq_lineage(pages_dir: str) -> pa.Table:
     """Sequential lineage golden: replays the deterministic chunk plan
     (kg.plan_chunks over the sorted page files — a pure function of the
@@ -1894,6 +1950,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     tables["bfs"] = _seq_bfs(tables["nodes"], tables["edges"])
     tables["walks"] = _seq_walks(tables["nodes"], tables["edges"])
     tables["harmonic"] = _seq_harmonic(tables["nodes"], tables["edges"])
+    tables["betweenness"] = _seq_betweenness(tables["nodes"], tables["edges"])
     tables["lineage"] = _seq_lineage(pages_dir)
     tables["hits"] = _seq_hits(tables["nodes"], tables["edges"])
     (
@@ -2473,6 +2530,10 @@ def kg_oracle_sql() -> dict[str, str]:
             JOIN {_g('nodes')} no_ ON e.obj_id = no_.entity_id
             WHERE e.subj_id >= 0 AND e.obj_id >= 0
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "kg_betweenness": f"""
+            SELECT entity_id, bc_fp, n_seeds FROM {_g('betweenness')}
+            ORDER BY entity_id
         """,
         "kg_neigh_agg": f"""
             WITH pairs AS (

@@ -1405,6 +1405,369 @@ def kg_harmonic(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# sampled betweenness centrality — Brandes 2001 ("A faster algorithm for
+# betweenness centrality") dependency accumulation, run from the same
+# deterministic landmark sample as harmonic (pivot sampling: Bader et al.
+# 2007 / Brandes & Pich 2007) and truncated at BC_MAX_D hops
+# (k-betweenness: Brandes 2008 "On variants of shortest-path betweenness").
+#
+# Exactness rule: the pair dependency is accumulated in integer fixed point
+# with a floor PER SUCCESSOR EDGE —
+#   delta(s,v) = Σ_{w: dist=d+1 neighbor} σ_sv * (SCALE + delta(s,w)) // σ_sw
+# — a sum of exact integers, so it is order-free and the distributed result
+# is bit-identical to the sequential golden at any parallelism.
+#
+# BSP shape: forward = harmonic's per-seed BFS loop, with the frontier also
+# carrying σ (path counts) merged by a (seed, node) groupby per round;
+# backward = one level per round from the deepest, an m:n bucket merge
+# against the adjacency (random_walks resolver pattern) to generate
+# per-edge terms, then a (seed, node) groupby to sum them. Driver state is
+# one count per round. σ stays in int64: within 4 hops σ <= max_deg^4 —
+# fine to ~50k-degree hubs; raise to object dtype before lifting BC_MAX_D.
+# ---------------------------------------------------------------------------
+
+BC_SEED_MOD = 16
+BC_MAX_D = 4
+BC_SCALE = 10**6
+
+
+def betweenness_centrality(
+    edges: "rd.Dataset",
+    nodes: "rd.Dataset",
+    seed_mod: int = BC_SEED_MOD,
+    max_d: int = BC_MAX_D,
+) -> pa.Table:
+    """(entity_id, bc_fp, n_seeds) — truncated-Brandes dependency sums over
+    the seed sample (entity_id % seed_mod == 0), self-contributions
+    excluded; bc_fp is in BC_SCALE fixed point."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    import pyarrow.compute as pc
+
+    n_groups = max(8, cluster_cpus())
+    pairs = _distinct_undirected_pairs(edges)
+
+    def route_sym(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table(
+            {
+                "seed": z,
+                "node": pc.cast(t["src"], pa.int64()),
+                "dst": pc.cast(t["dst"], pa.int64()),
+                "sigma": z,
+                "delta": z,
+                "_tag": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "_bk": pa.array(src.astype(np.int64) % n_groups, pa.int64()),
+            }
+        )
+
+    sym_routed = (
+        _symmetrize_pairs(pairs)
+        .map_batches(route_sym, batch_format="pyarrow")
+        .repartition(n_groups)
+        .materialize()
+    )
+
+    # ---------------- forward: BFS with path counts ----------------
+    def seed_rows(t: pa.Table) -> pa.Table:
+        ids = t["entity_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        seeds = ids[ids % seed_mod == 0].astype(np.int64)
+        return pa.table(
+            {
+                "seed": pa.array(seeds, pa.int64()),
+                "node": pa.array(seeds, pa.int64()),
+                "dist": pa.array(np.zeros(len(seeds), np.int64), pa.int64()),
+                "sigma": pa.array(np.ones(len(seeds), np.int64), pa.int64()),
+            }
+        )
+
+    visited = nodes.map_batches(seed_rows, batch_format="pyarrow").materialize()
+    frontier = visited
+
+    for r in range(max_d):
+        if frontier.count() == 0:
+            break
+
+        def route_frontier(t: pa.Table) -> pa.Table:
+            nd = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            return pa.table(
+                {
+                    "seed": pc.cast(t["seed"], pa.int64()),
+                    "node": pc.cast(t["node"], pa.int64()),
+                    "dst": z,
+                    "sigma": pc.cast(t["sigma"], pa.int64()),
+                    "delta": z,
+                    "_tag": z,
+                    "_bk": pa.array(nd.astype(np.int64) % n_groups, pa.int64()),
+                }
+            )
+
+        def expand(df) -> pa.Table:
+            f = df[df["_tag"] == 0][["seed", "node", "sigma"]]
+            s = df[df["_tag"] == 1][["node", "dst"]]
+            cand = f.merge(s, on="node")
+            if not len(cand):
+                return pa.table(
+                    {
+                        "seed": pa.array([], pa.int64()),
+                        "node": pa.array([], pa.int64()),
+                        "sigma": pa.array([], pa.int64()),
+                    }
+                )
+            g = cand.groupby(["seed", "dst"], sort=True)["sigma"].sum()
+            idx = g.index.to_frame(index=False)
+            return pa.table(
+                {
+                    "seed": pa.array(idx["seed"].to_numpy(np.int64)),
+                    "node": pa.array(idx["dst"].to_numpy(np.int64)),
+                    "sigma": pa.array(g.to_numpy(np.int64), pa.int64()),
+                }
+            )
+
+        cand = (
+            frontier.map_batches(route_frontier, batch_format="pyarrow")
+            .union(sym_routed)
+            .groupby("_bk")
+            .map_groups(expand, batch_format="pandas")
+        )
+
+        def tag_visited(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "seed": pc.cast(t["seed"], pa.int64()),
+                    "node": pc.cast(t["node"], pa.int64()),
+                    "dist": pc.cast(t["dist"], pa.int64()),
+                    "sigma": pc.cast(t["sigma"], pa.int64()),
+                    "kind": pa.array(
+                        np.zeros(t.num_rows, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        def tag_cand(t: pa.Table, rr=r) -> pa.Table:
+            return pa.table(
+                {
+                    "seed": pc.cast(t["seed"], pa.int64()),
+                    "node": pc.cast(t["node"], pa.int64()),
+                    "dist": pa.array(
+                        np.full(t.num_rows, rr + 1, np.int64), pa.int64()
+                    ),
+                    "sigma": pc.cast(t["sigma"], pa.int64()),
+                    "kind": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            )
+
+        def settle(df) -> pa.Table:
+            old = df[df["kind"] == 0]
+            if len(old):
+                row = old.iloc[0]
+                d, sg = int(row["dist"]), int(row["sigma"])
+            else:
+                d = int(df["dist"].iloc[0])
+                sg = int(df["sigma"].sum())
+            return pa.table(
+                {
+                    "seed": pa.array([int(df["seed"].iloc[0])], pa.int64()),
+                    "node": pa.array([int(df["node"].iloc[0])], pa.int64()),
+                    "dist": pa.array([d], pa.int64()),
+                    "sigma": pa.array([sg], pa.int64()),
+                }
+            )
+
+        visited = (
+            visited.map_batches(tag_visited, batch_format="pyarrow")
+            .union(cand.map_batches(tag_cand, batch_format="pyarrow"))
+            .groupby(["seed", "node"])
+            .map_groups(settle, batch_format="pandas")
+            .repartition(n_groups)
+            .materialize()
+        )
+        frontier = visited.filter(expr=f"dist == {r + 1}")
+
+    # ---------------- backward: dependency accumulation ----------------
+    levels: dict[int, "rd.Dataset"] = {}
+    max_reached = 0
+    for d in range(max_d + 1):
+        lv = visited.filter(expr=f"dist == {d}").materialize()
+        if lv.count() == 0:
+            break
+        levels[d] = lv
+        max_reached = d
+
+    def zero_delta(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "seed": pc.cast(t["seed"], pa.int64()),
+                "node": pc.cast(t["node"], pa.int64()),
+                "sigma": pc.cast(t["sigma"], pa.int64()),
+                "delta": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    delta_by_level: dict[int, "rd.Dataset"] = {
+        max_reached: levels[max_reached]
+        .map_batches(zero_delta, batch_format="pyarrow")
+        .materialize()
+    }
+
+    for d in range(max_reached - 1, 0, -1):
+        upper = delta_by_level[d + 1]
+
+        def route_upper(t: pa.Table) -> pa.Table:
+            nd = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            return pa.table(
+                {
+                    "seed": pc.cast(t["seed"], pa.int64()),
+                    "node": pc.cast(t["node"], pa.int64()),
+                    "dst": z,
+                    "sigma": pc.cast(t["sigma"], pa.int64()),
+                    "delta": pc.cast(t["delta"], pa.int64()),
+                    "_tag": z,
+                    "_bk": pa.array(nd.astype(np.int64) % n_groups, pa.int64()),
+                }
+            )
+
+        def back_edges(df) -> pa.Table:
+            """upper rows x adjacency -> (seed, v, sigma_w, delta_w)."""
+            f = df[df["_tag"] == 0][["seed", "node", "sigma", "delta"]]
+            s = df[df["_tag"] == 1][["node", "dst"]]
+            cand = f.merge(s, on="node")
+            if not len(cand):
+                return pa.table(
+                    {
+                        "seed": pa.array([], pa.int64()),
+                        "node": pa.array([], pa.int64()),
+                        "sigma_w": pa.array([], pa.int64()),
+                        "delta_w": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "seed": pa.array(cand["seed"].to_numpy(np.int64)),
+                    "node": pa.array(cand["dst"].to_numpy(np.int64)),
+                    "sigma_w": pa.array(cand["sigma"].to_numpy(np.int64)),
+                    "delta_w": pa.array(cand["delta"].to_numpy(np.int64)),
+                }
+            )
+
+        cand = (
+            upper.map_batches(route_upper, batch_format="pyarrow")
+            .union(sym_routed)
+            .groupby("_bk")
+            .map_groups(back_edges, batch_format="pandas")
+        )
+
+        # resolve sigma_v for (seed, v) rows at level d, emit per-edge terms
+        def tag_level(t: pa.Table) -> pa.Table:
+            z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            return pa.table(
+                {
+                    "seed": pc.cast(t["seed"], pa.int64()),
+                    "node": pc.cast(t["node"], pa.int64()),
+                    "sigma_w": pc.cast(t["sigma"], pa.int64()),
+                    "delta_w": z,
+                    "kind": z,
+                }
+            )
+
+        def tag_cand2(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "seed": pc.cast(t["seed"], pa.int64()),
+                    "node": pc.cast(t["node"], pa.int64()),
+                    "sigma_w": pc.cast(t["sigma_w"], pa.int64()),
+                    "delta_w": pc.cast(t["delta_w"], pa.int64()),
+                    "kind": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            )
+
+        def settle_delta(df) -> pa.Table:
+            own = df[df["kind"] == 0]
+            if not len(own):
+                # candidate edges into a node NOT at level d (same-level or
+                # predecessor edges) — not successor edges, drop
+                return pa.table(
+                    {
+                        "seed": pa.array([], pa.int64()),
+                        "node": pa.array([], pa.int64()),
+                        "sigma": pa.array([], pa.int64()),
+                        "delta": pa.array([], pa.int64()),
+                    }
+                )
+            sigma_v = int(own["sigma_w"].iloc[0])
+            ed = df[df["kind"] == 1]
+            total = sum(
+                sigma_v * (BC_SCALE + int(dw)) // int(sw)
+                for sw, dw in zip(ed["sigma_w"], ed["delta_w"])
+            )
+            return pa.table(
+                {
+                    "seed": pa.array([int(df["seed"].iloc[0])], pa.int64()),
+                    "node": pa.array([int(df["node"].iloc[0])], pa.int64()),
+                    "sigma": pa.array([sigma_v], pa.int64()),
+                    "delta": pa.array([total], pa.int64()),
+                }
+            )
+
+        delta_by_level[d] = (
+            levels[d].map_batches(tag_level, batch_format="pyarrow")
+            .union(cand.map_batches(tag_cand2, batch_format="pyarrow"))
+            .groupby(["seed", "node"])
+            .map_groups(settle_delta, batch_format="pandas")
+            .repartition(n_groups)
+            .materialize()
+        )
+
+    if max_reached == 0:
+        return pa.table(
+            {
+                "entity_id": pa.array([], pa.int64()),
+                "bc_fp": pa.array([], pa.int64()),
+                "n_seeds": pa.array([], pa.int64()),
+            }
+        )
+
+    all_delta = delta_by_level[max_reached]
+    for d in range(max_reached - 1, 0, -1):
+        all_delta = all_delta.union(delta_by_level[d])
+
+    def one_col(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity_id": pc.cast(t["node"], pa.int64()),
+                "delta": pc.cast(t["delta"], pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    res = (
+        all_delta.map_batches(one_col, batch_format="pyarrow")
+        .groupby("entity_id")
+        .aggregate(
+            Sum("delta", alias_name="bc_fp"),
+            Sum("one", alias_name="n_seeds"),
+        )
+        .sort("entity_id")
+    )
+    return pa.concat_tables(
+        [b for b in res.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+
+
+def kg_betweenness(sf_dir: str):
+    """Driver query: sampled truncated-Brandes betweenness over the
+    materialized KG. Oracle: golden-file sequential recompute
+    (goldens._seq_betweenness, identical per-edge floor formula)."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    return betweenness_centrality(_kg_edges_ds(out), _kg_nodes_ds(out))
+
+
+# ---------------------------------------------------------------------------
 # walk-window co-occurrence lift — the skip-gram statistics of DeepWalk
 # (Perozzi et al. 2014) / node2vec (Grover & Leskovec 2016): the (center,
 # context) count matrix their embedding training factorizes, reported as an

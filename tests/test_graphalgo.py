@@ -765,3 +765,49 @@ class TestNeighAgg:
             c, s, m = exp[r.entity_id]
             assert (r.n_neigh, r.sum_nbr_mentions, r.max_nbr_mentions) == (c, s, m)
             assert r.avg_nbr_mentions_ppm == s * 1_000_000 // c
+
+
+class TestBetweenness:
+    def test_matches_sequential_on_random_graph(self, ray_session):
+        import numpy as np
+
+        from agenticknowledgegraphconstructionsystem_ray.goldens import _seq_betweenness
+
+        rng = np.random.default_rng(11)
+        n = 64
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(150, 2))
+            if a != b
+        ]
+        nodes_t, edges_t = _nodes(list(range(n))), _edges(pairs)
+        got = graphalgo.betweenness_centrality(
+            rd.from_arrow(edges_t), rd.from_arrow(nodes_t)
+        )
+        assert got.equals(_seq_betweenness(nodes_t, edges_t))
+
+    def test_path_hand_computed(self, ray_session):
+        # path 0-1-2-3, seed 0: sigma == 1 everywhere, so
+        # delta(2) = SCALE (from 3), delta(1) = SCALE + delta(2) = 2*SCALE
+        got = graphalgo.betweenness_centrality(
+            rd.from_arrow(_edges([(0, 1), (1, 2), (2, 3)])),
+            rd.from_arrow(_nodes([0, 1, 2, 3])),
+        ).to_pydict()
+        s = graphalgo.BC_SCALE
+        assert got == {
+            "entity_id": [1, 2, 3],
+            "bc_fp": [2 * s, s, 0],
+            "n_seeds": [1, 1, 1],
+        }
+
+    def test_diamond_splits_paths(self, ray_session):
+        # 0 -> {1,2} -> 3: two shortest paths; each middle node carries
+        # sigma_v/sigma_w = 1/2 of the dependency: floor(S/2) each
+        got = graphalgo.betweenness_centrality(
+            rd.from_arrow(_edges([(0, 1), (0, 2), (1, 3), (2, 3)])),
+            rd.from_arrow(_nodes([0, 1, 2, 3])),
+        ).to_pydict()
+        s = graphalgo.BC_SCALE
+        rows = dict(zip(got["entity_id"], got["bc_fp"]))
+        assert rows[1] == rows[2] == s // 2
+        assert rows[3] == 0
