@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "40"  # v40: + betweenness
+GOLDEN_VERSION = "41"  # v41: + betweenness, winnow_pairs
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -439,6 +439,39 @@ def _seq_fingerprints(sf_dir: str) -> pa.Table:
             "doc_id": t["doc_id"],
             "fp_min": pa.array([np.uint64(r[0]) for r in res], pa.uint64()),
             "n_fps": pa.array([r[1] for r in res], pa.int64()),
+        }
+    )
+
+
+def _seq_winnow_pairs(sf_dir: str) -> pa.Table:
+    """Sequential winnowing-pair golden: same winnow_set kernel per doc,
+    then an in-memory posting dict with the identical WN_CAP drop rule and
+    WN_MIN_SHARED threshold."""
+    from .stages.textstats import WN_CAP, WN_MIN_SHARED, winnow_set
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    post: dict[int, set[int]] = {}
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for fp in winnow_set(text):
+            post.setdefault(fp, set()).add(doc_id)
+    shared: dict[tuple[int, int], int] = {}
+    for ids in post.values():
+        if len(ids) < 2 or len(ids) > WN_CAP:
+            continue
+        ordered = sorted(ids)
+        for i in range(len(ordered)):
+            for j in range(i + 1, len(ordered)):
+                k = (ordered[i], ordered[j])
+                shared[k] = shared.get(k, 0) + 1
+    rows = sorted((a, b, n) for (a, b), n in shared.items()
+                  if n >= WN_MIN_SHARED)
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "n_shared": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
 
@@ -1969,6 +2002,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["dd_simhash"] = _seq_simhash_pairs(sf_dir)
         tables["dd_keep_simhash"] = _seq_pairs_keep(sf_dir, tables["dd_simhash"])
         tables["fingerprints"] = _seq_fingerprints(sf_dir)
+        tables["winnow_pairs"] = _seq_winnow_pairs(sf_dir)
         tables["ivf_topk"] = _seq_ivf_topk(sf_dir)
         tables["lsh_topk"] = _seq_lsh_topk(sf_dir)
         tables["pca"] = _seq_pca(sf_dir)
@@ -2644,6 +2678,10 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "kg_components": f"""
             SELECT entity_id, component FROM {_g('components')}
+        """,
+        "tx_winnow_pairs": f"""
+            SELECT doc_a, doc_b, n_shared FROM {_g('winnow_pairs')}
+            ORDER BY doc_a, doc_b
         """,
         "tx_fingerprints": f"""
             SELECT doc_id, fp_min, n_fps FROM {_g('fingerprints')}

@@ -466,6 +466,14 @@ def dd_simhash_keep(sf_dir: str):
     )
 
 
+def tx_winnow_pairs(sf_dir: str):
+    """Cross-document MOSS winnowing pairs (stages/textstats.winnow_pairs):
+    documents sharing >= WN_MIN_SHARED selected fingerprints, with
+    corpus-common fingerprints (posting list > WN_CAP) dropped before pair
+    generation. Golden-file oracle (goldens._seq_winnow_pairs)."""
+    return textstats.winnow_pairs(sf_dir)
+
+
 def tx_fingerprints(sf_dir: str):
     return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         textstats.fingerprint_batch, batch_format="pyarrow"
@@ -1009,6 +1017,7 @@ QUERIES = {
     "dd_minhash_keep": dd_minhash_keep,
     "dd_simhash_keep": dd_simhash_keep,
     "tx_fingerprints": tx_fingerprints,
+    "tx_winnow_pairs": tx_winnow_pairs,
     "tx_zlib_ratio": tx_zlib_ratio,
     "sk_hll_users": sk_hll_users,
     "sk_hll_terms": sk_hll_terms,

@@ -115,10 +115,12 @@ _FP_BASE = np.uint64(1_000_003)
 _FP_WINDOW = 8  # k-gram window for winnowing
 
 
-def fingerprint(text: str, window: int = _FP_WINDOW) -> tuple[int, int]:
-    """(min_fingerprint, n_distinct_fingerprints) via polynomial rolling hash
-    over token k-grams + winnowing minima. Deterministic; shifting the text
-    by whole tokens preserves interior fingerprints (tested)."""
+def winnow_set(text: str, window: int = _FP_WINDOW) -> list[int]:
+    """Sorted distinct winnowed fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: local algorithms for document fingerprinting"):
+    polynomial rolling hash over token k-grams, then the minimum of each
+    sliding window of ``window`` gram hashes. The shared pure kernel for
+    fingerprint() and the cross-document pair detector."""
     import hashlib
 
     toks = _TOKEN_RE.findall(text.lower())
@@ -141,7 +143,15 @@ def fingerprint(text: str, window: int = _FP_WINDOW) -> tuple[int, int]:
     mins = set()
     for i in range(max(1, n - window + 1)):
         mins.add(int(np.min(grams[i : i + window])))
-    return min(mins), len(mins)
+    return sorted(mins)
+
+
+def fingerprint(text: str, window: int = _FP_WINDOW) -> tuple[int, int]:
+    """(min_fingerprint, n_distinct_fingerprints) via the winnow_set
+    kernel. Deterministic; shifting the text by whole tokens preserves
+    interior fingerprints (tested)."""
+    mins = winnow_set(text, window)
+    return mins[0], len(mins)
 
 
 def fingerprint_batch(t: pa.Table) -> pa.Table:
@@ -198,3 +208,85 @@ def term_count_partial(t: "pa.Table") -> "pa.Table":
             "n_p": pa.array(list(counts.values()), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document winnowing pairs — the MOSS shape: two documents that share
+# >= WN_MIN_SHARED selected fingerprints are copy/plagiarism candidates.
+# Scale shape: (fingerprint, doc) postings into ONE fingerprint-keyed
+# groupby; a posting list longer than WN_CAP is a corpus-common fingerprint
+# (boilerplate) and is DROPPED before pair generation — the same hot-bucket
+# cap as the LSH band path, and the documented bound that keeps pair
+# generation O(cap^2) per fingerprint instead of all-pairs.
+# ---------------------------------------------------------------------------
+
+WN_CAP = 64
+WN_MIN_SHARED = 2
+
+
+def winnow_pairs(sf_dir_or_ds, table: str = "documents") -> pa.Table:
+    """(doc_a, doc_b, n_shared) for document pairs sharing >= WN_MIN_SHARED
+    winnowed fingerprints, sorted. doc_a < doc_b."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.tables import read_table
+
+    docs = (
+        sf_dir_or_ds
+        if isinstance(sf_dir_or_ds, rd.Dataset)
+        else read_table(sf_dir_or_ds, table, columns=["doc_id", "text"])
+    )
+
+    def postings(t: pa.Table) -> pa.Table:
+        fps, ids = [], []
+        for doc_id, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            for fp in winnow_set(text):
+                fps.append(fp)
+                ids.append(doc_id)
+        return pa.table(
+            {
+                "fp": pa.array(np.asarray(fps, np.uint64), pa.uint64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(df) -> pa.Table:
+        ids = sorted(set(df["doc_id"].tolist()))
+        if len(ids) < 2 or len(ids) > WN_CAP:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n_p": pa.array([], pa.int64()),
+                }
+            )
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "n_p": pa.array(np.ones(len(a), np.int64), pa.int64()),
+            }
+        )
+
+    res = (
+        docs.map_batches(postings, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n_p", alias_name="n_shared"))
+        .filter(expr=f"n_shared >= {WN_MIN_SHARED}")
+        .sort(["a", "b"])
+    )
+    t = pa.concat_tables(
+        [b for b in res.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    return t.rename_columns(["doc_a", "doc_b", "n_shared"])

@@ -60,3 +60,40 @@ def test_fingerprint_deterministic_and_shift_stable():
     out = textstats.fingerprint_batch(t).to_pydict()
     assert out["n_fps"][0] > 0 and out["n_fps"][1] > 0
     assert m1 == f1[0]
+
+
+class TestWinnowPairs:
+    def test_kernel_contains_min_and_sorted(self):
+        from agenticknowledgegraphconstructionsystem_ray.stages.textstats import (
+            fingerprint,
+            winnow_set,
+        )
+
+        txt = "the quick brown fox jumps over the lazy dog " * 5
+        s = winnow_set(txt)
+        assert s == sorted(s) and len(s) == len(set(s))
+        assert fingerprint(txt) == (s[0], len(s))
+
+    def test_planted_copy_detected(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from agenticknowledgegraphconstructionsystem_ray.stages.textstats import (
+            winnow_pairs,
+        )
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
+        other = ("one two three four five six seven eight nine ten eleven "
+                 "twelve thirteen fourteen fifteen sixteen " * 3)
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([base, base + " phi chi psi", other]),
+            }
+        )
+        got = winnow_pairs(rd.from_arrow(docs)).to_pylist()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+        assert (1, 2) in pairs
+        assert all(p in {(1, 2), (1, 3), (2, 3)} for p in pairs)
+        assert (1, 3) not in pairs and (2, 3) not in pairs
