@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
@@ -52,6 +53,140 @@ def q22_orders_lineitem_join(sf_dir: str):
     return (
         joined.groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_items"), Sum("rev_c", alias_name="revenue_c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ta_bucketed_join: sort-merge-bucket (SMB) layout join — the shuffle-free
+# repeat-join pattern. Layout ONCE: both sides written as hash-bucketed
+# hive-partitioned Parquet (bkt = orderkey % SMB_BUCKETS; marker-guarded
+# atomic build, so repeat queries reuse it). Join: one independent task per
+# bucket, each doing a PRUNED columnar read of exactly its own
+# (orders, lineitem) bucket pair + a local Arrow hash join + a per-priority
+# combiner partial — ZERO all-to-all at query time; the only shuffle left
+# is the 5-row priority merge. This is the layout-amortization answer to
+# q22's per-query shuffle join: pick ONE partitioning key at ingest,
+# co-locate both tables by it, and every subsequent join on that key is
+# embarrassingly parallel (bucket count scales the parallelism; at 100 TB
+# the bucketed write happens once per crawl snapshot and replaces a
+# corpus-sized exchange on EVERY downstream join). Identical result to
+# q22 — same SQL oracle.
+# ---------------------------------------------------------------------------
+
+SMB_BUCKETS = 32
+
+
+def _smb_layout(sf_dir: str) -> str:
+    """Build (or reuse) the bucketed layout for orders + prepped lineitem.
+    Atomic: built under <root>.tmp then renamed; a _DONE marker records the
+    bucketing contract (key, bucket count) the join tasks rely on."""
+    import json
+    import os
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/agkg_smb/{tag}"
+    marker = os.path.join(root, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("buckets") == SMB_BUCKETS and meta.get("key") == "orderkey":
+            return root
+        shutil.rmtree(root, ignore_errors=True)
+
+    tmp = root + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+
+    def bucket_orders(t: pa.Table) -> pa.Table:
+        # SMB_BUCKETS is a power of two -> key % B == key & (B-1)
+        bkt = pc.cast(
+            pc.bit_wise_and(t["o_orderkey"], pa.scalar(SMB_BUCKETS - 1)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "bkt": bkt,
+            }
+        )
+
+    def bucket_lineitem(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        bkt = pc.cast(
+            pc.bit_wise_and(t["l_orderkey"], pa.scalar(SMB_BUCKETS - 1)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev_c": cents(disc), "bkt": bkt}
+        )
+
+    read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        bucket_orders, batch_format="pyarrow"
+    ).write_parquet(os.path.join(tmp, "orders"), partition_cols=["bkt"])
+    read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(bucket_lineitem, batch_format="pyarrow").write_parquet(
+        os.path.join(tmp, "lineitem"), partition_cols=["bkt"]
+    )
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        json.dump({"buckets": SMB_BUCKETS, "key": "orderkey"}, f)
+    os.rename(tmp, root)
+    return root
+
+
+def ta_bucketed_join(sf_dir: str):
+    """q22's aggregate computed over the SMB layout: per-bucket local joins,
+    no join-time shuffle. See the section comment for the scale contract."""
+    root = _smb_layout(sf_dir)
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        prios: list[str] = []
+        n_p: list[int] = []
+        rev_p: list[int] = []
+        for b in t["bkt"].to_pylist():
+            o = pads.dataset(
+                f"{root}/orders", partitioning="hive"
+            ).to_table(
+                filter=pads.field("bkt") == b,
+                columns=["o_orderkey", "o_orderpriority"],
+            )
+            li = pads.dataset(
+                f"{root}/lineitem", partitioning="hive"
+            ).to_table(
+                filter=pads.field("bkt") == b, columns=["l_orderkey", "rev_c"]
+            )
+            j = li.join(
+                o, keys=["l_orderkey"], right_keys=["o_orderkey"],
+                join_type="inner",
+            )
+            g = pa.TableGroupBy(j, "o_orderpriority").aggregate(
+                [("rev_c", "sum"), ("rev_c", "count")]
+            )
+            prios.extend(g["o_orderpriority"].to_pylist())
+            rev_p.extend(g["rev_c_sum"].to_pylist())
+            n_p.extend(g["rev_c_count"].to_pylist())
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(prios, pa.string()),
+                "n_p": pa.array(n_p, pa.int64()),
+                "rev_p": pa.array(rev_p, pa.int64()),
+            }
+        )
+
+    buckets = rd.from_items([{"bkt": i} for i in range(SMB_BUCKETS)])
+    return (
+        buckets.map_batches(join_bucket, batch_size=1, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_p", alias_name="n_items"),
+            Sum("rev_p", alias_name="revenue_c"),
+        )
     )
 
 
@@ -828,6 +963,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority
     """,
+    # identical semantics to q22 — the SMB layout must not change the answer
+    "ta_bucketed_join": """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
     "q23_ngram_jaccard_pairs": f"""
         WITH t AS (SELECT doc_id, n_chars AS bucket, {_WS_DISTINCT} AS ws
                    FROM documents)
@@ -995,6 +1137,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "q22_orders_lineitem_join": q22_orders_lineitem_join,
+    "ta_bucketed_join": ta_bucketed_join,
     "q23_ngram_jaccard_pairs": q23_ngram_jaccard_pairs,
     "q24_embedding_near_dup": q24_embedding_near_dup,
     "q25_langid": q25_langid,
@@ -1188,6 +1331,172 @@ ORACLE_SQL["sk_kmv_users"] = f"""
                      (SELECT {_KMV_VAL_SQL} FROM (SELECT hk AS hx))
                 END AS BIGINT) AS kmv_est
     FROM kth ORDER BY event_type
+"""
+
+
+SETOP_A = "click"
+SETOP_B = "view"
+
+
+def sk_set_ops(sf_dir: str) -> pa.Table:
+    """KMV sketch set operations (Beyer et al. 2007, "On synopses for
+    distinct-value estimation under multiset operations"): estimate
+    |A ∪ B| and |A ∩ B| of two event-type user sets from two K-minimum-
+    values sketches, with the exact counts as certificates.
+
+    Sketch algebra: sketch(A ∪ B) = K smallest of (sketch_A ∪ sketch_B);
+    est_inter = c * est_union // |U| where c counts union-sketch members
+    present in BOTH side sketches. Every step is deterministic digest
+    ordering + integer arithmetic, so the SQL oracle reproduces it
+    bit-exactly; when the union sketch is unsaturated both estimates
+    degrade to the exact counts by construction.
+
+    Shape: ONE user-keyed shuffle. Per-block partials pre-dedup to
+    (user, in_A, in_B) rows; groupby(u) ORs the side bits via Max; the
+    aggregated stream is consumed by a per-block finalizer that emits a
+    bounded partial (one count row + ≤2K capped sketch rows), so the
+    driver merge is O(blocks · K) digests regardless of corpus size."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def bit_partial(t: pa.Table) -> pa.Table:
+        # block-local dedup: one (u, b1, b2) row per distinct user
+        ua = set(
+            pc.unique(
+                t.filter(pc.equal(t["event_type"], SETOP_A))["user_id"]
+            ).to_pylist()
+        )
+        ub = set(
+            pc.unique(
+                t.filter(pc.equal(t["event_type"], SETOP_B))["user_id"]
+            ).to_pylist()
+        )
+        us = sorted(ua | ub)
+        return pa.table(
+            {
+                "u": pa.array(us, pa.int64()),
+                "b1": pa.array([1 if x in ua else 0 for x in us], pa.int64()),
+                "b2": pa.array([1 if x in ub else 0 for x in us], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bit_partial, batch_format="pyarrow")
+        .groupby("u")
+        # cross-block OR of a 0/1 bit is exactly Max
+        .aggregate(Max("b1", alias_name="b1"), Max("b2", alias_name="b2"))
+    )
+
+    def finalize_partial(t: pa.Table) -> pa.Table:
+        us = t["u"].to_pylist()
+        b1 = t["b1"].to_pylist()
+        b2 = t["b2"].to_pylist()
+        n_u = len(us)
+        n_i = sum(1 for x, y in zip(b1, b2) if x and y)
+        ha = sorted(
+            hashlib.md5(str(u).encode()).hexdigest()
+            for u, x in zip(us, b1) if x
+        )[:KMV_K]
+        hb = sorted(
+            hashlib.md5(str(u).encode()).hexdigest()
+            for u, y in zip(us, b2) if y
+        )[:KMV_K]
+        sides = [-1] + [0] * len(ha) + [1] * len(hb)
+        return pa.table(
+            {
+                "side": pa.array(sides, pa.int64()),
+                "hx": pa.array([""] + ha + hb, pa.string()),
+                "n_u": pa.array([n_u] + [0] * (len(sides) - 1), pa.int64()),
+                "n_i": pa.array([n_i] + [0] * (len(sides) - 1), pa.int64()),
+            }
+        )
+
+    rows = agg.map_batches(finalize_partial, batch_format="pyarrow").take_all()
+    exact_union = sum(r["n_u"] for r in rows if r["side"] == -1)
+    exact_inter = sum(r["n_i"] for r in rows if r["side"] == -1)
+    sa = set(sorted({r["hx"] for r in rows if r["side"] == 0})[:KMV_K])
+    sb = set(sorted({r["hx"] for r in rows if r["side"] == 1})[:KMV_K])
+    u = sorted(sa | sb)[:KMV_K]
+    nu = len(u)
+    if nu >= KMV_K:
+        est_union = (KMV_K - 1) * _KMV_M // _kmv_val(u[-1])
+    else:
+        est_union = nu
+    c = sum(1 for h in u if h in sa and h in sb)
+    est_inter = c * est_union // nu if nu else 0
+    return pa.table(
+        {
+            "type_a": pa.array([SETOP_A], pa.string()),
+            "type_b": pa.array([SETOP_B], pa.string()),
+            "exact_union": pa.array([exact_union], pa.int64()),
+            "est_union": pa.array([est_union], pa.int64()),
+            "exact_inter": pa.array([exact_inter], pa.int64()),
+            "est_inter": pa.array([est_inter], pa.int64()),
+            "k": pa.array([KMV_K], pa.int64()),
+        }
+    )
+
+
+QUERIES["sk_set_ops"] = sk_set_ops
+
+ORACLE_SQL["sk_set_ops"] = f"""
+    WITH h AS (
+        SELECT DISTINCT
+               CASE WHEN event_type = '{SETOP_A}' THEN 0 ELSE 1 END AS side,
+               md5(CAST(user_id AS VARCHAR)) AS hx
+        FROM events WHERE event_type IN ('{SETOP_A}', '{SETOP_B}')
+    ),
+    sk AS (
+        SELECT side, hx FROM (
+            SELECT side, hx,
+                   row_number() OVER (PARTITION BY side ORDER BY hx) AS rk
+            FROM h
+        ) WHERE rk <= {KMV_K}
+    ),
+    usk AS (
+        SELECT hx FROM (
+            SELECT hx, row_number() OVER (ORDER BY hx) AS rk
+            FROM (SELECT DISTINCT hx FROM sk)
+        ) WHERE rk <= {KMV_K}
+    ),
+    ustat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nu, MAX(hx) AS hmax FROM usk
+    ),
+    cstat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c FROM usk
+        WHERE hx IN (SELECT hx FROM sk WHERE side = 0)
+          AND hx IN (SELECT hx FROM sk WHERE side = 1)
+    ),
+    eu AS (
+        SELECT CAST(CASE WHEN nu < {KMV_K} THEN nu
+                    ELSE ({KMV_K} - 1) * {_KMV_M} //
+                         (SELECT {_KMV_VAL_SQL} FROM (SELECT hmax AS hx))
+                    END AS BIGINT) AS est_union,
+               nu
+        FROM ustat
+    ),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+               CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS exact_inter
+        FROM (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = '{SETOP_A}' THEN 1 ELSE 0 END) AS a,
+                   MAX(CASE WHEN event_type = '{SETOP_B}' THEN 1 ELSE 0 END) AS b
+            FROM events WHERE event_type IN ('{SETOP_A}', '{SETOP_B}')
+            GROUP BY user_id
+        )
+    )
+    SELECT '{SETOP_A}' AS type_a, '{SETOP_B}' AS type_b,
+           ex.exact_union, eu.est_union, ex.exact_inter,
+           CAST(CASE WHEN eu.nu = 0 THEN 0
+                ELSE cstat.c * eu.est_union // eu.nu END AS BIGINT) AS est_inter,
+           CAST({KMV_K} AS BIGINT) AS k
+    FROM ex, eu, cstat
 """
 
 

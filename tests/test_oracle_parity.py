@@ -93,6 +93,8 @@ FAST_QUERIES = [
     "q95_price_band_selfjoin",
     "q96_anomaly_hours",
     "ta_curate",
+    "sk_set_ops",
+    "ta_bucketed_join",
 ]
 
 
@@ -129,3 +131,35 @@ def test_query_matches_duckdb(entrymod, con, name):
         a, b = mine[c], ref[c]
         assert a.type == b.type, f"{name}.{c}: dtype {a.type} vs {b.type}"
         assert a.equals(b), f"{name}.{c}: values differ"
+
+
+def test_smb_layout_reused_and_invalidated(entrymod, ray_session):
+    """The bucketed-join layout is built once (marker-guarded) and reused on
+    repeat queries; a marker with a different bucketing contract forces a
+    rebuild instead of being silently trusted."""
+    import json
+    import os
+    import shutil
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import training
+
+    tag = os.path.basename(os.path.normpath(SF))
+    root = f"/tmp/agkg_smb/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    first = _canon(_to_arrow(entrymod.queries()["ta_bucketed_join"](SF)))
+    marker = os.path.join(root, "_DONE")
+    assert os.path.exists(marker)
+    mtime = os.path.getmtime(marker)
+
+    second = _canon(_to_arrow(entrymod.queries()["ta_bucketed_join"](SF)))
+    assert os.path.getmtime(marker) == mtime, "layout was rebuilt on reuse"
+    assert first.equals(second)
+
+    # contract mismatch (different bucket count) must trigger a rebuild
+    with open(marker, "w") as f:
+        json.dump({"buckets": training.SMB_BUCKETS + 1, "key": "orderkey"}, f)
+    third = _canon(_to_arrow(entrymod.queries()["ta_bucketed_join"](SF)))
+    with open(marker) as f:
+        assert json.load(f)["buckets"] == training.SMB_BUCKETS
+    assert first.equals(third)
