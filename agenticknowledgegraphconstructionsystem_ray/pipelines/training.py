@@ -191,6 +191,57 @@ def ta_bucketed_join(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# ta_pruned_scan: predicate + projection pushdown at the READ — the "prune
+# at the read" contract made a first-class, oracle-checked operator. The
+# filter is a pyarrow dataset expression handed to read_parquet, so it is
+# evaluated by the Parquet fragment scanner against row-group/page
+# statistics BEFORE blocks enter the object store: at 100 TB a one-year
+# predicate over a time-partitioned crawl skips ~all files/row-groups and
+# the pipeline never pays object-store traffic for the pruned rows (vs a
+# post-read ds.filter, which ships every block first). Columns are pruned
+# to the 4 of 11 the aggregate needs.
+# ---------------------------------------------------------------------------
+
+_PRUNE_LO = "1995-01-01"
+_PRUNE_HI = "1996-01-01"
+
+
+def ta_pruned_scan(sf_dir: str):
+    """Revenue by return flag over one shipdate year — filter + projection
+    pushed into the Parquet scan itself."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import table_path
+
+    lo = _dt.datetime.fromisoformat(_PRUNE_LO)
+    hi = _dt.datetime.fromisoformat(_PRUNE_HI)
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {"l_returnflag": t["l_returnflag"], "rev_c": cents(disc)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n_items"), Sum("rev_c", alias_name="revenue_c")
+        )
+        .sort("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram (word-set) Jaccard near-dup with length blocking — SQL-checkable
 # ---------------------------------------------------------------------------
 
@@ -963,6 +1014,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority
     """,
+    "ta_pruned_scan": f"""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_PRUNE_LO}'
+          AND l_shipdate <  TIMESTAMP '{_PRUNE_HI}'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     # identical semantics to q22 — the SMB layout must not change the answer
     "ta_bucketed_join": """
         SELECT o_orderpriority, COUNT(*) AS n_items,
@@ -1138,6 +1198,7 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "q22_orders_lineitem_join": q22_orders_lineitem_join,
     "ta_bucketed_join": ta_bucketed_join,
+    "ta_pruned_scan": ta_pruned_scan,
     "q23_ngram_jaccard_pairs": q23_ngram_jaccard_pairs,
     "q24_embedding_near_dup": q24_embedding_near_dup,
     "q25_langid": q25_langid,

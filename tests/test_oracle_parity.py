@@ -95,6 +95,7 @@ FAST_QUERIES = [
     "ta_curate",
     "sk_set_ops",
     "ta_bucketed_join",
+    "ta_pruned_scan",
 ]
 
 
