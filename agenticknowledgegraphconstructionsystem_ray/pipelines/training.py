@@ -190,6 +190,136 @@ def ta_bucketed_join(sf_dir: str):
     )
 
 
+TOPN_ORDERS = 10
+
+
+def ta_bucketed_topn(sf_dir: str):
+    """Second consumer of the SAME bucketed layout: top-N orders by
+    revenue. Each bucket task groupby-sums ITS OWN lineitem bucket locally
+    and keeps only its top N (a per-bucket combiner — correct because every
+    orderkey lives in exactly one bucket, the layout's co-location
+    guarantee), so the driver merge sees B·N candidate rows regardless of
+    corpus size. Demonstrates the layout-amortization contract: one
+    partitioned write at ingest serves BOTH the join (ta_bucketed_join)
+    and this rollup with zero query-time all-to-all."""
+    root = _smb_layout(sf_dir)
+
+    def topn_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        keys: list[int] = []
+        revs: list[int] = []
+        for b in t["bkt"].to_pylist():
+            li = pads.dataset(
+                f"{root}/lineitem", partitioning="hive"
+            ).to_table(
+                filter=pads.field("bkt") == b, columns=["l_orderkey", "rev_c"]
+            )
+            g = pa.TableGroupBy(li, "l_orderkey").aggregate([("rev_c", "sum")])
+            order = pc.sort_indices(
+                g,
+                sort_keys=[("rev_c_sum", "descending"), ("l_orderkey", "ascending")],
+            )[:TOPN_ORDERS]
+            top = g.take(order)
+            keys.extend(top["l_orderkey"].to_pylist())
+            revs.extend(top["rev_c_sum"].to_pylist())
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "revenue_c": pa.array(revs, pa.int64()),
+            }
+        )
+
+    buckets = rd.from_items([{"bkt": i} for i in range(SMB_BUCKETS)])
+    cand = buckets.map_batches(
+        topn_bucket, batch_size=1, batch_format="pyarrow"
+    ).take_all()  # B·N rows — bounded by bucket count, not corpus
+    cand.sort(key=lambda r: (-r["revenue_c"], r["o_orderkey"]))
+    top = cand[:TOPN_ORDERS]
+    return pa.table(
+        {
+            "o_orderkey": pa.array([r["o_orderkey"] for r in top], pa.int64()),
+            "revenue_c": pa.array([r["revenue_c"] for r in top], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# ta_global_shuffle: seeded deterministic corpus shuffle — the epoch-order
+# randomization a training run applies before packing. Position = rank of
+# md5(seed || doc_id): reproducible at any parallelism (hash rank is a
+# property of the row, not of block order), verifiable in SQL, and
+# shuffle-cost = ONE corpus-wide sort of (doc_id, 16-byte digest) rows —
+# text never moves; the trainer reads docs by shuffled shard manifest.
+# Emits (doc_id, shard, pos_in_shard) for SHUF_SHARDS equal-size shards
+# (ragged tail in the last shard).
+# ---------------------------------------------------------------------------
+
+SHUF_SEED = "epoch0"
+SHUF_SHARDS = 8
+
+
+def ta_global_shuffle(sf_dir: str):
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hx = [
+            hashlib.md5(f"{SHUF_SEED}:{i}".encode()).hexdigest() for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "hx": pa.array(hx, pa.string()),
+            }
+        )
+
+    keyed = ds.map_batches(key_rows, batch_format="pyarrow").sort("hx").materialize()
+
+    # global rank via block-offset prefix scan (the q45 pack-offsets shape):
+    # one int per block to the driver, then each block labels its rows from
+    # its own offset REMOTELY — blocks never ride to the driver.
+    import ray as _ray
+
+    refs = keyed.to_arrow_refs()
+
+    @_ray.remote
+    def _blockrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @_ray.remote
+    def _label(t: pa.Table, off: int, per_shard: int) -> pa.Table:
+        if not t.num_rows or "doc_id" not in t.column_names:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("shard", pa.int64()),
+                    ("pos_in_shard", pa.int64()),
+                ]
+            ).empty_table()
+        rank = np.arange(off, off + t.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shard": pa.array(rank // per_shard, pa.int64()),
+                "pos_in_shard": pa.array(rank % per_shard, pa.int64()),
+            }
+        )
+
+    sizes = _ray.get([_blockrows.remote(r) for r in refs])
+    n = int(sum(sizes))
+    per_shard = max(1, (n + SHUF_SHARDS - 1) // SHUF_SHARDS)
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]) if sizes else []
+    return rd.from_arrow_refs(
+        [
+            _label.remote(r, int(o), per_shard)
+            for r, o in zip(refs, offsets)
+        ]
+    ).sort("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # ta_pruned_scan: predicate + projection pushdown at the READ — the "prune
 # at the read" contract made a first-class, oracle-checked operator. The
@@ -1014,6 +1144,30 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority
     """,
+    # per-bucket top-N + bounded merge must equal the global top-N
+    "ta_bucketed_topn": f"""
+        SELECT l_orderkey AS o_orderkey,
+               CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY revenue_c DESC, o_orderkey
+        LIMIT {TOPN_ORDERS}
+    """,
+    # seeded hash-rank shuffle: reproducible at any parallelism
+    "ta_global_shuffle": f"""
+        WITH r AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5('{SHUF_SEED}:' || CAST(doc_id AS VARCHAR))
+                   ) - 1 AS rk,
+                   COUNT(*) OVER () AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(rk // GREATEST(1, (n + {SHUF_SHARDS - 1}) // {SHUF_SHARDS}) AS BIGINT) AS shard,
+               CAST(rk % GREATEST(1, (n + {SHUF_SHARDS - 1}) // {SHUF_SHARDS}) AS BIGINT) AS pos_in_shard
+        FROM r ORDER BY doc_id
+    """,
     "ta_pruned_scan": f"""
         SELECT l_returnflag, COUNT(*) AS n_items,
                CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_c
@@ -1198,7 +1352,9 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "q22_orders_lineitem_join": q22_orders_lineitem_join,
     "ta_bucketed_join": ta_bucketed_join,
+    "ta_bucketed_topn": ta_bucketed_topn,
     "ta_pruned_scan": ta_pruned_scan,
+    "ta_global_shuffle": ta_global_shuffle,
     "q23_ngram_jaccard_pairs": q23_ngram_jaccard_pairs,
     "q24_embedding_near_dup": q24_embedding_near_dup,
     "q25_langid": q25_langid,

@@ -95,7 +95,9 @@ FAST_QUERIES = [
     "ta_curate",
     "sk_set_ops",
     "ta_bucketed_join",
+    "ta_bucketed_topn",
     "ta_pruned_scan",
+    "ta_global_shuffle",
 ]
 
 
