@@ -321,6 +321,48 @@ def ta_global_shuffle(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# ta_table_checksum: order-invariant content checksum — the anti-entropy
+# primitive for verifying a replicated / re-partitioned / migrated copy of
+# a table without moving it: checksum = Σ md5(doc_id ‖ ':' ‖ text)[:14 hex]
+# mod (2^61−1). Addition is commutative, so the result is independent of
+# block order and parallelism; per-block partials are two ints, so a
+# 100-TB comparison ships O(blocks) ints per side. Mersenne-prime modulus
+# keeps the running sum in int64-safe range while staying exactly
+# reproducible in SQL via HUGEINT arithmetic.
+# ---------------------------------------------------------------------------
+
+_CKSUM_MOD = (1 << 61) - 1
+
+
+def ta_table_checksum(sf_dir: str):
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = 0
+        for i, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            hx = hashlib.md5(f"{i}:{tx}".encode()).hexdigest()
+            s = (s + int(hx[:14], 16)) % _CKSUM_MOD
+        return pa.table(
+            {
+                "n_p": pa.array([t.num_rows], pa.int64()),
+                "s_p": pa.array([s], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n_p"] for r in rows)
+    s = sum(r["s_p"] for r in rows) % _CKSUM_MOD
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "checksum": pa.array([s], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # ta_pruned_scan: predicate + projection pushdown at the READ — the "prune
 # at the read" contract made a first-class, oracle-checked operator. The
 # filter is a pyarrow dataset expression handed to read_parquet, so it is
@@ -1355,6 +1397,7 @@ QUERIES = {
     "ta_bucketed_topn": ta_bucketed_topn,
     "ta_pruned_scan": ta_pruned_scan,
     "ta_global_shuffle": ta_global_shuffle,
+    "ta_table_checksum": ta_table_checksum,
     "q23_ngram_jaccard_pairs": q23_ngram_jaccard_pairs,
     "q24_embedding_near_dup": q24_embedding_near_dup,
     "q25_langid": q25_langid,
@@ -1524,6 +1567,17 @@ _KMV_VAL_SQL = " + ".join(
     f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1) * {16 ** (13 - i)}"
     for i in range(14)
 )
+
+ORACLE_SQL["ta_table_checksum"] = f"""
+    WITH h AS (
+        SELECT md5(CAST(doc_id AS VARCHAR) || ':' || text) AS hx
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(({_KMV_VAL_SQL}) AS HUGEINT))
+                % {_CKSUM_MOD} AS BIGINT) AS checksum
+    FROM h
+"""
 
 ORACLE_SQL["sk_kmv_users"] = f"""
     WITH h AS (

@@ -98,6 +98,7 @@ FAST_QUERIES = [
     "ta_bucketed_topn",
     "ta_pruned_scan",
     "ta_global_shuffle",
+    "ta_table_checksum",
 ]
 
 
