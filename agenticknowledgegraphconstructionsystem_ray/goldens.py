@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "41"  # v41: + betweenness, winnow_pairs
+GOLDEN_VERSION = "43"  # v42: + video_pairs; v43: video stride 1
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -1572,6 +1572,49 @@ def _seq_dhash_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def _seq_video_pairs(sf_dir: str) -> pa.Table:
+    """Sequential cross-video frame-overlap near-dup golden: shares
+    build_media_batch, FrameSampler and frame_hash with the distributed
+    path; postings capped and thresholded with the same constants."""
+    from .stages.multimodal import (
+        VF_MIN_SHARED,
+        VF_POST_CAP,
+        VF_STRIDE,
+        FrameSampler,
+        build_media_batch,
+        frame_hash,
+    )
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+    media = build_media_batch(docs)
+    frames = FrameSampler(stride=VF_STRIDE)(media)
+    posts: dict[int, set[int]] = {}
+    for mid, fr in zip(
+        frames["media_id"].to_pylist(), frames["frame"].to_pylist()
+    ):
+        posts.setdefault(frame_hash(fr), set()).add(mid)
+    counts: dict[tuple[int, int], int] = {}
+    for mids in posts.values():
+        if len(mids) < 2 or len(mids) > VF_POST_CAP:
+            continue
+        ms = sorted(mids)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                k = (ms[i], ms[j])
+                counts[k] = counts.get(k, 0) + 1
+    keys = sorted(k for k, v in counts.items() if v >= VF_MIN_SHARED)
+    return pa.table(
+        {
+            "id_a": pa.array([k[0] for k in keys], pa.int64()),
+            "id_b": pa.array([k[1] for k in keys], pa.int64()),
+            "n_shared": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
 def _seq_cdc(sf_dir: str) -> pa.Table:
     """Sequential gear-CDC chunk-dedup golden: one-process pass with the
     SHARED chunking kernel (stages/cdc.doc_chunk_rows); global first
@@ -2019,6 +2062,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["rrf"] = _seq_rrf(sf_dir)
         tables["dhash"] = _seq_dhash(sf_dir)
         tables["dhash_pairs"] = _seq_dhash_pairs(sf_dir)
+        tables["video_pairs"] = _seq_video_pairs(sf_dir)
         tables["cdc"] = _seq_cdc(sf_dir)
         tables["mm_decode"] = _seq_media_decode(sf_dir)
         tables["mm_resize"] = _seq_media_resize(sf_dir)
@@ -2759,6 +2803,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "mm_dhash_pairs": f"""
             SELECT id_a, id_b, hamming FROM {_g('dhash_pairs')}
+        """,
+        "mm_video_pairs": f"""
+            SELECT id_a, id_b, n_shared FROM {_g('video_pairs')}
         """,
         "tx_cdc": f"""
             SELECT doc_id, n_chunks, n_bytes, dup_chunks, dup_bytes

@@ -1132,6 +1132,14 @@ def mm_dhash_pairs(sf_dir: str):
     return imagehash.dhash_pairs(sf_dir)
 
 
+def mm_video_pairs(sf_dir: str):
+    """Cross-video near-dup via sampled-frame fingerprints (shot-level
+    dedup: videos sharing >= VF_MIN_SHARED frame hashes, hot postings
+    capped — stages/multimodal.video_near_dups). Golden-file oracle with
+    shared build/sample/hash kernels (goldens._seq_video_pairs)."""
+    return multimodal.video_near_dups(sf_dir)
+
+
 def tx_cdc(sf_dir: str):
     """Gear-CDC chunk dedup rollup (stages/cdc.cdc_dedup_stats): per-doc
     (n_chunks, n_bytes, dup_chunks, dup_bytes) where dup = not the global
@@ -1442,6 +1450,7 @@ QUERIES = {
     "ann_rrf_topk": ann_rrf_topk,
     "mm_dhash": mm_dhash,
     "mm_dhash_pairs": mm_dhash_pairs,
+    "mm_video_pairs": mm_video_pairs,
     "tx_cdc": tx_cdc,
     "dd_semdedup": dd_semdedup,
 }

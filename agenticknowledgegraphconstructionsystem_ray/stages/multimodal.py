@@ -474,6 +474,112 @@ def sampled_frames(sf_dir: str, stride: int = 4):
     return frames.groupby("media_id").aggregate(Count(alias_name="n_sampled_frames"))
 
 
+# ---------------------------------------------------------------------------
+# Cross-video near-dup via sampled-frame fingerprints (shot-level dedup):
+# two videos are near-dups when they share >= VF_MIN_SHARED sampled-frame
+# hashes. The posting list of a frame hash is capped at VF_POST_CAP videos
+# — corpus-common frames (shared intros / boilerplate segments) would
+# otherwise generate quadratic pairs from exactly the least-discriminative
+# evidence (the tx_winnow_pairs hot-posting rule applied to frames).
+# ---------------------------------------------------------------------------
+
+# stride 1: shot-level dedup fingerprints EVERY frame (the sampler's
+# stride is a cost dial for feature extraction, not for identity —
+# skipping frames here would miss offset-aligned duplicates)
+VF_STRIDE = 1
+VF_MIN_SHARED = 2
+VF_POST_CAP = 32
+
+
+def frame_hash(frame: bytes) -> int:
+    """Shared pure kernel: 8-byte blake2b of the frame payload as a
+    non-negative int64 (top bit shifted out)."""
+    import hashlib
+
+    return (
+        int.from_bytes(hashlib.blake2b(frame, digest_size=8).digest(), "big")
+        >> 1
+    )
+
+
+def video_near_dups(sf_dir: str):
+    """(id_a, id_b, n_shared) pairs of videos sharing >= VF_MIN_SHARED
+    sampled-frame hashes, sorted. Shape: frame rows -> per-block distinct
+    (fh, media_id) partials -> ONE fh groupby (8-byte hash + id rows — the
+    frames themselves never shuffle) with capped in-group pair generation
+    -> pair-count groupby -> threshold filter. Pair volume is bounded by
+    postings * cap^2/2."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    frames = media_dataset(sf_dir).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"stride": VF_STRIDE},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+    )
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        seen: set[tuple[int, int]] = set()
+        for mid, fr in zip(t["media_id"].to_pylist(), t["frame"].to_pylist()):
+            seen.add((frame_hash(fr), mid))
+        ks = sorted(seen)
+        return pa.table(
+            {
+                "fh": pa.array([k[0] for k in ks], pa.int64()),
+                "media_id": pa.array([k[1] for k in ks], pa.int64()),
+            }
+        )
+
+    posts = (
+        frames.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby(["fh", "media_id"])
+        .aggregate(Count(alias_name="_n"))  # global distinct (fh, media_id)
+    )
+
+    def emit_pairs(g) -> dict:
+        mids = sorted(set(int(m) for m in g["media_id"]))
+        if len(mids) < 2 or len(mids) > VF_POST_CAP:
+            return {
+                "id_a": np.array([], np.int64),
+                "id_b": np.array([], np.int64),
+                "n_p": np.array([], np.int64),
+            }
+        a_idx, b_idx = np.triu_indices(len(mids), k=1)
+        mv = np.asarray(mids, np.int64)
+        return {
+            "id_a": mv[a_idx],
+            "id_b": mv[b_idx],
+            "n_p": np.ones(len(a_idx), np.int64),
+        }
+
+    pairs = (
+        posts.groupby("fh")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Sum("n_p", alias_name="n_shared"))
+    )
+
+    # pair set is candidate-bounded (<= postings * cap^2/2) — assemble the
+    # final TYPED table on the driver so an empty result keeps its schema
+    # (Ray's sort over zero matching rows loses it otherwise)
+    rows = [
+        r
+        for r in pairs.take_all()
+        if r.get("n_shared", 0) >= VF_MIN_SHARED
+    ]
+    rows.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    return pa.table(
+        {
+            "id_a": pa.array([r["id_a"] for r in rows], pa.int64()),
+            "id_b": pa.array([r["id_b"] for r in rows], pa.int64()),
+            "n_shared": pa.array([r["n_shared"] for r in rows], pa.int64()),
+        }
+    )
+
+
 class AudioStats:
     """Actor-pool audio feature extraction over REAL WAV payloads: decode
     PCM16 (functions/mediadecode.decode_wav), emit integer-exact features —
