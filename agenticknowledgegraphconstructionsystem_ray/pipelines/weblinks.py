@@ -30,6 +30,8 @@ bit-for-bit against it at sf0.01.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -90,36 +92,109 @@ def _pair_partials(t: pa.Table) -> pa.Table:
     )
 
 
-def wg_host_graph(sf_dir: str):
-    """Host->host link multiplicities (internal links appear as self-edges)."""
-    ds = pages_dataset(sf_dir)
-    return (
-        ds.map_batches(_pair_partials, batch_format="pyarrow")
-        .groupby(["src_host", "dst_host"])
-        .aggregate(Sum("n_p", alias_name="n_links"))
-        .sort(["src_host", "dst_host"])
+# ---------------------------------------------------------------------------
+# Materialized link table: the whole wg_* family derives from ONE
+# (src_host, dst_host, n_links) aggregate, so the HTML scan + pair shuffle
+# runs ONCE per corpus (marker-guarded atomic parquet under /tmp) and every
+# derived query (graph, rank, HITS, weighted rank, reciprocity, Gini,
+# concentration) reads the O(host-pairs) artifact instead of re-extracting
+# hrefs from 100 TB of HTML — the same extract-once-query-many contract the
+# KG queries already follow via kgqueries._ensure_run. Sentinel rows
+# (dst = "\\x00", n = 0) record every page's own host so node sets that
+# must include link-less pages' hosts stay derivable.
+# ---------------------------------------------------------------------------
+
+_SENTINEL = "\x00"  # not a possible netloc; tags page-host node rows
+
+
+def _sentinel_pair_partials(t: pa.Table) -> pa.Table:
+    counts: dict[tuple[str, str], int] = {}
+    for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+        src = host_of(url)
+        counts.setdefault((src, _SENTINEL), 0)
+        for _, dst, _ in resolve_outlinks(url, html):
+            k = (src, dst)
+            counts[k] = counts.get(k, 0) + 1
+    return pa.table(
+        {
+            "src_host": pa.array([k[0] for k in counts], pa.string()),
+            "dst_host": pa.array([k[1] for k in counts], pa.string()),
+            "n_p": pa.array(list(counts.values()), pa.int64()),
+        }
     )
 
 
-def _host_graph(ds: rd.Dataset):
+def _ensure_link_tables(sf_dir: str) -> str:
+    """Build (or reuse) the materialized link table for a corpus."""
+    import json
+    import shutil
+
+    sf = sf_of(sf_dir)
+    root = f"/tmp/agkg_weblinks/sf{sf:g}"
+    marker = os.path.join(root, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f).get("v") == 1:
+                return root
+        shutil.rmtree(root, ignore_errors=True)
+    tmp = root + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        pages_dataset(sf_dir)
+        .map_batches(_sentinel_pair_partials, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_p", alias_name="n_links"))
+        .write_parquet(os.path.join(tmp, "links"), compression="zstd")
+    )
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        json.dump({"v": 1}, f)
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.replace(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return root
+
+
+def _links_dataset(sf_dir: str, with_sentinels: bool = False) -> rd.Dataset:
+    """The materialized (src_host, dst_host, n_links) aggregate; sentinel
+    page-host rows are filtered unless asked for."""
+    ds = rd.read_parquet(os.path.join(_ensure_link_tables(sf_dir), "links"))
+    if with_sentinels:
+        return ds
+    return ds.filter(expr=f"dst_host != {_SENTINEL!r}")
+
+
+def wg_host_graph(sf_dir: str):
+    """Host->host link multiplicities (internal links appear as self-edges).
+    First consumer of the materialized link table — the bench segment for
+    this query times the one-per-corpus build."""
+    return _links_dataset(sf_dir).sort(["src_host", "dst_host"])
+
+
+def _host_graph(sf_dir: str):
     """(edges, nodes) id datasets of the distinct external host graph —
-    shared by wg_host_rank and wg_host_hits."""
+    shared by wg_host_rank and wg_host_hits. Derived from the materialized
+    link table: edges are the external (src != dst) pair rows; the node
+    set is every page host (sentinel rows) plus every external
+    destination — identical to the former direct-from-HTML construction
+    (internal destinations equal their page host, already present)."""
 
     def edge_rows(t: pa.Table) -> pa.Table:
-        # distinct-within-block external host pairs + every seen host as a
-        # node row (subj == obj tags a node-only row, filtered below)
         pairs: set[tuple[int, int]] = set()
         hosts: set[int] = set()
-        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-            src = host_id(host_of(url))
+        for src_h, dst_h in zip(
+            t["src_host"].to_pylist(), t["dst_host"].to_pylist()
+        ):
+            src = host_id(src_h)
             hosts.add(src)
-            for _, dst_h, internal in resolve_outlinks(url, html):
-                if internal:
-                    continue
-                dst = host_id(dst_h)
-                hosts.add(dst)
-                if dst != src:
-                    pairs.add((src, dst))
+            if dst_h == _SENTINEL or dst_h == src_h:
+                continue
+            dst = host_id(dst_h)
+            hosts.add(dst)
+            pairs.add((src, dst))
         s = [p[0] for p in pairs] + sorted(hosts)
         o = [p[1] for p in pairs] + sorted(hosts)
         is_edge = [True] * len(pairs) + [False] * len(hosts)
@@ -131,7 +206,11 @@ def _host_graph(ds: rd.Dataset):
             }
         )
 
-    tagged = ds.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    tagged = (
+        _links_dataset(sf_dir, with_sentinels=True)
+        .map_batches(edge_rows, batch_format="pyarrow")
+        .materialize()
+    )
     edges = tagged.filter(expr="is_edge == True").select_columns(
         ["subj_id", "obj_id"]
     )
@@ -146,21 +225,22 @@ def _host_graph(ds: rd.Dataset):
     return edges, nodes
 
 
-def _host_labels_for(ds: rd.Dataset, want: set[int]) -> dict[int, str]:
+def _host_labels_for(sf_dir: str, want: set[int]) -> dict[int, str]:
     """Resolve a SMALL id set back to host strings: broadcast the id set,
-    filter host occurrences distributed, collect |want| rows — never a
-    host dictionary."""
+    filter the link table's host occurrences distributed, collect |want|
+    rows — never a host dictionary."""
     want_ref = ray.put(want)
 
     def host_labels(t: pa.Table, ref=want_ref) -> pa.Table:
         w = ray.get(ref) if hasattr(ref, "hex") else ref
         seen: dict[int, str] = {}
-        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-            h = host_of(url)
-            hid = host_id(h)
+        for src_h, dst_h in zip(
+            t["src_host"].to_pylist(), t["dst_host"].to_pylist()
+        ):
+            hid = host_id(src_h)
             if hid in w:
-                seen[hid] = h
-            for _, dst_h, _ in resolve_outlinks(url, html):
+                seen[hid] = src_h
+            if dst_h != _SENTINEL:
                 did = host_id(dst_h)
                 if did in w:
                     seen[did] = dst_h
@@ -172,8 +252,10 @@ def _host_labels_for(ds: rd.Dataset, want: set[int]) -> dict[int, str]:
         )
 
     labels: dict[int, str] = {}
-    for b in ds.map_batches(host_labels, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None
+    for b in (
+        _links_dataset(sf_dir, with_sentinels=True)
+        .map_batches(host_labels, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
     ):
         labels.update(zip(b["hid"].to_pylist(), b["host"].to_pylist()))
     return labels
@@ -184,13 +266,12 @@ def wg_host_rank(sf_dir: str):
     top PR_TOP by (rank desc, host-id asc)."""
     from .graphalgo import pagerank
 
-    ds = pages_dataset(sf_dir)
-    edges, nodes = _host_graph(ds)
+    edges, nodes = _host_graph(sf_dir)
     top = pagerank(edges, nodes)  # (entity_id, rank_fp), PR_TOP rows
     top_t = pa.concat_tables(
         [b for b in top.iter_batches(batch_format="pyarrow", batch_size=None)]
     )
-    labels = _host_labels_for(ds, set(top_t["entity_id"].to_pylist()))
+    labels = _host_labels_for(sf_dir, set(top_t["entity_id"].to_pylist()))
     order = np.lexsort(
         (
             top_t["entity_id"].to_numpy(zero_copy_only=False),
@@ -215,13 +296,12 @@ def wg_host_hits(sf_dir: str):
     kg_hits."""
     from .graphalgo import hits
 
-    ds = pages_dataset(sf_dir)
-    edges, nodes = _host_graph(ds)
+    edges, nodes = _host_graph(sf_dir)
     top = hits(edges, nodes)  # (entity_id, auth_fp, hub_fp)
     top_t = pa.concat_tables(
         [b for b in top.iter_batches(batch_format="pyarrow", batch_size=None)]
     )
-    labels = _host_labels_for(ds, set(top_t["entity_id"].to_pylist()))
+    labels = _host_labels_for(sf_dir, set(top_t["entity_id"].to_pylist()))
     return pa.table(
         {
             "host": pa.array(
@@ -249,24 +329,19 @@ def wg_reciprocity(sf_dir: str):
     bitmask partial, and a two-int global reduce."""
     from ray.data.aggregate import Sum
 
-    ds = pages_dataset(sf_dir)
-
     def unordered(t: pa.Table) -> pa.Table:
+        # link-table rows are globally distinct (src, dst) pairs, so each
+        # direction bit is emitted exactly once — no dedup pass needed
         lo, hi, dmask = [], [], []
-        seen: set[tuple[str, str]] = set()
-        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-            src = host_of(url)
-            for _, dst, internal in resolve_outlinks(url, html):
-                if internal or dst == src:
-                    continue
-                k = (src, dst)
-                if k in seen:
-                    continue
-                seen.add(k)
-                a, b = (src, dst) if src < dst else (dst, src)
-                lo.append(a)
-                hi.append(b)
-                dmask.append(1 if src < dst else 2)
+        for src, dst in zip(
+            t["src_host"].to_pylist(), t["dst_host"].to_pylist()
+        ):
+            if dst == src:
+                continue
+            a, b = (src, dst) if src < dst else (dst, src)
+            lo.append(a)
+            hi.append(b)
+            dmask.append(1 if src < dst else 2)
         return pa.table(
             {
                 "lo": pa.array(lo, pa.string()),
@@ -290,12 +365,9 @@ def wg_reciprocity(sf_dir: str):
             }
         )
 
-    # distinct (pair, direction) rows first, then OR the direction bits via
-    # Sum (each bit appears at most once after the dedup groupby)
     dedup = (
-        ds.map_batches(unordered, batch_format="pyarrow")
-        .groupby(["lo", "hi", "dmask"])
-        .aggregate(Count(alias_name="_c"))
+        _links_dataset(sf_dir)
+        .map_batches(unordered, batch_format="pyarrow")
         .groupby(["lo", "hi"])
         .aggregate(Sum("dmask", alias_name="m"))
     )
@@ -452,15 +524,19 @@ def wg_outlink_concentration(sf_dir: str):
     link-share) of each host's EXTERNAL destination distribution, integer
     ppm — hhi_ppm = 1e6 * sum(n_i^2) // N^2. High = the host funnels its
     links to few destinations (link-farm / mirror signal); low = diverse.
-    Shape: reuses the distributed (src,dst,n) host-graph aggregate, then
-    per-block (src, sum_n, sum_n2, n_dst) partials -> ONE src groupby."""
+    Shape: reads the materialized (src,dst,n) link table, then per-block
+    (src, sum_n, sum_n2, n_dst) partials -> ONE src groupby."""
     from ray.data.aggregate import Sum as _Sum
 
-    graph = (
-        pages_dataset(sf_dir)
-        .map_batches(_pair_partials, batch_format="pyarrow")
-        .groupby(["src_host", "dst_host"])
-        .aggregate(_Sum("n_p", alias_name="n"))
+    graph = _links_dataset(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "src_host": t["src_host"],
+                "dst_host": t["dst_host"],
+                "n": t["n_links"],
+            }
+        ),
+        batch_format="pyarrow",
     )
 
     def partials(t: pa.Table) -> pa.Table:
@@ -543,11 +619,15 @@ def wg_indegree_gini(sf_dir: str):
     is the fully-distributed fallback)."""
     from ray.data.aggregate import Sum as _Sum
 
-    graph = (
-        pages_dataset(sf_dir)
-        .map_batches(_pair_partials, batch_format="pyarrow")
-        .groupby(["src_host", "dst_host"])
-        .aggregate(_Sum("n_p", alias_name="n"))
+    graph = _links_dataset(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "src_host": t["src_host"],
+                "dst_host": t["dst_host"],
+                "n": t["n_links"],
+            }
+        ),
+        batch_format="pyarrow",
     )
 
     def ext_dst(t: pa.Table) -> pa.Table:
@@ -601,11 +681,15 @@ def wg_host_rank_weighted(sf_dir: str):
     engine (graphalgo.pagerank_weighted)."""
     from .graphalgo import pagerank_weighted
 
-    ds = pages_dataset(sf_dir)
-    graph = (
-        ds.map_batches(_pair_partials, batch_format="pyarrow")
-        .groupby(["src_host", "dst_host"])
-        .aggregate(Sum("n_p", alias_name="n"))
+    graph = _links_dataset(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "src_host": t["src_host"],
+                "dst_host": t["dst_host"],
+                "n": t["n_links"],
+            }
+        ),
+        batch_format="pyarrow",
     )
 
     def to_ids(t: pa.Table) -> pa.Table:
@@ -650,7 +734,7 @@ def wg_host_rank_weighted(sf_dir: str):
     top_t = pa.concat_tables(
         [b for b in top.iter_batches(batch_format="pyarrow", batch_size=None)]
     )
-    labels = _host_labels_for(ds, set(top_t["entity_id"].to_pylist()))
+    labels = _host_labels_for(sf_dir, set(top_t["entity_id"].to_pylist()))
     return pa.table(
         {
             "host": pa.array(

@@ -228,7 +228,13 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         timed("q67_bloom_semijoin", assembly.q67_bloom_semijoin)
         from agenticknowledgegraphconstructionsystem_ray.pipelines import weblinks
 
+        # links are extracted ONCE per corpus into a materialized table
+        # (cleared here so the build segment is honest); every derived
+        # wg_* query then reads the O(host-pairs) artifact
+        shutil.rmtree(f"/tmp/agkg_weblinks/sf{sf:g}", ignore_errors=True)
+        timed("wg_link_tables_build", weblinks._ensure_link_tables)
         timed("wg_host_graph", weblinks.wg_host_graph)
+        timed("wg_host_rank", weblinks.wg_host_rank)
         # artifact-level full-text search: the pipeline build is cached
         # (untimed here - kg_pipeline above is the build segment); the
         # timed part is the two-stat-pass + top-k BM25 query itself
