@@ -183,3 +183,41 @@ def test_anchor_links_empty_text_and_attrs():
     html = b'<a class="z" href=/raw/7 rel="nofollow"></a>'
     got = extract_anchor_links("https://s.example/p/1", html)
     assert got == [("https://s.example/raw/7", "s.example", True, "")]
+
+
+def test_link_table_cache_reused_and_invalidated(ray_session):
+    """The materialized link table is built once (marker-guarded), reused
+    on repeat queries, and rebuilt when the marker's version contract
+    differs instead of being silently trusted."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import weblinks
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = "/tmp/agkg_weblinks/sf0.001"
+    shutil.rmtree(root, ignore_errors=True)
+
+    def as_table(ds) -> pa.Table:
+        return pa.concat_tables(
+            list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+
+    first = as_table(weblinks.wg_host_graph(sf_dir))
+    marker = os.path.join(root, "_DONE")
+    assert os.path.exists(marker)
+    mtime = os.path.getmtime(marker)
+
+    second = as_table(weblinks.wg_host_graph(sf_dir))
+    assert os.path.getmtime(marker) == mtime, "link table rebuilt on reuse"
+    assert first.equals(second)
+
+    with open(marker, "w") as f:
+        json.dump({"v": 999}, f)
+    third = as_table(weblinks.wg_host_graph(sf_dir))
+    with open(marker) as f:
+        assert json.load(f)["v"] == 1
+    assert first.equals(third)
