@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..sources.tables import read_table
 from .analytics import cents, cents_np
@@ -1315,4 +1315,86 @@ ORACLE_SQL["q96_anomaly_hours"] = f"""
     FROM h JOIN s USING (event_type)
     WHERE (s.m*h.n - s.s1)*(s.m*h.n - s.s1) > {ANOM_K2} * (s.m*s.s2 - s.s1*s.s1)
     ORDER BY h.event_type, h.hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# q97: dense time-axis gap filling — the resampling primitive every
+# monitoring / time-series pipeline needs before windowed math: per
+# event_type, one row for EVERY hour between the global min and max event
+# hour, with zero counts where nothing happened. Shape: the sparse
+# (type, hour) count series from ONE groupby; the global [lo, hi] bound is
+# a two-value reduce over series rows; each type's group materializes its
+# own dense range (state = hour-dimension x 1 type, never corpus-sized).
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def q97_gapfill_hours(sf_dir: str):
+    """(event_type, hour, n) dense hourly series with zero-filled gaps."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            }
+        )
+
+    sparse = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+        .materialize()
+    )
+    bounds = sparse.aggregate(Min("hour"), Max("hour"))
+    lo_us = int(np.datetime64(bounds["min(hour)"], "us").astype(np.int64))
+    hi_us = int(np.datetime64(bounds["max(hour)"], "us").astype(np.int64))
+
+    def fill(g) -> pa.Table:
+        et = g["event_type"].iloc[0]
+        hrs = g["hour"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ns = g["n"].to_numpy().astype(np.int64)
+        dense = np.arange(lo_us, hi_us + _HOUR_US, _HOUR_US, dtype=np.int64)
+        out = np.zeros(len(dense), np.int64)
+        out[(hrs - lo_us) // _HOUR_US] = ns
+        return pa.table(
+            {
+                "event_type": pa.array([et] * len(dense), pa.string()),
+                "hour": pa.array(dense, pa.timestamp("us")),
+                "n": pa.array(out, pa.int64()),
+            }
+        )
+
+    return (
+        sparse.groupby("event_type")
+        .map_groups(fill, batch_format="pandas")
+        .sort(["event_type", "hour"])
+    )
+
+
+QUERIES["q97_gapfill_hours"] = q97_gapfill_hours
+
+ORACLE_SQL["q97_gapfill_hours"] = """
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, h.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM types t CROSS JOIN hours h
+    LEFT JOIN cnt c ON c.event_type = t.event_type AND c.hour = h.hour
+    ORDER BY t.event_type, h.hour
 """

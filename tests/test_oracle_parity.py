@@ -92,6 +92,7 @@ FAST_QUERIES = [
     "q94_sliding_distinct",
     "q95_price_band_selfjoin",
     "q96_anomaly_hours",
+    "q97_gapfill_hours",
     "ta_curate",
     "sk_set_ops",
     "ta_bucketed_join",
