@@ -1398,3 +1398,64 @@ ORACLE_SQL["q97_gapfill_hours"] = """
     LEFT JOIN cnt c ON c.event_type = t.event_type AND c.hour = h.hour
     ORDER BY t.event_type, h.hour
 """
+
+
+# ---------------------------------------------------------------------------
+# q98: interval-union busy time — the overlap-merge primitive (union length
+# of per-event activity windows) that session counts (q30) can't express:
+# each event opens a [ts, ts+30min) activity interval; a user's busy time
+# is the length of the UNION of their intervals, overlaps merged exactly.
+# Vectorized sweep per user group: sorted starts, running-max ends,
+# contribution = max(0, end - max(start, prev_running_max)) — the same
+# integer the SQL window formula computes row by row.
+# ---------------------------------------------------------------------------
+
+BUSY_WINDOW_US = 1_800_000_000  # 30 min
+
+
+def q98_busy_time(sf_dir: str):
+    """(user_id, busy_us): exact union length of activity intervals."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def busy(g) -> dict:
+        ts = np.sort(
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        e = ts + BUSY_WINDOW_US
+        prevmax = np.concatenate(
+            [[np.iinfo(np.int64).min], np.maximum.accumulate(e)[:-1]]
+        )
+        add = np.maximum(e - np.maximum(ts, prevmax), 0)
+        return {
+            "user_id": np.array([int(g["user_id"].iloc[0])], np.int64),
+            "busy_us": np.array([int(add.sum())], np.int64),
+        }
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(busy, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+QUERIES["q98_busy_time"] = q98_busy_time
+
+ORACLE_SQL["q98_busy_time"] = f"""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {BUSY_WINDOW_US} AS e
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_max
+        FROM iv
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev_max IS NULL OR prev_max < s THEN e - s
+                         WHEN e > prev_max THEN e - prev_max
+                         ELSE 0 END) AS BIGINT) AS busy_us
+    FROM m GROUP BY user_id ORDER BY user_id
+"""

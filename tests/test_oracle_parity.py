@@ -93,6 +93,7 @@ FAST_QUERIES = [
     "q95_price_band_selfjoin",
     "q96_anomaly_hours",
     "q97_gapfill_hours",
+    "q98_busy_time",
     "ta_curate",
     "sk_set_ops",
     "ta_bucketed_join",
