@@ -1459,3 +1459,72 @@ ORACLE_SQL["q98_busy_time"] = f"""
                          ELSE 0 END) AS BIGINT) AS busy_us
     FROM m GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q99: CUBE aggregation in ONE shuffle — the OLAP companion to q69's
+# ROLLUP. Naive CUBE(lang, source) runs 4 separate groupbys (4 corpus
+# passes + 4 shuffles); the scale form expands each per-block PARTIAL row
+# into its 4 grouping-set variants (key or the ALL marker) and pays ONE
+# groupby over <= 4 x |lang x source| pre-combined rows. The expansion
+# happens AFTER block-level combining, so the shuffle volume is dimension-
+# sized, not corpus-sized.
+# ---------------------------------------------------------------------------
+
+_CUBE_ALL = "*"  # grouping-set marker (no lang/source value collides)
+
+
+def q99_cube(sf_dir: str):
+    """(lang, source, n_docs, sum_chars) for every CUBE(lang, source)
+    grouping set, ALL marked with '*'."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict[tuple[str, str], list[int]] = {}
+        for lang, src, nc in zip(
+            t["lang"].to_pylist(), t["source"].to_pylist(),
+            t["n_chars"].to_pylist(),
+        ):
+            for k in (
+                (lang, src),
+                (lang, _CUBE_ALL),
+                (_CUBE_ALL, src),
+                (_CUBE_ALL, _CUBE_ALL),
+            ):
+                a = acc.setdefault(k, [0, 0])
+                a[0] += 1
+                a[1] += nc
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in ks], pa.string()),
+                "source": pa.array([k[1] for k in ks], pa.string()),
+                "n_p": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "c_p": pa.array([acc[k][1] for k in ks], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            _Sum("n_p", alias_name="n_docs"),
+            _Sum("c_p", alias_name="sum_chars"),
+        )
+        .sort(["lang", "source"])
+    )
+
+
+QUERIES["q99_cube"] = q99_cube
+
+ORACLE_SQL["q99_cube"] = f"""
+    SELECT COALESCE(lang, '{_CUBE_ALL}') AS lang,
+           COALESCE(source, '{_CUBE_ALL}') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    ORDER BY lang, source
+"""

@@ -94,6 +94,7 @@ FAST_QUERIES = [
     "q96_anomaly_hours",
     "q97_gapfill_hours",
     "q98_busy_time",
+    "q99_cube",
     "ta_curate",
     "sk_set_ops",
     "ta_bucketed_join",
