@@ -207,3 +207,89 @@ def test_jpeg_decode_never_misdecodes_garbage(b):
         _md.decode_jpeg_gray(b"\xff\xd8" + b)
     except (ValueError, struct.error, IndexError):
         pass
+
+
+# --- interval-union busy time (q98 sweep kernel) -------------------------
+
+def _busy_sweep(ts: np.ndarray, window: int) -> int:
+    """The q98 vectorized kernel, inlined for property checking."""
+    ts = np.sort(ts.astype(np.int64))
+    e = ts + window
+    prevmax = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(e)[:-1]]
+    )
+    return int(np.maximum(e - np.maximum(ts, prevmax), 0).sum())
+
+
+def _busy_reference(ts, window: int) -> int:
+    """Brute-force merged-interval reference."""
+    iv = sorted((int(t), int(t) + window) for t in ts)
+    total = 0
+    cur_s = cur_e = None
+    for s, e in iv:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                total += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        total += cur_e - cur_s
+    return total
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=5_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_busy_time_sweep_equals_merged_intervals(ts, window):
+    arr = np.array(ts, dtype=np.int64)
+    assert _busy_sweep(arr, window) == _busy_reference(ts, window)
+
+
+# --- CUBE key expansion (q99) conserves every grouping set ---------------
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.sampled_from(["web", "wiki"]),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_cube_expansion_matches_pandas_groupbys(rows):
+    df = pd.DataFrame(rows, columns=["lang", "source", "n"])
+    # expansion-based cube (the q99 partial kernel, one dict pass)
+    acc: dict = {}
+    for lang, src, n in rows:
+        for k in ((lang, src), (lang, "*"), ("*", src), ("*", "*")):
+            a = acc.setdefault(k, [0, 0])
+            a[0] += 1
+            a[1] += n
+    # reference: four explicit groupbys
+    ref: dict = {}
+    for keys, sub in (
+        (["lang", "source"], None),
+        (["lang"], "source"),
+        (["source"], "lang"),
+        ([], None),
+    ):
+        if keys:
+            g = df.groupby(keys)["n"].agg(["count", "sum"])
+            for idx, row in g.iterrows():
+                kt = idx if isinstance(idx, tuple) else (idx,)
+                if keys == ["lang", "source"]:
+                    key = kt
+                elif keys == ["lang"]:
+                    key = (kt[0], "*")
+                else:
+                    key = ("*", kt[0])
+                ref[key] = [int(row["count"]), int(row["sum"])]
+        else:
+            ref[("*", "*")] = [len(df), int(df["n"].sum())]
+    assert acc == ref
