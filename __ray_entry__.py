@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_components": graphalgo.kg_components,
             "kg_triangles": graphalgo.kg_triangles,
             "kg_kcore": graphalgo.kg_kcore,
+            "kg_truss": graphalgo.kg_truss,
             "kg_bfs": graphalgo.kg_bfs,
             "kg_jaccard": graphalgo.kg_jaccard,
             "kg_walks": graphalgo.kg_walks,

@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "43"  # v42: + video_pairs; v43: video stride 1
+GOLDEN_VERSION = "44"  # v43: video stride 1; v44: + truss
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -1572,6 +1572,44 @@ def _seq_dhash_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def _seq_truss(nodes_t: pa.Table, edges_t: pa.Table) -> pa.Table:
+    """Sequential k-truss golden: plain set-adjacency peel with the same
+    threshold as pipelines.graphalgo.truss (support = |N(a) ∩ N(b)|,
+    remove edges below k-2, repeat to fixpoint, report fixpoint support)."""
+    from .pipelines.graphalgo import TRUSS_K
+
+    E: set[tuple[int, int]] = set()
+    for s, o in zip(
+        edges_t["subj_id"].to_pylist(), edges_t["obj_id"].to_pylist()
+    ):
+        if s != o and s >= 0 and o >= 0:
+            E.add((min(s, o), max(s, o)))
+    adj: dict[int, set[int]] = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        drop = [
+            (a, b) for (a, b) in E if len(adj[a] & adj[b]) < TRUSS_K - 2
+        ]
+        if not drop:
+            break
+        for a, b in drop:
+            E.discard((a, b))
+            adj[a].discard(b)
+            adj[b].discard(a)
+    ks = sorted(E)
+    return pa.table(
+        {
+            "a": pa.array([k[0] for k in ks], pa.int64()),
+            "b": pa.array([k[1] for k in ks], pa.int64()),
+            "support": pa.array(
+                [len(adj[a] & adj[b]) for a, b in ks], pa.int64()
+            ),
+        }
+    )
+
+
 def _seq_video_pairs(sf_dir: str) -> pa.Table:
     """Sequential cross-video frame-overlap near-dup golden: shares
     build_media_batch, FrameSampler and frame_hash with the distributed
@@ -2027,6 +2065,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
     tables["walks"] = _seq_walks(tables["nodes"], tables["edges"])
     tables["harmonic"] = _seq_harmonic(tables["nodes"], tables["edges"])
     tables["betweenness"] = _seq_betweenness(tables["nodes"], tables["edges"])
+    tables["truss"] = _seq_truss(tables["nodes"], tables["edges"])
     tables["lineage"] = _seq_lineage(pages_dir)
     tables["hits"] = _seq_hits(tables["nodes"], tables["edges"])
     (
@@ -2806,6 +2845,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "mm_video_pairs": f"""
             SELECT id_a, id_b, n_shared FROM {_g('video_pairs')}
+        """,
+        "kg_truss": f"""
+            SELECT a, b, support FROM {_g('truss')}
         """,
         "tx_cdc": f"""
             SELECT doc_id, n_chunks, n_bytes, dup_chunks, dup_bytes

@@ -504,6 +504,210 @@ def triangles(edges: "rd.Dataset") -> "pa.Table":
     )
 
 
+TRUSS_K = 40
+TRUSS_MAX_ROUNDS = 30
+
+
+def truss(edges: "rd.Dataset", k: int = TRUSS_K,
+          max_rounds: int = TRUSS_MAX_ROUNDS) -> "rd.Dataset":
+    """k-truss decomposition: iteratively delete edges whose triangle
+    support (# common neighbors of the endpoints) is < k-2 until fixpoint;
+    return the surviving edges with their fixpoint support.
+
+    Per round this runs the same degree-ordered wedge machinery as
+    :func:`triangles` (oriented out-degrees O(sqrt m) kill hub blowup),
+    except wedges carry their apex so each CLOSED wedge can be exploded
+    into its three member edges; support = one (a, b) groupby-sum over
+    those 3-per-triangle rows unioned with zero rows for every edge.
+    Peeling needs NO anti-join: the support table IS the edge set, so
+    survivors are a filter on it. Rounds are bounded by the peel depth
+    (parallel truss peeling converges in O(peel-depth) rounds — single
+    digits on real graphs)."""
+    import numpy as np
+    import pandas as pd
+
+    n_parts = max(8, cluster_cpus())
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["subj_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = t["obj_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = s != o
+        s, o = s[keep], o[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, o), pa.int64()),
+                "b": pa.array(np.maximum(s, o), pa.int64()),
+            }
+        )
+
+    pairs = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .repartition(n_parts)
+        .materialize()
+    )
+
+    def endpoint_counts(t: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                t["a"].combine_chunks().to_numpy(zero_copy_only=False),
+                t["b"].combine_chunks().to_numpy(zero_copy_only=False),
+            ]
+        )
+        ids, cnt = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "dp": pa.array(cnt.astype("int64"), pa.int64()),
+            }
+        )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        da = t["da"].combine_chunks().to_numpy(zero_copy_only=False)
+        db = t["db"].combine_chunks().to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "dst": pa.array(np.where(a_first, b, a), pa.int64()),
+                "ddst": pa.array(np.where(a_first, db, da), pa.int64()),
+            }
+        )
+
+    def wedges(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["ddst", "dst"], kind="mergesort")
+        n = df["dst"].to_numpy()
+        s = int(df["src"].iloc[0]) if len(df) else 0
+        if len(n) < 2:
+            return pd.DataFrame({"x": [], "y": [], "src": []}).astype(
+                {"x": "int64", "y": "int64", "src": "int64"}
+            )
+        i, j = np.triu_indices(len(n), 1)
+        return pd.DataFrame(
+            {
+                "x": n[i],
+                "y": n[j],
+                "src": np.full(len(i), s, dtype=np.int64),
+            }
+        )
+
+    def close_triangles(df: "pd.DataFrame") -> pa.Table:
+        """(x, y) group: wedge rows close iff the group holds an edge
+        marker; each closed wedge explodes into its three member edges
+        (canonical a<b), one support unit each."""
+        if not (df["is_edge"] == 1).any():
+            return pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("sup_p", pa.int64())]
+            ).empty_table()
+        x = int(df["x"].iloc[0])
+        y = int(df["y"].iloc[0])
+        srcs = df.loc[df["is_edge"] == 0, "src"].to_numpy(np.int64)
+        if not len(srcs):
+            return pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("sup_p", pa.int64())]
+            ).empty_table()
+        e1a, e1b = np.minimum(srcs, x), np.maximum(srcs, x)
+        e2a, e2b = np.minimum(srcs, y), np.maximum(srcs, y)
+        e3a = np.full(len(srcs), min(x, y), dtype=np.int64)
+        e3b = np.full(len(srcs), max(x, y), dtype=np.int64)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([e1a, e2a, e3a]), pa.int64()),
+                "b": pa.array(np.concatenate([e1b, e2b, e3b]), pa.int64()),
+                "sup_p": pa.array(
+                    np.ones(3 * len(srcs), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    for _ in range(max_rounds):
+        deg = (
+            pairs.map_batches(endpoint_counts, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("dp", alias_name="deg"))
+        )
+        with_da = _attach_i64(
+            pairs, ["a", "b"], "a", deg, "node", "deg", "da", n_parts
+        )
+        with_deg = _attach_i64(
+            with_da, ["a", "b", "da"], "b", deg, "node", "deg", "db", n_parts
+        )
+        oriented = with_deg.map_batches(
+            orient, batch_format="pyarrow"
+        ).materialize()
+
+        cand = oriented.groupby("src").map_groups(
+            wedges, batch_format="pandas"
+        ).map_batches(
+            lambda t: (
+                t.append_column(
+                    "is_edge", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+                )
+                if t.num_rows and "x" in t.column_names
+                else pa.schema(
+                    [("x", pa.int64()), ("y", pa.int64()),
+                     ("src", pa.int64()), ("is_edge", pa.int64())]
+                ).empty_table()
+            ),
+            batch_format="pyarrow",
+        )
+        markers = oriented.map_batches(
+            lambda t: pa.table(
+                {
+                    "x": t["src"],
+                    "y": t["dst"],
+                    "src": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                    "is_edge": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        tri_edges = (
+            cand.union(markers)
+            .groupby(["x", "y"])
+            .map_groups(close_triangles, batch_format="pandas")
+        )
+        zeros = pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": t["a"],
+                    "b": t["b"],
+                    "sup_p": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sup = (
+            tri_edges.union(zeros)
+            .groupby(["a", "b"])
+            .aggregate(Sum("sup_p", alias_name="support"))
+            .repartition(n_parts)
+            .materialize()
+        )
+        n_total = sup.count()
+        survivors = sup.filter(expr=f"support >= {k - 2}").materialize()
+        n_surv = survivors.count()
+        if n_surv == n_total:
+            return sup.sort(["a", "b"])  # fixpoint: sup computed on it
+        if n_surv == 0:
+            return rd.from_arrow(
+                pa.schema(
+                    [("a", pa.int64()), ("b", pa.int64()),
+                     ("support", pa.int64())]
+                ).empty_table()
+            )
+        pairs = survivors.drop_columns(["support"]).repartition(
+            n_parts
+        ).materialize()
+    raise RuntimeError(
+        f"k-truss peel did not converge in {max_rounds} rounds (k={k})"
+    )
+
+
 KCORE_K = 40
 KCORE_MAX_ROUNDS = 60
 # Per-round removal sets up to this many ids are broadcast (8 B/id -> 32 MB
@@ -706,6 +910,19 @@ def kg_kcore(sf_dir: str):
     out = _ensure_run(sf_dir)
     edges = _kg_edges_ds(out)
     return kcore(edges)
+
+
+def kg_truss(sf_dir: str):
+    """Driver query: {TRUSS_K}-truss of the materialized KG entity graph —
+    surviving (a, b) edges with their fixpoint triangle support after
+    iterative below-threshold edge peeling. The cohesion notion one step
+    above kg_kcore: membership needs k-2 TRIANGLES per edge, not just
+    degree. Oracle: golden-file sequential peel (goldens._seq_truss)."""
+    from .kgqueries import _ensure_run
+
+    out = _ensure_run(sf_dir)
+    edges = _kg_edges_ds(out)
+    return truss(edges)
 
 
 def kg_triangles(sf_dir: str):
