@@ -811,3 +811,57 @@ class TestBetweenness:
         rows = dict(zip(got["entity_id"], got["bc_fp"]))
         assert rows[1] == rows[2] == s // 2
         assert rows[3] == 0
+
+
+class TestTruss:
+    def test_clique_peel_hand_computed(self, ray_session):
+        """Two 6-cliques sharing one edge, plus a pendant path. At k=5
+        (support >= 3) each clique survives intact (every clique edge has
+        support 4 inside its own clique; the shared edge gets 4+4=8), the
+        path dies. Distributed result must equal the hand-derived edge
+        set with in-truss support."""
+        import itertools
+
+        import ray.data as rd
+
+        c1 = list(range(6))
+        c2 = [4, 5, 10, 11, 12, 13]  # shares edge (4, 5) with c1
+        edges = (
+            list(itertools.combinations(c1, 2))
+            + list(itertools.combinations(c2, 2))
+            + [(13, 20), (20, 21)]  # pendant path, support 0
+        )
+        ds = rd.from_arrow(_edges(edges))
+        out = pa.concat_tables(
+            list(
+                graphalgo.truss(ds, k=5)
+                .iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+        )
+        got = {
+            (a, b): s
+            for a, b, s in zip(
+                out["a"].to_pylist(), out["b"].to_pylist(),
+                out["support"].to_pylist(),
+            )
+        }
+        want_edges = set(
+            tuple(sorted(e)) for e in itertools.combinations(c1, 2)
+        ) | set(tuple(sorted(e)) for e in itertools.combinations(c2, 2))
+        assert set(got) == want_edges
+        # shared edge (4,5) sees both cliques' common neighbors
+        assert got[(4, 5)] == 8
+        # non-shared clique edges keep support 4; edges touching 4 or 5
+        # (but not both) still only have their own clique's 4 commons
+        for e, s in got.items():
+            if e != (4, 5):
+                assert s == 4, e
+
+    def test_empty_result_keeps_schema(self, ray_session):
+        import ray.data as rd
+
+        # a triangle cannot survive k=5 (needs support >= 3)
+        ds = rd.from_arrow(_edges([(0, 1), (1, 2), (0, 2)]))
+        out = graphalgo.truss(ds, k=5)
+        assert out.count() == 0
+        assert out.schema().names == ["a", "b", "support"]
