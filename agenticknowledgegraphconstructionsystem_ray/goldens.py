@@ -2849,6 +2849,16 @@ def kg_oracle_sql() -> dict[str, str]:
         "kg_truss": f"""
             SELECT a, b, support FROM {_g('truss')}
         """,
+        "tx_fertility": f"""
+            SELECT d.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+                   CAST(1000000 * SUM(e.n_bpe_tokens) // SUM(d.n_chars)
+                        AS BIGINT) AS fertility_ppm
+            FROM {_g('bpe_encode')} e JOIN documents d USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang
+        """,
         "tx_cdc": f"""
             SELECT doc_id, n_chunks, n_bytes, dup_chunks, dup_bytes
             FROM {_g('cdc')}

@@ -756,6 +756,80 @@ def tx_bpe_encode(sf_dir: str):
     ).sort("doc_id")
 
 
+class _FertilityPartials(_BpeScorer):
+    """Per-block (lang, n_docs, sum_tokens, sum_chars) partials over the
+    BPE-encoded corpus — the lang-grouped combiner form of _BpeScorer, so
+    the shuffle carries |langs| rows per block instead of per-doc rows."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        enc = super().__call__(t)
+        acc: dict[str, list[int]] = {}
+        for lang, nc, nb in zip(
+            t["lang"].to_pylist(),
+            t["n_chars"].to_pylist(),
+            enc["n_bpe_tokens"].to_pylist(),
+        ):
+            a = acc.setdefault(lang, [0, 0, 0])
+            a[0] += 1
+            a[1] += nb
+            a[2] += nc
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "lang": pa.array(ks, pa.string()),
+                "nd_p": pa.array([acc[k][0] for k in ks], pa.int64()),
+                "st_p": pa.array([acc[k][1] for k in ks], pa.int64()),
+                "sc_p": pa.array([acc[k][2] for k in ks], pa.int64()),
+            }
+        )
+
+
+def tx_fertility(sf_dir: str):
+    """Tokenizer fertility per language: BPE tokens per character
+    (ppm) under the corpus-learned vocabulary — the tokenizer-efficiency
+    audit a multilingual training pipeline runs before fixing token
+    budgets. ONE corpus map pass (actor-pool encode with the broadcast
+    merge list) emitting lang-grouped partials, then a |langs|-row
+    groupby. Oracle: golden bpe_encode table joined with documents."""
+    import ray
+
+    from ray.data.aggregate import Sum as _Sum
+
+    merges = _learn_corpus_merges(sf_dir)
+    ref = ray.put(merges)
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        st = t["sum_tokens"].to_pylist()
+        sc = t["sum_chars"].to_pylist()
+        return t.append_column(
+            "fertility_ppm",
+            pa.array(
+                [1_000_000 * a // b if b else 0 for a, b in zip(st, sc)],
+                pa.int64(),
+            ),
+        )
+
+    return (
+        docs.map_batches(
+            _FertilityPartials,
+            fn_constructor_kwargs={"ref": ref},
+            batch_format="pyarrow",
+            concurrency=(1, cluster_cpus()),
+        )
+        .groupby("lang")
+        .aggregate(
+            _Sum("nd_p", alias_name="n_docs"),
+            _Sum("st_p", alias_name="sum_tokens"),
+            _Sum("sc_p", alias_name="sum_chars"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("lang")
+    )
+
+
 QUERIES = {
     "q41_tfidf_top_terms": q41_tfidf_top_terms,
     "q42_inverted_index": q42_inverted_index,
@@ -767,6 +841,7 @@ QUERIES = {
     "q65_doc_term_matrix": q65_doc_term_matrix,
     "q70_bpe_merges": q70_bpe_merges,
     "tx_bpe_encode": tx_bpe_encode,
+    "tx_fertility": tx_fertility,
 }
 
 ORACLE_SQL: dict[str, str] = {
