@@ -818,3 +818,114 @@ ORACLE_SQL["ta_profile"] = (
     + " UNION ALL ".join(_PROFILE_SQL_PARTS)
     + ") ORDER BY col"
 )
+
+
+# ---------------------------------------------------------------------------
+# ta_drift: distribution drift between two corpus halves — the
+# data-quality monitor a crawl pipeline runs between snapshots: does the
+# language mix of the newer half differ from the older half? Chi-square
+# contingency statistic over (half, lang) counts, computed in EXACT
+# integers (cell term = 1e6·(O·N − rt·ct)² // (rt·ct·N), floor per cell,
+# mirrored verbatim in SQL via HUGEINT). Shape: one (half, lang) count
+# groupby — cells = 2×|langs| rows to the driver; the bound reduce for
+# the half split is Min/Max over doc_id.
+# ---------------------------------------------------------------------------
+
+def ta_drift(sf_dir: str) -> pa.Table:
+    """(lang, n_first, n_second, chi2_cells_ppm) per language, sorted —
+    chi2_cells_ppm sums the language's two contingency-cell terms."""
+    from ray.data.aggregate import Count
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    b = ds.aggregate(_Min("doc_id"), _Max("doc_id"))
+    mid = (int(b["min(doc_id)"]) + int(b["max(doc_id)"]) + 1) // 2
+
+    def half_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        half = pc.cast(
+            pc.greater_equal(t["doc_id"], pa.scalar(mid)), pa.int64()
+        )
+        return pa.table({"half": half, "lang": t["lang"]})
+
+    counts = (
+        ds.map_batches(half_rows, batch_format="pyarrow")
+        .groupby(["half", "lang"])
+        .aggregate(Count(alias_name="n"))
+        .take_all()  # cells: 2 x |langs| rows
+    )
+    obs: dict[tuple[int, str], int] = {
+        (int(r["half"]), r["lang"]): int(r["n"]) for r in counts
+    }
+    langs = sorted({k[1] for k in obs})
+    row_tot = {h: sum(v for (hh, _), v in obs.items() if hh == h)
+               for h in (0, 1)}
+    col_tot = {g: sum(v for (_, gg), v in obs.items() if gg == g)
+               for g in langs}
+    n_total = sum(obs.values())
+
+    n_first, n_second, chi2 = [], [], []
+    for g in langs:
+        cells = 0
+        for h in (0, 1):
+            o = obs.get((h, g), 0)
+            rt, ct = row_tot[h], col_tot[g]
+            if rt and ct:
+                cells += (
+                    1_000_000 * (o * n_total - rt * ct) ** 2
+                    // (rt * ct * n_total)
+                )
+        n_first.append(obs.get((0, g), 0))
+        n_second.append(obs.get((1, g), 0))
+        chi2.append(cells)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_first": pa.array(n_first, pa.int64()),
+            "n_second": pa.array(n_second, pa.int64()),
+            "chi2_cells_ppm": pa.array(chi2, pa.int64()),
+        }
+    )
+
+
+QUERIES["ta_drift"] = ta_drift
+
+ORACLE_SQL["ta_drift"] = """
+    WITH b AS (
+        SELECT (MIN(doc_id) + MAX(doc_id) + 1) // 2 AS mid FROM documents
+    ),
+    o AS (
+        SELECT CASE WHEN doc_id >= (SELECT mid FROM b) THEN 1 ELSE 0 END
+                   AS half,
+               lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT half, SUM(n) AS rt FROM o GROUP BY half),
+    ct AS (SELECT lang, SUM(n) AS ct FROM o GROUP BY lang),
+    tot AS (SELECT SUM(n) AS nt FROM o),
+    grid AS (
+        SELECT h.half, c.lang FROM (SELECT DISTINCT half FROM o) h
+        CROSS JOIN (SELECT DISTINCT lang FROM o) c
+    ),
+    cells AS (
+        SELECT g.lang, g.half, COALESCE(o.n, 0) AS n,
+               CAST(1000000 AS HUGEINT)
+               * (COALESCE(o.n, 0) * tot.nt - rt.rt * ct.ct)
+               * (COALESCE(o.n, 0) * tot.nt - rt.rt * ct.ct)
+               // (rt.rt * ct.ct * tot.nt) AS term
+        FROM grid g
+        LEFT JOIN o ON o.half = g.half AND o.lang = g.lang
+        JOIN rt ON rt.half = g.half
+        JOIN ct ON ct.lang = g.lang
+        CROSS JOIN tot
+    )
+    SELECT lang,
+           CAST(SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS BIGINT)
+               AS n_first,
+           CAST(SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_second,
+           CAST(SUM(term) AS BIGINT) AS chi2_cells_ppm
+    FROM cells GROUP BY lang ORDER BY lang
+"""

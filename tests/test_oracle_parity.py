@@ -95,6 +95,7 @@ FAST_QUERIES = [
     "q97_gapfill_hours",
     "q98_busy_time",
     "q99_cube",
+    "ta_drift",
     "ta_curate",
     "sk_set_ops",
     "ta_bucketed_join",
