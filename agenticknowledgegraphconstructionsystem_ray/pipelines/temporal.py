@@ -1528,3 +1528,79 @@ ORACLE_SQL["q99_cube"] = f"""
     GROUP BY CUBE (lang, source)
     ORDER BY lang, source
 """
+
+
+# ---------------------------------------------------------------------------
+# q100: session SPANS — the materialized form of q30's session counts:
+# one row per (user, session) with ordinal, bounds and size, gap threshold
+# shared with q30 (_SESSION_GAP_S). Island detection per user group:
+# session id = cumulative count of >gap steps (vectorized); the SQL oracle
+# is the classic gaps-and-islands window (SUM of gap markers OVER
+# preceding rows).
+# ---------------------------------------------------------------------------
+
+def q100_session_spans(sf_dir: str):
+    """(user_id, session_id, ts_start, ts_end, n_events) sorted."""
+    from .training import _SESSION_GAP_S
+
+    gap_us = _SESSION_GAP_S * 1_000_000
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def spans(g) -> pa.Table:
+        uid = int(g["user_id"].iloc[0])
+        ts = np.sort(
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        new = np.concatenate([[0], (np.diff(ts) > gap_us).astype(np.int64)])
+        sid = np.cumsum(new)
+        n_sess = int(sid[-1]) + 1 if len(sid) else 0
+        starts = np.zeros(n_sess, np.int64)
+        ends = np.zeros(n_sess, np.int64)
+        sizes = np.bincount(sid, minlength=n_sess).astype(np.int64)
+        first = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        starts = ts[first]
+        ends = ts[first + sizes - 1]
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(n_sess, uid, dtype=np.int64), pa.int64()
+                ),
+                "session_id": pa.array(
+                    np.arange(n_sess, dtype=np.int64), pa.int64()
+                ),
+                "ts_start": pa.array(starts, pa.timestamp("us")),
+                "ts_end": pa.array(ends, pa.timestamp("us")),
+                "n_events": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(spans, batch_format="pandas")
+        .sort(["user_id", "session_id"])
+    )
+
+
+QUERIES["q100_session_spans"] = q100_session_spans
+
+ORACLE_SQL["q100_session_spans"] = """
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                         > 3600000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS ts_start, MAX(ts) AS ts_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+"""

@@ -96,6 +96,7 @@ FAST_QUERIES = [
     "q98_busy_time",
     "q99_cube",
     "ta_drift",
+    "q100_session_spans",
     "ta_curate",
     "sk_set_ops",
     "ta_bucketed_join",
