@@ -1604,3 +1604,87 @@ ORACLE_SQL["q100_session_spans"] = """
     FROM s GROUP BY user_id, session_id
     ORDER BY user_id, session_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q101: grouped WEIGHTED median — the robust-statistics primitive plain
+# percentiles (q36/q55/sk_quantiles) don't give: the discount value at
+# which half the shipped QUANTITY sits below, per return flag. Lower
+# weighted median (smallest v with 2·cumweight(v) >= total), exact
+# integers throughout (discount scaled to ppm). Shape: per-block
+# (flag, disc_ppm, w) partials pre-sum duplicate values, ONE small
+# groupby (|flags|·|distinct discounts| rows), per-flag cumulative sweep.
+# ---------------------------------------------------------------------------
+
+def q101_weighted_median(sf_dir: str):
+    """(l_returnflag, wmedian_disc_ppm, total_qty) sorted by flag."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_discount", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict[tuple[str, int], int] = {}
+        for f, d, q in zip(
+            t["l_returnflag"].to_pylist(),
+            t["l_discount"].to_pylist(),
+            t["l_quantity"].to_pylist(),
+        ):
+            k = (f, round(d * 1_000_000))
+            acc[k] = acc.get(k, 0) + int(q)
+        ks = sorted(acc)
+        return pa.table(
+            {
+                "flag": pa.array([k[0] for k in ks], pa.string()),
+                "disc_ppm": pa.array([k[1] for k in ks], pa.int64()),
+                "w_p": pa.array([acc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def pick(g) -> pa.Table:
+        f = g["flag"].iloc[0]
+        order = np.argsort(g["disc_ppm"].to_numpy(), kind="mergesort")
+        d = g["disc_ppm"].to_numpy()[order].astype(np.int64)
+        w = g["w"].to_numpy()[order].astype(np.int64)
+        cw = np.cumsum(w)
+        total = int(cw[-1])
+        idx = int(np.searchsorted(2 * cw, total, side="left"))
+        return pa.table(
+            {
+                "l_returnflag": pa.array([f], pa.string()),
+                "wmedian_disc_ppm": pa.array([int(d[idx])], pa.int64()),
+                "total_qty": pa.array([total], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["flag", "disc_ppm"])
+        .aggregate(Sum("w_p", alias_name="w"))
+        .groupby("flag")
+        .map_groups(pick, batch_format="pandas")
+        .sort("l_returnflag")
+    )
+
+
+QUERIES["q101_weighted_median"] = q101_weighted_median
+
+ORACLE_SQL["q101_weighted_median"] = """
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_discount * 1000000, 0) AS BIGINT) AS disc_ppm,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT flag, disc_ppm, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY disc_ppm
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS total
+        FROM v
+    )
+    SELECT flag AS l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cw >= total THEN disc_ppm END) AS BIGINT)
+               AS wmedian_disc_ppm,
+           CAST(MAX(total) AS BIGINT) AS total_qty
+    FROM c GROUP BY flag ORDER BY l_returnflag
+"""

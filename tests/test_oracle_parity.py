@@ -97,6 +97,7 @@ FAST_QUERIES = [
     "q99_cube",
     "ta_drift",
     "q100_session_spans",
+    "q101_weighted_median",
     "ta_curate",
     "sk_set_ops",
     "ta_bucketed_join",
