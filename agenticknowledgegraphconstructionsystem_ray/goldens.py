@@ -2849,6 +2849,26 @@ def kg_oracle_sql() -> dict[str, str]:
         "kg_truss": f"""
             SELECT a, b, support FROM {_g('truss')}
         """,
+        "wg_cocitation": f"""
+            WITH ext AS (
+                SELECT DISTINCT src_host AS src, dst_host AS dst
+                FROM {_g('host_graph')} WHERE src_host <> dst_host
+            ),
+            keep AS (
+                SELECT dst FROM ext GROUP BY dst
+                HAVING COUNT(*) BETWEEN 2 AND 64
+            ),
+            p AS (
+                SELECT a.src AS host_a, b.src AS host_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_shared_dsts
+                FROM ext a JOIN ext b ON a.dst = b.dst AND a.src < b.src
+                JOIN keep k ON k.dst = a.dst
+                GROUP BY 1, 2
+            )
+            SELECT host_a, host_b, n_shared_dsts FROM p
+            ORDER BY n_shared_dsts DESC, host_a, host_b
+            LIMIT 20
+        """,
         "tx_fertility": f"""
             SELECT d.lang,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,

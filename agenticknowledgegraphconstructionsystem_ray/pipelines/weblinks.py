@@ -747,3 +747,81 @@ def wg_host_rank_weighted(sf_dir: str):
 
 
 QUERIES["wg_host_rank_weighted"] = wg_host_rank_weighted
+
+
+# ---------------------------------------------------------------------------
+# wg_cocitation: host pairs ranked by SHARED OUTBOUND DESTINATIONS — the
+# co-citation similarity signal (hosts linking the same places are
+# topically related; Small 1973 co-citation applied to the host graph).
+# Third consumer of the materialized link table. Destinations linked by
+# more than COCITE_CAP source hosts are dropped before pair generation —
+# the hot-posting rule: a destination half the web links to (CDN, search
+# engine) carries no co-citation signal but would generate quadratic
+# pairs. Shape: links -> distinct external (dst, src) rows -> ONE dst
+# groupby with capped in-group pair emission -> pair-count groupby ->
+# global top-k.
+# ---------------------------------------------------------------------------
+
+COCITE_CAP = 64
+COCITE_TOP = 20
+
+
+def wg_cocitation(sf_dir: str):
+    """(host_a, host_b, n_shared_dsts) top COCITE_TOP by (n desc, pair)."""
+    import pandas as pd
+
+    def ext_rows(t: pa.Table) -> pa.Table:
+        keep_s, keep_d = [], []
+        for s, d in zip(
+            t["src_host"].to_pylist(), t["dst_host"].to_pylist()
+        ):
+            if d != s:
+                keep_s.append(s)
+                keep_d.append(d)
+        return pa.table(
+            {
+                "dst": pa.array(keep_d, pa.string()),
+                "src": pa.array(keep_s, pa.string()),
+            }
+        )
+
+    def pairs(df: "pd.DataFrame") -> pa.Table:
+        hosts = sorted(set(df["src"]))
+        if len(hosts) < 2 or len(hosts) > COCITE_CAP:
+            return pa.schema(
+                [("host_a", pa.string()), ("host_b", pa.string()),
+                 ("n_p", pa.int64())]
+            ).empty_table()
+        i, j = np.triu_indices(len(hosts), 1)
+        hv = np.asarray(hosts, dtype=object)
+        return pa.table(
+            {
+                "host_a": pa.array(hv[i].tolist(), pa.string()),
+                "host_b": pa.array(hv[j].tolist(), pa.string()),
+                "n_p": pa.array(np.ones(len(i), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    counted = (
+        _links_dataset(sf_dir)
+        .map_batches(ext_rows, batch_format="pyarrow")
+        .groupby("dst")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["host_a", "host_b"])
+        .aggregate(Sum("n_p", alias_name="n_shared_dsts"))
+    )
+    rows = counted.take_all()  # pair-bounded (<= postings * cap^2 / 2)
+    rows.sort(key=lambda r: (-r["n_shared_dsts"], r["host_a"], r["host_b"]))
+    top = rows[:COCITE_TOP]
+    return pa.table(
+        {
+            "host_a": pa.array([r["host_a"] for r in top], pa.string()),
+            "host_b": pa.array([r["host_b"] for r in top], pa.string()),
+            "n_shared_dsts": pa.array(
+                [r["n_shared_dsts"] for r in top], pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["wg_cocitation"] = wg_cocitation
