@@ -76,16 +76,50 @@ def q22_orders_lineitem_join(sf_dir: str):
 SMB_BUCKETS = 32
 
 
+_SMB_COLTYPES = {
+    "o_orderkey": pa.int64(),
+    "o_orderpriority": pa.string(),
+    "l_orderkey": pa.int64(),
+    "rev_c": pa.int64(),
+}
+
+
+def _read_bucket(root: str, table: str, b: int, columns: list[str]) -> pa.Table:
+    """Pruned read of exactly ONE bucket partition directory — each task
+    touches only its own bkt=<b> subtree (no full-layout listing per
+    task). Missing directory = empty bucket, typed empty table."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    d = os.path.join(root, table, f"bkt={b}")
+    if not os.path.isdir(d):
+        return pa.schema(
+            [(c, _SMB_COLTYPES[c]) for c in columns]
+        ).empty_table()
+    return pads.dataset(d).to_table(columns=columns)
+
+
+def smb_root(sf_dir: str) -> str:
+    """Cache root of the SMB layout for a corpus — the one place the path
+    scheme lives (bench and tests clear caches through this)."""
+    import os
+
+    return f"/tmp/agkg_smb/{os.path.basename(os.path.normpath(sf_dir))}"
+
+
 def _smb_layout(sf_dir: str) -> str:
     """Build (or reuse) the bucketed layout for orders + prepped lineitem.
-    Atomic: built under <root>.tmp then renamed; a _DONE marker records the
-    bucketing contract (key, bucket count) the join tasks rely on."""
+    Atomic + concurrency-safe: built under a pid-suffixed tmp then
+    os.replace'd (two concurrent cold-cache builders each write their own
+    tmp; the loser accepts the winner's identical deterministic layout); a
+    _DONE marker records the bucketing contract (key, bucket count) the
+    join tasks rely on."""
     import json
     import os
     import shutil
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = f"/tmp/agkg_smb/{tag}"
+    root = smb_root(sf_dir)
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -94,9 +128,8 @@ def _smb_layout(sf_dir: str) -> str:
             return root
         shutil.rmtree(root, ignore_errors=True)
 
-    tmp = root + ".tmp"
+    tmp = root + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(root, ignore_errors=True)
 
     def bucket_orders(t: pa.Table) -> pa.Table:
         # SMB_BUCKETS is a power of two -> key % B == key & (B-1)
@@ -134,7 +167,15 @@ def _smb_layout(sf_dir: str) -> str:
     )
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         json.dump({"buckets": SMB_BUCKETS, "key": "orderkey"}, f)
-    os.rename(tmp, root)
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.replace(tmp, root)
+    except OSError:
+        # a concurrent builder promoted its (identical, deterministic)
+        # layout between our rmtree and replace — accept theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
     return root
 
 
@@ -144,23 +185,14 @@ def ta_bucketed_join(sf_dir: str):
     root = _smb_layout(sf_dir)
 
     def join_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.dataset as pads
-
         prios: list[str] = []
         n_p: list[int] = []
         rev_p: list[int] = []
         for b in t["bkt"].to_pylist():
-            o = pads.dataset(
-                f"{root}/orders", partitioning="hive"
-            ).to_table(
-                filter=pads.field("bkt") == b,
-                columns=["o_orderkey", "o_orderpriority"],
+            o = _read_bucket(
+                root, "orders", b, ["o_orderkey", "o_orderpriority"]
             )
-            li = pads.dataset(
-                f"{root}/lineitem", partitioning="hive"
-            ).to_table(
-                filter=pads.field("bkt") == b, columns=["l_orderkey", "rev_c"]
-            )
+            li = _read_bucket(root, "lineitem", b, ["l_orderkey", "rev_c"])
             j = li.join(
                 o, keys=["l_orderkey"], right_keys=["o_orderkey"],
                 join_type="inner",
@@ -205,16 +237,12 @@ def ta_bucketed_topn(sf_dir: str):
     root = _smb_layout(sf_dir)
 
     def topn_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.dataset as pads
-
         keys: list[int] = []
         revs: list[int] = []
         for b in t["bkt"].to_pylist():
-            li = pads.dataset(
-                f"{root}/lineitem", partitioning="hive"
-            ).to_table(
-                filter=pads.field("bkt") == b, columns=["l_orderkey", "rev_c"]
-            )
+            li = _read_bucket(root, "lineitem", b, ["l_orderkey", "rev_c"])
+            if not li.num_rows:
+                continue
             g = pa.TableGroupBy(li, "l_orderkey").aggregate([("rev_c", "sum")])
             order = pc.sort_indices(
                 g,

@@ -74,24 +74,6 @@ def wg_outlinks(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow").sort("url")
 
 
-def _pair_partials(t: pa.Table) -> pa.Table:
-    """Per-block (src_host, dst_host) partial counts — the combiner that
-    absorbs the planted hub-host skew before the shuffle."""
-    counts: dict[tuple[str, str], int] = {}
-    for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-        src = host_of(url)
-        for _, dst, _ in resolve_outlinks(url, html):
-            k = (src, dst)
-            counts[k] = counts.get(k, 0) + 1
-    return pa.table(
-        {
-            "src_host": pa.array([k[0] for k in counts], pa.string()),
-            "dst_host": pa.array([k[1] for k in counts], pa.string()),
-            "n_p": pa.array(list(counts.values()), pa.int64()),
-        }
-    )
-
-
 # ---------------------------------------------------------------------------
 # Materialized link table: the whole wg_* family derives from ONE
 # (src_host, dst_host, n_links) aggregate, so the HTML scan + pair shuffle
@@ -108,6 +90,10 @@ _SENTINEL = "\x00"  # not a possible netloc; tags page-host node rows
 
 
 def _sentinel_pair_partials(t: pa.Table) -> pa.Table:
+    """Per-block (src_host, dst_host) partial counts — the combiner that
+    absorbs the planted hub-host skew before the shuffle — plus one
+    (src, SENTINEL, 0) row per page host so link-less pages stay
+    reachable for node sets."""
     counts: dict[tuple[str, str], int] = {}
     for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
         src = host_of(url)
@@ -124,13 +110,18 @@ def _sentinel_pair_partials(t: pa.Table) -> pa.Table:
     )
 
 
+def links_root(sf_dir: str) -> str:
+    """Cache root of the materialized link table — the one place the path
+    scheme lives (bench and tests clear caches through this)."""
+    return f"/tmp/agkg_weblinks/sf{sf_of(sf_dir):g}"
+
+
 def _ensure_link_tables(sf_dir: str) -> str:
     """Build (or reuse) the materialized link table for a corpus."""
     import json
     import shutil
 
-    sf = sf_of(sf_dir)
-    root = f"/tmp/agkg_weblinks/sf{sf:g}"
+    root = links_root(sf_dir)
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -165,6 +156,21 @@ def _links_dataset(sf_dir: str, with_sentinels: bool = False) -> rd.Dataset:
     if with_sentinels:
         return ds
     return ds.filter(expr=f"dst_host != {_SENTINEL!r}")
+
+
+def _links_as_n(sf_dir: str) -> rd.Dataset:
+    """Link table projected to the (src_host, dst_host, n) shape the
+    aggregate consumers (concentration, Gini, weighted rank) share."""
+    return _links_dataset(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "src_host": t["src_host"],
+                "dst_host": t["dst_host"],
+                "n": t["n_links"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def wg_host_graph(sf_dir: str):
@@ -528,16 +534,7 @@ def wg_outlink_concentration(sf_dir: str):
     (src, sum_n, sum_n2, n_dst) partials -> ONE src groupby."""
     from ray.data.aggregate import Sum as _Sum
 
-    graph = _links_dataset(sf_dir).map_batches(
-        lambda t: pa.table(
-            {
-                "src_host": t["src_host"],
-                "dst_host": t["dst_host"],
-                "n": t["n_links"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    graph = _links_as_n(sf_dir)
 
     def partials(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -619,16 +616,7 @@ def wg_indegree_gini(sf_dir: str):
     is the fully-distributed fallback)."""
     from ray.data.aggregate import Sum as _Sum
 
-    graph = _links_dataset(sf_dir).map_batches(
-        lambda t: pa.table(
-            {
-                "src_host": t["src_host"],
-                "dst_host": t["dst_host"],
-                "n": t["n_links"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    graph = _links_as_n(sf_dir)
 
     def ext_dst(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -681,16 +669,7 @@ def wg_host_rank_weighted(sf_dir: str):
     engine (graphalgo.pagerank_weighted)."""
     from .graphalgo import pagerank_weighted
 
-    graph = _links_dataset(sf_dir).map_batches(
-        lambda t: pa.table(
-            {
-                "src_host": t["src_host"],
-                "dst_host": t["dst_host"],
-                "n": t["n_links"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    graph = _links_as_n(sf_dir)
 
     def to_ids(t: pa.Table) -> pa.Table:
         src = t["src_host"].to_pylist()

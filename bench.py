@@ -191,10 +191,7 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         # SMB layout join beside the shuffle join it replaces: the bucketed
         # layout is built ONCE (timed as its own segment — the ingest-time
         # cost), then the join itself runs with zero all-to-all
-        shutil.rmtree(
-            "/tmp/agkg_smb/" + os.path.basename(os.path.normpath(sf_dir)),
-            ignore_errors=True,
-        )
+        shutil.rmtree(training.smb_root(sf_dir), ignore_errors=True)
         timed("smb_layout_build", training._smb_layout)
         timed("ta_bucketed_join", training.ta_bucketed_join)
         timed("ann_brute_topk", training.ann_brute_topk)
@@ -231,7 +228,7 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         # links are extracted ONCE per corpus into a materialized table
         # (cleared here so the build segment is honest); every derived
         # wg_* query then reads the O(host-pairs) artifact
-        shutil.rmtree(f"/tmp/agkg_weblinks/sf{sf:g}", ignore_errors=True)
+        shutil.rmtree(weblinks.links_root(sf_dir), ignore_errors=True)
         timed("wg_link_tables_build", weblinks._ensure_link_tables)
         timed("wg_host_graph", weblinks.wg_host_graph)
         # (wg_host_rank is NOT a suite segment: the BSP fixed-point loop

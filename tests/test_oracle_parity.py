@@ -153,8 +153,7 @@ def test_smb_layout_reused_and_invalidated(entrymod, ray_session):
 
     from agenticknowledgegraphconstructionsystem_ray.pipelines import training
 
-    tag = os.path.basename(os.path.normpath(SF))
-    root = f"/tmp/agkg_smb/{tag}"
+    root = training.smb_root(SF)
     shutil.rmtree(root, ignore_errors=True)
 
     first = _canon(_to_arrow(entrymod.queries()["ta_bucketed_join"](SF)))

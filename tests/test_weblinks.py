@@ -198,7 +198,7 @@ def test_link_table_cache_reused_and_invalidated(ray_session):
     from agenticknowledgegraphconstructionsystem_ray.pipelines import weblinks
 
     sf_dir = "/root/testdata/sf0.001"
-    root = "/tmp/agkg_weblinks/sf0.001"
+    root = weblinks.links_root(sf_dir)
     shutil.rmtree(root, ignore_errors=True)
 
     def as_table(ds) -> pa.Table:
