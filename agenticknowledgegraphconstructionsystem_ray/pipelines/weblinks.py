@@ -2,21 +2,27 @@
 
 The Common-Crawl-signature capability next to the KG pipeline: the same
 ``pages(url, warc_ts, html, text, lang)`` table carries an implicit web
-graph in its ``<a href>``s. Three driver queries:
+graph in its ``<a href>``s. ``wg_outlinks`` is the one per-page map pass;
+everything else derives from the MATERIALIZED LINK TABLE
+(``_ensure_link_tables``: the HTML scan + pair shuffle runs once per
+corpus, then graph / PageRank / HITS / weighted rank / reciprocity /
+Gini / concentration / co-citation read the O(host-pairs) artifact):
 
-- ``wg_outlinks``   — per-page outlink stats (count / external / distinct
-                      hosts): ONE stateless map pass, nothing shuffles.
-- ``wg_host_graph`` — (src_host, dst_host, n_links) edge aggregation: map
-                      pass emitting per-block PARTIAL pair counts (combiner;
-                      the hub-host skew planted by synth v3 lands on the
-                      partials, not the shuffle), then one groupby-sum.
-- ``wg_host_rank``  — host-level PageRank over the distinct EXTERNAL host
-                      graph, reusing the integer fixed-point BSP engine
-                      (pipelines/graphalgo.pagerank). Node ids are
-                      hash-derived (functions/weblinks.host_id) so id
-                      assignment needs no global coordination; only the
-                      top-k labels are resolved back to host strings
-                      (broadcast of k ids, never a host dictionary).
+- ``wg_host_graph``   — (src_host, dst_host, n_links) multiplicities
+                        (the link-table contents, sorted); the planted
+                        hub-host skew lands on the build's per-block
+                        combiner partials, not the shuffle.
+- ``wg_host_rank``    — host-level PageRank over the distinct EXTERNAL
+                        host graph, reusing the integer fixed-point BSP
+                        engine (pipelines/graphalgo.pagerank). Node ids
+                        are hash-derived (functions/weblinks.host_id) so
+                        id assignment needs no global coordination; only
+                        top-k labels resolve back to host strings
+                        (broadcast of k ids, never a host dictionary).
+- plus ``wg_host_hits`` / ``wg_host_rank_weighted`` /
+  ``wg_reciprocity`` / ``wg_indegree_gini`` /
+  ``wg_outlink_concentration`` / ``wg_cocitation`` /
+  ``wg_anchor_terms`` / ``wg_host_quality`` — see each docstring.
 
 Reference analog: the citation edges fetched per paper
 (``fetch_citing_papers.py:140-264``) are the reference's document->document
