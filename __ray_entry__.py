@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_growth": kgqueries.kg_growth,
             "kg_trending": kgqueries.kg_trending,
             "kg_search": kgqueries.kg_search,
+            "kg_search_degenerate": kgqueries.kg_search_degenerate,
             "kg_merge_nodes": kgqueries.kg_merge_nodes,
             "kg_merge_edges": kgqueries.kg_merge_edges,
             "kg_improves_seminal": kgqueries.kg_improves_seminal,

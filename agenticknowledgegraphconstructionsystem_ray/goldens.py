@@ -2349,13 +2349,17 @@ def _walk_lift_sql() -> str:
     """
 
 
-def _kg_search_sql() -> str:
-    """Golden oracle for kgqueries.kg_search: tokenize the golden text the
-    same way as scoring._TOK_SQL, require ALL query terms (tsquery AND),
-    score with the q89 integer BM25 formula, enrich from golden mentions."""
+def _kg_search_sql(query: tuple = None) -> str:
+    """Golden oracle for kgqueries.kg_search (and its degenerate single
+    stop-word variant — SAME SQL, different term list): tokenize the
+    golden text the same way as scoring._TOK_SQL, require ALL query terms
+    (tsquery AND), score with the q89 integer BM25 formula, enrich from
+    golden mentions."""
     from .pipelines.kgqueries import KG_SEARCH_K, KG_SEARCH_QUERY
 
-    terms = ", ".join(f"'{q}'" for q in KG_SEARCH_QUERY)
+    if query is None:
+        query = KG_SEARCH_QUERY
+    terms = ", ".join(f"'{q}'" for q in query)
     return f"""
         WITH tok AS (
             SELECT url, unnest(list_filter(regexp_split_to_array(lower(text),
@@ -2371,7 +2375,7 @@ def _kg_search_sql() -> str:
         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
                FROM tf GROUP BY term),
         hit AS (SELECT url FROM tf GROUP BY url
-                HAVING COUNT(DISTINCT term) = {len(KG_SEARCH_QUERY)}),
+                HAVING COUNT(DISTINCT term) = {len(query)}),
         scored AS (
             SELECT tf.url,
                    CAST(SUM(
@@ -2399,6 +2403,12 @@ def _kg_search_sql() -> str:
         FROM top LEFT JOIN ent USING (url)
         ORDER BY bm25_ppm DESC, url
     """
+
+
+def _degen_query() -> tuple:
+    from .pipelines.kgqueries import KG_SEARCH_DEGEN_QUERY
+
+    return KG_SEARCH_DEGEN_QUERY
 
 
 def kg_oracle_sql() -> dict[str, str]:
@@ -3109,6 +3119,9 @@ def kg_oracle_sql() -> dict[str, str]:
         # over the golden extracted text + KG-entity enrichment join — same
         # integer math as the Ray path (scoring.q89 kernel), so bit-exact
         "kg_search": _kg_search_sql(),
+        # kg_search_degenerate: same SQL oracle with the single stop-word
+        # term — the Ray side runs its streaming fallback regime here
+        "kg_search_degenerate": _kg_search_sql(_degen_query()),
         # pure SQL (no golden needed): the deterministic fake video payload is
         # text-derived, so the frame-sample count is arithmetic on byte length
         "mm_sampled_frames": """

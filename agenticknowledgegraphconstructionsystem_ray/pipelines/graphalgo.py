@@ -689,6 +689,16 @@ def truss(edges: "rd.Dataset", k: int = TRUSS_K,
             .materialize()
         )
         n_total = sup.count()
+        if n_total == 0:
+            # zero non-self edges: the fixpoint branch below would return
+            # an untyped empty union — return the typed empty table, same
+            # as the all-peeled branch
+            return rd.from_arrow(
+                pa.schema(
+                    [("a", pa.int64()), ("b", pa.int64()),
+                     ("support", pa.int64())]
+                ).empty_table()
+            )
         survivors = sup.filter(expr=f"support >= {k - 2}").materialize()
         n_surv = survivors.count()
         if n_surv == n_total:

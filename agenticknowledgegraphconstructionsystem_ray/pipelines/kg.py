@@ -449,7 +449,15 @@ def run_phase_a(cfg: KGConfig) -> dict:
                 )
             mf.clear_stale_tmp(group_tmp)
             continue
-        pages = rd.read_parquet(group_files, include_paths=True)
+        # Prune at the read: phase A re-extracts text from html, so the
+        # input's `text` column (populated on a real crawl per input_hint,
+        # ~3 KB/page) must never leave storage — only the four columns the
+        # extractor consumes (+ the lineage path column).
+        pages = rd.read_parquet(
+            group_files,
+            columns=["url", "warc_ts", "html", "lang"],
+            include_paths=True,
+        )
         text_ds = pages.map_batches(
             extract_text_batch,
             fn_kwargs={"path_to_chunk": path_to_chunk},
@@ -801,7 +809,10 @@ def run_phase_b(cfg: KGConfig) -> dict:
     if n_edges:
         issues_ds = (
             rd.read_parquet(
-                sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
+                sorted(glob.glob(os.path.join(edges_dir, "*.parquet"))),
+                # prune: edge_issues_batch touches only these six columns
+                columns=["subj_id", "pred", "obj_id", "url",
+                         "confidence", "context"],
             )
             .map_batches(edge_issues_batch, batch_format="pyarrow")
             .materialize()  # consumed twice: parquet write + summary counts
@@ -940,7 +951,10 @@ def run_phase_b_openvocab(cfg: KGConfig) -> dict:
     if n_edges:
         issue_sources.append(
             rd.read_parquet(
-                sorted(glob.glob(os.path.join(edges_dir, "*.parquet")))
+                sorted(glob.glob(os.path.join(edges_dir, "*.parquet"))),
+                # prune: edge_issues_batch touches only these six columns
+                columns=["subj_id", "pred", "obj_id", "url",
+                         "confidence", "context"],
             ).map_batches(edge_issues_batch, batch_format="pyarrow")
         )
     if issue_sources:

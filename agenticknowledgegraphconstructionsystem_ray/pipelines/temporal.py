@@ -1623,13 +1623,19 @@ def q101_weighted_median(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        import math
+
         acc: dict[tuple[str, int], int] = {}
         for f, d, q in zip(
             t["l_returnflag"].to_pylist(),
             t["l_discount"].to_pylist(),
             t["l_quantity"].to_pylist(),
         ):
-            k = (f, round(d * 1_000_000))
+            # half-AWAY-from-zero like the SQL oracle's round() — Python's
+            # round() is half-to-even and would diverge on an exact .5 ppm
+            # boundary (same contract as analytics.cents_np)
+            v = d * 1_000_000
+            k = (f, int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1))
             acc[k] = acc.get(k, 0) + int(q)
         ks = sorted(acc)
         return pa.table(

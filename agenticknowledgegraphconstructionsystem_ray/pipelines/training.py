@@ -94,6 +94,17 @@ def _read_bucket(root: str, table: str, b: int, columns: list[str]) -> pa.Table:
 
     d = os.path.join(root, table, f"bkt={b}")
     if not os.path.isdir(d):
+        # Distinguish a legitimately empty bucket (valid layout, no rows
+        # hashed to it) from a layout that vanished mid-query (concurrent
+        # rebuild / contract-mismatch rmtree): a valid layout always has
+        # its _DONE marker. Raising here turns a silently-partial join
+        # result into a retryable error.
+        if not os.path.exists(os.path.join(root, "_DONE")):
+            raise FileNotFoundError(
+                f"SMB layout {root} lost its _DONE marker while reading "
+                f"{table}/bkt={b} — layout removed or rebuilt mid-query; "
+                "re-run the query"
+            )
         return pa.schema(
             [(c, _SMB_COLTYPES[c]) for c in columns]
         ).empty_table()
@@ -167,6 +178,19 @@ def _smb_layout(sf_dir: str) -> str:
     )
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         json.dump({"buckets": SMB_BUCKETS, "key": "orderkey"}, f)
+    # Promote WITHOUT deleting a valid concurrent winner: if a matching
+    # layout appeared while we built (the other cold-cache builder won),
+    # accept theirs — rmtree-then-replace here would briefly delete a
+    # layout that live queries may have already resolved.
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            meta = {}
+        if meta.get("buckets") == SMB_BUCKETS and meta.get("key") == "orderkey":
+            shutil.rmtree(tmp, ignore_errors=True)
+            return root
     shutil.rmtree(root, ignore_errors=True)
     try:
         os.replace(tmp, root)

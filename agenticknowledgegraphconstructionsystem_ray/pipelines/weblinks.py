@@ -145,6 +145,19 @@ def _ensure_link_tables(sf_dir: str) -> str:
     )
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         json.dump({"v": 1}, f)
+    # Promote WITHOUT deleting a valid concurrent winner (same contract as
+    # training._smb_layout): if a v=1 layout appeared while we built,
+    # accept it rather than briefly rmtree-ing a layout live queries may
+    # already have resolved.
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                ok = json.load(f).get("v") == 1
+        except (OSError, ValueError):
+            ok = False
+        if ok:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return root
     shutil.rmtree(root, ignore_errors=True)
     try:
         os.replace(tmp, root)
