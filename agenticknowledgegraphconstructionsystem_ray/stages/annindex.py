@@ -1,0 +1,297 @@
+"""Persisted ANN index artifacts — build ONCE per corpus, query many.
+
+The reference persists its search structure (tsvector GENERATED columns +
+GIN indexes, ``/root/reference/db_init.py:35-42``) so queries never re-derive
+it; this module applies the same build-once-query-many contract to the
+engine's vector-search family, which previously re-trained centroids /
+codebooks / re-coded every vector on every call. Pattern identical to the
+two proven layouts (``training.smb_root`` SMB join, ``weblinks.links_root``
+link table): marker-guarded atomic parquet under /tmp, a contract dict in
+the ``_DONE`` marker, concurrency-safe promote that never deletes a valid
+winner, and a source-file fingerprint so a changed corpus invalidates the
+artifact.
+
+Artifact layout (under ``ann_root(sf_dir, table)``)::
+
+    ivf_centroids.parquet   (cluster:int64, centroid:list<double>)
+    pq_codebooks.parquet    (sub:int64, cluster:int64, centroid:list<int64>)
+    coded/ivfb=<b>/*.parquet
+        vec_id:int64, embedding:list<double>, pq_code:list<int64>,
+        bucket:int32 (= the ivf bucket, duplicated into the data so reads
+        need no hive-column parsing), lshb:int32 (sign-LSH code; rows are
+        lshb-sorted within each block so parquet row-group stats prune
+        LSH probes at the read)
+
+Scale shape: the build is one driver-side sample (IVF centroids), one
+distributed integer PQ training loop (tiny partials), and ONE coding pass
+over the corpus ending in a partitioned ``write_parquet`` — no all-to-all.
+Queries then read ONLY their probed ``ivfb=`` directories (IVF/IVFPQ:
+~nprobe/nlist of the corpus), only ``(vec_id, pq_code)`` columns (PQ: the
+16x-compressed representation), or row-group-pruned ``lshb`` slices (LSH)
+— at 10^11 vectors the index is written once per crawl snapshot and every
+query afterwards touches a corpus-fraction, exactly the FAISS on-disk
+IVF/PQ deployment recipe (Jegou et al. 2011).
+
+Determinism: the builders are the SAME deterministic kernels the per-call
+paths used (``_kmeans_lite`` sample training, integer Lloyd's PQ partials,
+seeded hyperplanes), so artifact-backed queries are bit-identical to the
+live paths and to the unchanged sequential goldens — asserted by
+tests/test_annindex.py and the ann_* oracle battery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+ANN_INDEX_VERSION = 1
+ANN_NLIST = 16  # IVF partitions — must match ivf_topk's default
+
+
+def ann_root(sf_dir: str, table: str = "embeddings") -> str:
+    """Cache root of the ANN index for a corpus table — the one place the
+    path scheme lives (bench and tests clear caches through this)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/agkg_annindex/{base}/{table}"
+
+
+def _fingerprint(sf_dir: str, table: str) -> list:
+    """Source identity: (abspath, size, mtime_ns) of the table file — a
+    rebuilt/replaced corpus invalidates the artifact even when the cache
+    root collides (e.g. equal basenames of different pytest tmp dirs)."""
+    from ..sources.tables import table_path
+
+    p = os.path.abspath(table_path(sf_dir, table))
+    st = os.stat(p)
+    return [p, st.st_size, st.st_mtime_ns]
+
+
+def _contract(sf_dir: str, table: str) -> dict:
+    from .similarity import LSH_BITS, LSH_SEED, PQ_ITERS, PQ_K, PQ_M
+
+    return {
+        "v": ANN_INDEX_VERSION,
+        "nlist": ANN_NLIST,
+        "m": PQ_M,
+        "kk": PQ_K,
+        "iters": PQ_ITERS,
+        "nbits": LSH_BITS,
+        "seed": LSH_SEED,
+        "src": _fingerprint(sf_dir, table),
+    }
+
+
+def ensure_ann_index(sf_dir: str, table: str = "embeddings") -> str:
+    """Build (or reuse) the persisted ANN index for a corpus table."""
+    from ..sources.tables import read_table
+    from .similarity import (
+        _kmeans_lite,
+        _matrix,
+        km_quantize,
+        lsh_codes,
+        lsh_planes,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    root = ann_root(sf_dir, table)
+    marker = os.path.join(root, "_DONE")
+    contract = _contract(sf_dir, table)
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                ok = json.load(f) == contract
+        except (OSError, ValueError):
+            ok = False
+        if ok:
+            return root
+        shutil.rmtree(root, ignore_errors=True)
+
+    tmp = root + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    ds = read_table(sf_dir, table, columns=["vec_id", "embedding"])
+
+    # IVF centroids: deterministic driver-side sample trainer — identical
+    # conventions to the per-call path (file-order limit(2048) sample,
+    # normalized rows, _kmeans_lite fixed seed/iters).
+    sample_rows = ds.limit(2048).take_all()
+    S = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    ivf_cent = _kmeans_lite(S, ANN_NLIST)
+    dim = S.shape[1]
+
+    # PQ codebooks: the shared distributed integer Lloyd's trainer (partials
+    # merge by integer addition — bit-equal at any parallelism).
+    pq_cents = train_pq_codebooks(ds)
+
+    planes = lsh_planes(dim)
+    ref = ray.put((ivf_cent, pq_cents, planes))
+
+    def code_block(t: pa.Table, _ref=ref) -> pa.Table:
+        icent, pcents, pl = ray.get(_ref)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                    "pq_code": pa.array([], pa.list_(pa.int64())),
+                    "bucket": pa.array([], pa.int32()),
+                    "lshb": pa.array([], pa.int32()),
+                    "ivfb": pa.array([], pa.int32()),
+                }
+            )
+        raw = _matrix(t)
+        rn = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+        ivfb = np.argmax(rn @ icent.T, axis=1).astype(np.int32)
+        codes = pq_encode(km_quantize(raw), pcents)  # (n, M) int64
+        lshb = lsh_codes(raw, pl).astype(np.int32)
+        # lshb-sort within the block: the partitioned write preserves row
+        # order per partition value, so every output file is lshb-sorted
+        # and LSH probe reads prune at row-group granularity
+        order = np.argsort(lshb, kind="mergesort")
+        emb = t["embedding"].combine_chunks().take(pa.array(order))
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].combine_chunks().take(pa.array(order)),
+                "embedding": emb,
+                "pq_code": pa.array(
+                    codes[order].tolist(), pa.list_(pa.int64())
+                ),
+                "bucket": pa.array(ivfb[order], pa.int32()),
+                "lshb": pa.array(lshb[order], pa.int32()),
+                "ivfb": pa.array(ivfb[order], pa.int32()),
+            }
+        )
+
+    ds.map_batches(code_block, batch_format="pyarrow").write_parquet(
+        os.path.join(tmp, "coded"), partition_cols=["ivfb"],
+        compression="zstd",
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(range(len(ivf_cent)), pa.int64()),
+                "centroid": pa.array(
+                    ivf_cent.tolist(), pa.list_(pa.float64())
+                ),
+            }
+        ),
+        os.path.join(tmp, "ivf_centroids.parquet"),
+    )
+    m, kk, _ = pq_cents.shape
+    pq.write_table(
+        pa.table(
+            {
+                "sub": pa.array(
+                    [j for j in range(m) for _ in range(kk)], pa.int64()
+                ),
+                "cluster": pa.array(list(range(kk)) * m, pa.int64()),
+                "centroid": pa.array(
+                    [pq_cents[j, c].tolist() for j in range(m)
+                     for c in range(kk)],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        ),
+        os.path.join(tmp, "pq_codebooks.parquet"),
+    )
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        json.dump(contract, f)
+
+    # Promote without deleting a valid concurrent winner (the SMB/link-table
+    # contract): accept a matching layout that appeared while we built.
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                ok = json.load(f) == contract
+        except (OSError, ValueError):
+            ok = False
+        if ok:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return root
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.replace(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return root
+
+
+def load_ivf_centroids(root: str) -> np.ndarray:
+    """(nlist, dim) float64 — exact float64 roundtrip of the trained
+    centroids."""
+    t = pq.read_table(os.path.join(root, "ivf_centroids.parquet"))
+    order = np.argsort(t["cluster"].to_numpy())
+    return np.asarray(t["centroid"].to_pylist(), np.float64)[order]
+
+
+def load_pq_codebooks(root: str) -> np.ndarray:
+    """(M, K, dsub) int64 — the integer codebooks, bit-exact."""
+    t = pq.read_table(os.path.join(root, "pq_codebooks.parquet"))
+    subs = t["sub"].to_numpy()
+    cls = t["cluster"].to_numpy()
+    cent = np.asarray(t["centroid"].to_pylist(), np.int64)
+    m = int(subs.max()) + 1
+    kk = int(cls.max()) + 1
+    out = np.zeros((m, kk, cent.shape[1]), np.int64)
+    out[subs, cls] = cent
+    return out
+
+
+def coded_dataset(
+    root: str,
+    buckets: set[int] | None = None,
+    columns: list[str] | None = None,
+    read_filter=None,
+) -> rd.Dataset:
+    """The coded corpus — pruned to the probed IVF partitions when
+    ``buckets`` is given (each probed directory read directly; a missing
+    directory under a valid marker is a legitimately empty bucket, same
+    contract as training._read_bucket)."""
+    import glob
+
+    base = os.path.join(root, "coded")
+    if buckets is None:
+        paths = sorted(
+            glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True)
+        )
+    else:
+        paths = []
+        for b in sorted(buckets):
+            d = os.path.join(base, f"ivfb={b}")
+            if os.path.isdir(d):
+                paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+            elif not os.path.exists(os.path.join(root, "_DONE")):
+                raise FileNotFoundError(
+                    f"ANN index {root} lost its _DONE marker while probing "
+                    f"ivfb={b} — index removed or rebuilt mid-query"
+                )
+    if not paths:  # every probed bucket empty: typed empty dataset
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float64())),
+                    ("pq_code", pa.list_(pa.int64())),
+                    ("bucket", pa.int32()),
+                    ("lshb", pa.int32()),
+                ]
+            ).empty_table()
+        )
+    kwargs = {}
+    if read_filter is not None:
+        kwargs["filter"] = read_filter
+    return rd.read_parquet(paths, columns=columns, **kwargs)

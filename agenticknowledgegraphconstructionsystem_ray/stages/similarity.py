@@ -41,6 +41,18 @@ def _matrix(t: pa.Table) -> np.ndarray:
     return flat.reshape(n, int(lengths[0]))
 
 
+def _codes_matrix(col) -> np.ndarray:
+    """list<int64> PQ-code column -> (rows, M) int64 matrix (offset-aware
+    flatten, same no-Python-round-trip shape as _matrix)."""
+    col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    flat = np.asarray(col.flatten(), dtype=np.int64)
+    return flat.reshape(n, int(lengths[0]))
+
+
 def brute_force_topk(
     sf_dir: str, query_ids: list[int], k: int = 10, table: str = "embeddings"
 ) -> pa.Table:
@@ -81,9 +93,10 @@ class PartialTopK:
     different schema ... new schema: ." for it. Fusing keeps every task
     input non-empty, so every output block carries the real schema."""
 
-    def __init__(self, ref, k, probe_ref=None) -> None:
+    def __init__(self, ref, k, probe_ref=None, bucket_col="bucket") -> None:
         self.qids, self.Q = ray.get(ref)
         self.k = k
+        self.bucket_col = bucket_col  # artifact scans probe stored columns
         self.probe = ray.get(probe_ref) if probe_ref is not None else None
         self.keep = (
             pa.array(sorted(set().union(*self.probe.values())), pa.int32())
@@ -94,7 +107,9 @@ class PartialTopK:
     def __call__(self, t: pa.Table) -> pa.Table:
         if self.keep is not None:
             t = t.filter(
-                pc.is_valid(pc.index_in(t["bucket"], value_set=self.keep))
+                pc.is_valid(
+                    pc.index_in(t[self.bucket_col], value_set=self.keep)
+                )
             )
         m = _matrix(t)
         ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -109,7 +124,10 @@ class PartialTopK:
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = m @ self.Q.T  # (rows, n_queries)
         buckets = (
-            t["bucket"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            t[self.bucket_col]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
             if self.probe is not None
             else None
         )
@@ -184,14 +202,31 @@ def ivf_topk(
     table: str = "embeddings",
 ) -> pa.Table:
     """IVF approximate top-k: bucket by nearest centroid, probe nprobe
-    buckets per query. Output (query_id, vec_id, rank)."""
+    buckets per query. Output (query_id, vec_id, rank).
+
+    Default nlist -> the persisted index (annindex): centroids and bucket
+    assignments are read from the once-per-corpus artifact and the scan
+    touches ONLY the probed ``ivfb=`` partitions (~nprobe/nlist of the
+    corpus) — no per-call training, no full-corpus assignment pass.
+    Non-default nlist keeps the live sample-train + assign path."""
+    from .annindex import ANN_NLIST
+
     emb = read_table(sf_dir, table, columns=["vec_id", "embedding"])
 
-    # train centroids on a deterministic sample (driver-side, small)
-    sample_rows = emb.limit(2048).take_all()
-    S = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
-    S = S / np.linalg.norm(S, axis=1, keepdims=True)
-    cent = _kmeans_lite(S, nlist)
+    use_index = nlist == ANN_NLIST
+    if use_index:
+        from .annindex import ensure_ann_index, load_ivf_centroids
+
+        root = ensure_ann_index(sf_dir, table)
+        cent = load_ivf_centroids(root)
+    else:
+        # train centroids on a deterministic sample (driver-side, small)
+        sample_rows = emb.limit(2048).take_all()
+        S = np.asarray(
+            [r["embedding"] for r in sample_rows], dtype=np.float64
+        )
+        S = S / np.linalg.norm(S, axis=1, keepdims=True)
+        cent = _kmeans_lite(S, nlist)
     cent_ref = ray.put(cent)
 
     want = pa.array(sorted(set(query_ids)), pa.int64())
@@ -213,10 +248,13 @@ def ivf_topk(
             buckets = np.argmax(m @ self.cent.T, axis=1)
             return t.append_column("bucket", pa.array(buckets, pa.int32()))
 
-    bucketed = emb.map_batches(
-        AssignBucket, fn_constructor_kwargs={"ref": cent_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+    if use_index:
+        from .annindex import coded_dataset
+    else:
+        bucketed = emb.map_batches(
+            AssignBucket, fn_constructor_kwargs={"ref": cent_ref},
+            batch_format="pyarrow", concurrency=(1, 4),
+        )
 
     # probe set per query
     probe: dict[int, set[int]] = {}
@@ -235,6 +273,14 @@ def ivf_topk(
     # pre-filter runs INSIDE PartialTopK (see its docstring: a standalone
     # filter stage feeds empty task inputs downstream, which Ray turns into
     # schemaless empty blocks).
+    if use_index:
+        # read ONLY the probed partitions of the persisted index — the
+        # pruned-read form of the same union-of-probes pre-filter
+        bucketed = coded_dataset(
+            root,
+            buckets=set().union(*probe.values()),
+            columns=["vec_id", "embedding", "bucket"],
+        )
     partials = bucketed.map_batches(
         PartialTopK,
         fn_constructor_kwargs={"ref": q_ref, "k": k, "probe_ref": probe_ref},
@@ -505,24 +551,15 @@ def pq_train_partial(q: np.ndarray, cents: np.ndarray):
     return subs, cls, ns, sums
 
 
-def pq_topk(
-    sf_dir: str,
-    query_ids: list[int] | None = None,
-    k: int = 10,
-    m: int = PQ_M,
-    kk: int = PQ_K,
-    iters: int = PQ_ITERS,
-):
-    """PQ approximate top-k: train per-subspace codebooks over the corpus
-    (one streaming pass per iteration, M*K tiny partial rows per block),
-    then score every vector for each query as the sum of M inner-product
-    table lookups (asymmetric distance computation) inside a per-block
-    top-k combiner. Output: (query_id, vec_id, rank) — rank by
-    (approx score desc, vec_id asc). Driver state: the (M, K, dim/M)
-    codebook and k rows per (block, query)."""
-    query_ids = query_ids or [0, 1, 2]
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
+def train_pq_codebooks(
+    ds, m: int = PQ_M, kk: int = PQ_K, iters: int = PQ_ITERS
+) -> np.ndarray:
+    """The distributed integer PQ trainer, shared by pq_topk /
+    ivfpq_rerank_topk / the persisted index builder (annindex): seeds are
+    the K smallest vec_ids, each iteration is one streaming pass of int64
+    (sub, cluster, n, sum) partials merged by addition, floor-mean updates
+    — bit-identical to the sequential golden at any parallelism. Returns
+    (M, K, dim/M) int64 codebooks."""
     seeds = ds.filter(expr=f"vec_id < {kk}").take_all()
     seeds.sort(key=lambda r: r["vec_id"])
     smat = km_quantize(np.array([r["embedding"] for r in seeds], np.float64))
@@ -531,7 +568,6 @@ def pq_topk(
     cents = np.stack(
         [smat[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
     )  # (M, K, dsub)
-
     for _ in range(iters):
         ref = ray.put(cents)
 
@@ -557,6 +593,43 @@ def pq_topk(
         nz = counts > 0
         cents = cents.copy()
         cents[nz] = sums[nz] // counts[nz][:, None]
+    return cents
+
+
+def pq_topk(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    m: int = PQ_M,
+    kk: int = PQ_K,
+    iters: int = PQ_ITERS,
+):
+    """PQ approximate top-k: train per-subspace codebooks over the corpus
+    (one streaming pass per iteration, M*K tiny partial rows per block),
+    then score every vector for each query as the sum of M inner-product
+    table lookups (asymmetric distance computation) inside a per-block
+    top-k combiner. Output: (query_id, vec_id, rank) — rank by
+    (approx score desc, vec_id asc). Driver state: the (M, K, dim/M)
+    codebook and k rows per (block, query)."""
+    query_ids = query_ids or [0, 1, 2]
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # Default index shape -> read the persisted artifact (codebooks + codes
+    # built once per corpus, annindex) instead of re-training/re-coding;
+    # non-default shapes (recall experiments, tests) keep the live trainer.
+    use_index = (m, kk, iters) == (PQ_M, PQ_K, PQ_ITERS)
+    if use_index:
+        from .annindex import (
+            coded_dataset,
+            ensure_ann_index,
+            load_pq_codebooks,
+        )
+
+        root = ensure_ann_index(sf_dir)
+        cents = load_pq_codebooks(root)
+    else:
+        cents = train_pq_codebooks(ds, m, kk, iters)
+    dsub = cents.shape[2]
 
     # query LUTs: (n_queries, M, K) int64 inner products
     want = pa.array(sorted(set(query_ids)), pa.int64())
@@ -587,8 +660,10 @@ def pq_topk(
 
     def block_topk(t: pa.Table, _ref=ref) -> pa.Table:
         c, l, qids = ray.get(_ref)
-        q = km_quantize(_matrix(t))
-        codes = pq_encode(q, c)
+        if "pq_code" in t.column_names:  # artifact scan: stored codes
+            codes = _codes_matrix(t["pq_code"])
+        else:
+            codes = pq_encode(km_quantize(_matrix(t)), c)
         ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(qids):
@@ -607,7 +682,12 @@ def pq_topk(
             }
         )
 
-    parts = ds.map_batches(block_topk, batch_format="pyarrow").take_all()
+    scan = (
+        coded_dataset(root, columns=["vec_id", "pq_code"])
+        if use_index
+        else ds
+    )  # artifact: the 16x-compressed codes column, raw vectors never read
+    parts = scan.map_batches(block_topk, batch_format="pyarrow").take_all()
     rows_q, rows_v, rows_r = [], [], []
     import pandas as pd
 
@@ -704,17 +784,37 @@ def ivfpq_rerank_topk(
     IVF's self-exclusion rule applies (a query never retrieves itself).
     Output: (query_id, vec_id, rank) — bit-identical to the sequential
     golden (goldens._seq_ivfpq_rerank) at any parallelism."""
+    from .annindex import ANN_NLIST
+
     query_ids = sorted(set(query_ids or [0, 1, 2]))
     cand_k = cand_mult * k
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    # --- IVF side: sample-trained centroids + per-query probe sets
-    # (identical conventions to ivf_topk: file-order limit(2048) sample,
-    # normalized argmax assignment, stable argsort probe rule)
-    sample_rows = ds.limit(2048).take_all()
-    S = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
-    S = S / np.linalg.norm(S, axis=1, keepdims=True)
-    ivf_cent = _kmeans_lite(S, nlist)
+    # Default nlist -> persisted index: centroids, codebooks AND per-vector
+    # codes come from the once-per-corpus artifact; the scan below then
+    # reads only the probed ivfb= partitions' (vec_id, pq_code) — neither
+    # training pass nor any raw-vector scan happens per call.
+    use_index = nlist == ANN_NLIST
+    if use_index:
+        from .annindex import (
+            coded_dataset,
+            ensure_ann_index,
+            load_ivf_centroids,
+            load_pq_codebooks,
+        )
+
+        root = ensure_ann_index(sf_dir)
+        ivf_cent = load_ivf_centroids(root)
+    else:
+        # --- IVF side: sample-trained centroids (identical conventions to
+        # ivf_topk: file-order limit(2048) sample, normalized argmax
+        # assignment, stable argsort probe rule)
+        sample_rows = ds.limit(2048).take_all()
+        S = np.asarray(
+            [r["embedding"] for r in sample_rows], dtype=np.float64
+        )
+        S = S / np.linalg.norm(S, axis=1, keepdims=True)
+        ivf_cent = _kmeans_lite(S, nlist)
 
     want = pa.array(sorted(set(query_ids)), pa.int64())
     qrows = ds.map_batches(
@@ -731,41 +831,12 @@ def ivfpq_rerank_topk(
         order = np.argsort(-(ivf_cent @ qn), kind="stable")[:nprobe]
         probe[qid] = set(int(x) for x in order)
 
-    # --- PQ side: integer codebooks (identical trainer to pq_topk)
-    m, kk = PQ_M, PQ_K
-    seeds = ds.filter(expr=f"vec_id < {kk}").take_all()
-    seeds.sort(key=lambda r: r["vec_id"])
-    smat = km_quantize(np.array([r["embedding"] for r in seeds], np.float64))
-    dim = smat.shape[1]
-    dsub = dim // m
-    cents = np.stack(
-        [smat[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+    # --- PQ side: integer codebooks (the shared trainer / the artifact)
+    m = PQ_M
+    cents = (
+        load_pq_codebooks(root) if use_index else train_pq_codebooks(ds)
     )
-    for _ in range(PQ_ITERS):
-        ref = ray.put(cents)
-
-        def partial(t: pa.Table, _ref=ref) -> pa.Table:
-            c = ray.get(_ref)
-            q = km_quantize(_matrix(t))
-            subs, cls, ns, sums = pq_train_partial(q, c)
-            return pa.table(
-                {
-                    "sub": pa.array(subs, pa.int64()),
-                    "cluster": pa.array(cls, pa.int64()),
-                    "n": pa.array(ns, pa.int64()),
-                    "s": pa.array(sums, pa.list_(pa.int64())),
-                }
-            )
-
-        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-        counts = np.zeros((m, kk), np.int64)
-        sums = np.zeros_like(cents)
-        for r in parts:
-            counts[r["sub"], r["cluster"]] += r["n"]
-            sums[r["sub"], r["cluster"]] += np.asarray(r["s"], np.int64)
-        nz = counts > 0
-        cents = cents.copy()
-        cents[nz] = sums[nz] // counts[nz][:, None]
+    dsub = cents.shape[2]
 
     # query LUTs over the quantized query vectors (pq_topk convention)
     qmat = km_quantize(np.array([q_raw[i] for i in query_ids], np.float64))
@@ -784,11 +855,19 @@ def ivfpq_rerank_topk(
 
     def block_topk(t: pa.Table, _ref=scan_ref) -> pa.Table:
         icent, c, l, qids, prb = ray.get(_ref)
-        raw = _matrix(t)
-        rn = raw / np.linalg.norm(raw, axis=1, keepdims=True)
-        buckets = np.argmax(rn @ icent.T, axis=1)
-        qz = km_quantize(raw)
-        codes = pq_encode(qz, c)
+        if "pq_code" in t.column_names:  # artifact scan: stored codes
+            codes = _codes_matrix(t["pq_code"])
+            buckets = (
+                t["bucket"]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        else:
+            raw = _matrix(t)
+            rn = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+            buckets = np.argmax(rn @ icent.T, axis=1)
+            codes = pq_encode(km_quantize(raw), c)
         ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(qids):
@@ -811,7 +890,16 @@ def ivfpq_rerank_topk(
             }
         )
 
-    partials = ds.map_batches(block_topk, batch_format="pyarrow").take_all()
+    scan = (
+        coded_dataset(
+            root,
+            buckets=set().union(*probe.values()),
+            columns=["vec_id", "pq_code", "bucket"],
+        )
+        if use_index
+        else ds
+    )  # artifact: probed partitions only, compressed codes only
+    partials = scan.map_batches(block_topk, batch_format="pyarrow").take_all()
     by_q: dict[int, list] = {}
     for r in partials:
         by_q.setdefault(r["query_id"], []).append((r["score"], r["vec_id"]))
@@ -966,6 +1054,31 @@ def lsh_topk(
         probe[qid] = {int(code)} | {int(code) ^ (1 << b) for b in range(nbits)}
     q_ref = ray.put((qid_order, Q))
     probe_ref = ray.put(probe)
+
+    if nbits == LSH_BITS:
+        # persisted index: codes were stored at build time, so the per-call
+        # coding pass (matmul over every vector) is gone; the probe filter
+        # runs inside PartialTopK on the stored column (NOT as a read-level
+        # filter — a fragment pruned to zero rows makes Ray skip the UDF
+        # and emit a schemaless empty block, the "new schema: ." warning
+        # class eliminated in round 3). Files are lshb-sorted so a
+        # dedicated lshb-projection of the layout could add row-group
+        # pruning without rewriting the index.
+        from .annindex import coded_dataset, ensure_ann_index
+
+        root = ensure_ann_index(sf_dir, table)
+        bucketed = coded_dataset(
+            root, columns=["vec_id", "embedding", "lshb"]
+        )
+        partials = bucketed.map_batches(
+            PartialTopK,
+            fn_constructor_kwargs={
+                "ref": q_ref, "k": k, "probe_ref": probe_ref,
+                "bucket_col": "lshb",
+            },
+            batch_format="pyarrow", concurrency=(1, 4),
+        ).take_all()
+        return _merge_partials(partials, k)
 
     class AssignLshBucket:
         def __init__(self, ref) -> None:

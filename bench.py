@@ -195,7 +195,18 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         timed("smb_layout_build", training._smb_layout)
         timed("ta_bucketed_join", training.ta_bucketed_join)
         timed("ann_brute_topk", training.ann_brute_topk)
+        # persisted ANN index: built ONCE per corpus (cleared here so the
+        # build segment is honest), then the IVF/PQ/LSH query family reads
+        # the artifact — centroids/codebooks/codes are never re-derived
+        from agenticknowledgegraphconstructionsystem_ray.stages import (
+            annindex as _ann,
+        )
+
+        shutil.rmtree(_ann.ann_root(sf_dir), ignore_errors=True)
+        timed("ann_index_build", _ann.ensure_ann_index)
         timed("ann_lsh_topk", training.ann_lsh_topk)
+        timed("ann_ivf_topk", training.ann_ivf_topk)
+        timed("ann_ivfpq_rerank", training.ann_ivfpq_rerank)
         timed("ml_pca_var", training.ml_pca_var)
         timed("dd_minhash_pairs", training.dd_minhash_pairs)
         # crawl-increment path: persisted old-corpus band index (built
