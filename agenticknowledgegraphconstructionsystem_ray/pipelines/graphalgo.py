@@ -42,6 +42,7 @@ import os
 
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -181,6 +182,15 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 PR_BASE = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
 PR_ITERS = 10
 PR_TOP = 50
+# Node-count gate for the broadcast-rank BSP fast path: below this, the
+# rank vector ships to workers via ray.put each round (16 MB at the cap)
+# and a round is ONE map stage + a combiner-partial driver merge — no
+# all-to-all, ~0.1-0.2 s of scheduling instead of ~2 s of shuffle rounds
+# (wg_host_rank paid ~19 s of pure BSP scheduling latency at sf0.1).
+# Above the cap (open-vocabulary web graphs at real scale) the
+# shuffle-per-round loop below remains the path — same integers either
+# way, asserted by the unchanged golden parities.
+PR_BROADCAST_NODES = 2_000_000
 
 
 def _contrib_batch(t: pa.Table) -> pa.Table:
@@ -192,6 +202,156 @@ def _contrib_batch(t: pa.Table) -> pa.Table:
     c = (rank * PR_DAMP_NUM // PR_DAMP_DEN) // deg
     return pa.table(
         {"node_id": t["obj_id"], "c": pa.array(c.astype("int64"), pa.int64())}
+    )
+
+
+def _pagerank_broadcast(adj: "rd.Dataset", nodes: "rd.Dataset",
+                        iters: int, top: int,
+                        seed_mod: int | None,
+                        weighted: bool = False) -> "rd.Dataset":
+    """Broadcast-rank power iteration — the round-LATENCY path for node
+    sets under PR_BROADCAST_NODES. Edges stay distributed (the adjacency
+    is the same edge-partitioned materialization the shuffle loop uses);
+    each round broadcasts the int64 rank vector via ray.put, every block
+    emits (node_id, c) combiner partials bounded by its own distinct
+    destinations, and the driver merges partials by integer addition —
+    the repo's standard block-combiner idiom (A4 mention counts,
+    validation summaries). Bit-identical to the shuffle loop: same
+    per-edge kernel ((rank * 85 // 100) // deg), same base/seed masks,
+    same (rank desc, node asc) tail.
+
+    Fails loudly if an edge endpoint is missing from ``nodes`` — the
+    closure assumption every caller satisfies by construction (kg nodes
+    table, host graphs built from their own endpoint set); an open graph
+    must use the shuffle loop, not silently mis-rank."""
+    import numpy as np
+
+    ids = np.unique(
+        np.concatenate(
+            [
+                b["entity_id"].to_numpy(zero_copy_only=False)
+                for b in nodes.iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            ]
+            or [np.zeros(0, np.int64)]
+        ).astype(np.int64)
+    )
+    n = len(ids)
+    if n == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [("entity_id", pa.int64()), ("rank_fp", pa.int64())]
+            ).empty_table()
+        )
+    seed = (
+        np.ones(n, bool) if seed_mod is None else (ids % seed_mod) == 0
+    )
+    rank = np.where(seed, np.int64(PR_SCALE), np.int64(0)).astype(np.int64)
+    base = np.where(seed, np.int64(PR_BASE), np.int64(0)).astype(np.int64)
+    ids_ref = ray.put(ids)
+
+    # Divisor vector (out-degree / out-weight per node) via ONE combiner
+    # pass over the distinct adjacency — replaces the _attach_i64 shuffle
+    # the loop path pays to co-locate it with every edge.
+    def div_partial(t: pa.Table, _i=ids_ref, _w=weighted) -> pa.Table:
+        import numpy as np
+
+        ids_ = ray.get(_i) if hasattr(_i, "hex") else _i
+        subj = t["subj_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        si = np.searchsorted(ids_, subj)
+        if (si >= len(ids_)).any() or (ids_[si] != subj).any():
+            raise ValueError(
+                "edge subject outside the node set — broadcast pagerank "
+                "requires endpoint closure"
+            )
+        vals = (
+            t["w"].combine_chunks().to_numpy(zero_copy_only=False)
+            if _w
+            else np.ones(len(si), np.int64)
+        )
+        u, inv = np.unique(si, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.add.at(acc, inv, vals)
+        return pa.table(
+            {
+                "idx": pa.array(u.astype(np.int64), pa.int64()),
+                "d": pa.array(acc, pa.int64()),
+            }
+        )
+
+    div = np.zeros(n, np.int64)
+    for blk in adj.map_batches(
+        div_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if blk.num_rows:
+            np.add.at(
+                div,
+                blk["idx"].to_numpy(zero_copy_only=False),
+                blk["d"].to_numpy(zero_copy_only=False),
+            )
+    div_ref = ray.put(div)
+
+    for _ in range(iters):
+        r_ref = ray.put(rank)
+
+        def contrib_partial(
+            t: pa.Table, _i=ids_ref, _r=r_ref, _d=div_ref, _w=weighted
+        ) -> pa.Table:
+            import numpy as np
+
+            ids_ = ray.get(_i) if hasattr(_i, "hex") else _i
+            r = ray.get(_r) if hasattr(_r, "hex") else _r
+            dv = ray.get(_d) if hasattr(_d, "hex") else _d
+            subj = t["subj_id"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            obj = t["obj_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            si = np.searchsorted(ids_, subj)
+            if (si >= len(ids_)).any() or (ids_[si] != subj).any():
+                raise ValueError(
+                    "edge subject outside the node set — broadcast "
+                    "pagerank requires endpoint closure"
+                )
+            if _w:  # _wcontrib_batch kernel, same integers
+                w = t["w"].combine_chunks().to_numpy(zero_copy_only=False)
+                c = (r[si] * PR_DAMP_NUM // PR_DAMP_DEN) * w // dv[si]
+            else:  # _contrib_batch kernel
+                c = (r[si] * PR_DAMP_NUM // PR_DAMP_DEN) // dv[si]
+            u, inv = np.unique(obj, return_inverse=True)
+            acc = np.zeros(len(u), np.int64)
+            np.add.at(acc, inv, c)
+            return pa.table(
+                {
+                    "node_id": pa.array(u, pa.int64()),
+                    "c": pa.array(acc, pa.int64()),
+                }
+            )
+
+        new = base.copy()
+        for b in adj.map_batches(
+            contrib_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            if not b.num_rows:
+                continue
+            bn = b["node_id"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ids, bn)
+            if (idx >= n).any() or (ids[idx] != bn).any():
+                raise ValueError(
+                    "edge destination outside the node set — broadcast "
+                    "pagerank requires endpoint closure"
+                )
+            np.add.at(new, idx, b["c"].to_numpy(zero_copy_only=False))
+        rank = new
+
+    order = np.lexsort((ids, -rank))[:top]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(ids[order], pa.int64()),
+                "rank_fp": pa.array(rank[order], pa.int64()),
+            }
+        )
     )
 
 
@@ -213,6 +373,12 @@ def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
+    if nodes.count() <= PR_BROADCAST_NODES:
+        # no deg attach: the broadcast path derives the divisor vector
+        # from the distinct pairs in one combiner pass
+        adjb = pairs.repartition(n_parts).materialize()
+        return _pagerank_broadcast(adjb, nodes, iters, top, seed_mod)
+
     deg = pairs.groupby("subj_id").aggregate(Count(alias_name="deg"))
     # Bound the loop-state partition count: a groupby inherits its input's
     # block count, so a many-block edge source (e.g. 64 read tasks) would
@@ -2123,6 +2289,104 @@ HITS_SCALE = 10**6
 HITS_TOP = 50
 
 
+def _hits_broadcast(pairs: "rd.Dataset", nodes: "rd.Dataset",
+                    iters: int, top: int) -> "rd.Dataset":
+    """Broadcast-score HITS half-steps — same round-latency rationale as
+    _pagerank_broadcast (edges stay distributed, scores ship via ray.put,
+    per-block combiner partials merge on the driver by integer addition;
+    2 map passes per iteration instead of ~8 shuffle barriers). Kernel
+    parity with the shuffle loop: contrib = score(src) summed per dst,
+    then rescale s * HITS_SCALE // max(s, 1). Endpoint-closure contract
+    as in _pagerank_broadcast."""
+    import numpy as np
+
+    ids = np.unique(
+        np.concatenate(
+            [
+                b["entity_id"].to_numpy(zero_copy_only=False)
+                for b in nodes.iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            ]
+            or [np.zeros(0, np.int64)]
+        ).astype(np.int64)
+    )
+    n = len(ids)
+    if n == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("entity_id", pa.int64()),
+                    ("auth_fp", pa.int64()),
+                    ("hub_fp", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    ids_ref = ray.put(ids)
+
+    def half(scores: np.ndarray, src: str, dst: str) -> np.ndarray:
+        s_ref = ray.put(scores)
+
+        def partial(
+            t: pa.Table, _i=ids_ref, _s=s_ref, _src=src, _dst=dst
+        ) -> pa.Table:
+            import numpy as np
+
+            ids_ = ray.get(_i) if hasattr(_i, "hex") else _i
+            sc = ray.get(_s) if hasattr(_s, "hex") else _s
+            a = t[_src].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t[_dst].combine_chunks().to_numpy(zero_copy_only=False)
+            si = np.searchsorted(ids_, a)
+            if (si >= len(ids_)).any() or (ids_[si] != a).any():
+                raise ValueError(
+                    "edge endpoint outside the node set — broadcast HITS "
+                    "requires endpoint closure"
+                )
+            u, inv = np.unique(b, return_inverse=True)
+            acc = np.zeros(len(u), np.int64)
+            np.add.at(acc, inv, sc[si])
+            return pa.table(
+                {
+                    "node_id": pa.array(u, pa.int64()),
+                    "c": pa.array(acc, pa.int64()),
+                }
+            )
+
+        new = np.zeros(n, np.int64)
+        for blk in pairs.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            if not blk.num_rows:
+                continue
+            bn = blk["node_id"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ids, bn)
+            if (idx >= n).any() or (ids[idx] != bn).any():
+                raise ValueError(
+                    "edge endpoint outside the node set — broadcast HITS "
+                    "requires endpoint closure"
+                )
+            np.add.at(new, idx, blk["c"].to_numpy(zero_copy_only=False))
+        mx = max(int(new.max()) if n else 0, 1)
+        return new * HITS_SCALE // mx
+
+    hubs = np.full(n, HITS_SCALE, np.int64)
+    auths = hubs
+    for _ in range(iters):
+        auths = half(hubs, "subj_id", "obj_id")
+        hubs = half(auths, "obj_id", "subj_id")
+
+    order = np.lexsort((ids, -auths))[:top]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(ids[order], pa.int64()),
+                "auth_fp": pa.array(auths[order], pa.int64()),
+                "hub_fp": pa.array(hubs[order], pa.int64()),
+            }
+        )
+    )
+
+
 def hits(edges: "rd.Dataset", nodes: "rd.Dataset",
          iters: int = HITS_ITERS, top: int = HITS_TOP) -> "rd.Dataset":
     """``edges``: (subj_id, obj_id) int64 rows (deduped here); ``nodes``:
@@ -2140,6 +2404,9 @@ def hits(edges: "rd.Dataset", nodes: "rd.Dataset",
         .repartition(n_parts)  # bound loop-shuffle partition count
         .materialize()  # reused twice per iteration
     )
+
+    if nodes.count() <= PR_BROADCAST_NODES:
+        return _hits_broadcast(pairs, nodes, iters, top)
 
     def base_rows(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -2594,6 +2861,13 @@ def pagerank_weighted(edges: "rd.Dataset", nodes: "rd.Dataset",
     """``edges``: (subj_id, obj_id, w) int64 rows, one per distinct pair
     (weights already aggregated); ``nodes``: (entity_id)."""
     n_parts = max(8, cluster_cpus())
+
+    if nodes.count() <= PR_BROADCAST_NODES:
+        # no wout attach: the broadcast path derives the out-weight
+        # divisor from the (already-aggregated) edges in one combiner pass
+        adjb = edges.repartition(n_parts).materialize()
+        return _pagerank_broadcast(adjb, nodes, iters, top, None,
+                                   weighted=True)
 
     wout = edges.groupby("subj_id").aggregate(Sum("w", alias_name="wout"))
     adj = (

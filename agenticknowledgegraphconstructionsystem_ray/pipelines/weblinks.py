@@ -47,6 +47,7 @@ from ray.data.aggregate import Count, Sum
 
 from .. import synth
 from ..functions.weblinks import host_id, host_of, resolve_outlinks
+from ..runtime import cluster_cpus
 from .kgqueries import sf_of
 
 
@@ -242,6 +243,11 @@ def _host_graph(sf_dir: str):
     nodes = (
         tagged.groupby("subj_id")
         .aggregate(Count(alias_name="_n"))
+        # re-bound partitions BEFORE the projection map: the groupby emits
+        # empty partitions on this host-dimension input and a map stage
+        # whose task input is entirely empty yields schemaless empty
+        # blocks (the "new schema: ." warning class)
+        .repartition(max(8, cluster_cpus()))
         .map_batches(
             lambda t: pa.table({"entity_id": t["subj_id"]}),
             batch_format="pyarrow",

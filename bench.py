@@ -242,11 +242,12 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         shutil.rmtree(weblinks.links_root(sf_dir), ignore_errors=True)
         timed("wg_link_tables_build", weblinks._ensure_link_tables)
         timed("wg_host_graph", weblinks.wg_host_graph)
-        # (wg_host_rank is NOT a suite segment: the BSP fixed-point loop
-        # costs ~40 shuffle rounds of pure scheduling latency on a
-        # host-dimension graph — constant in corpus size, amortized to
-        # noise at real scale, but it would dominate a 50k-page suite
-        # reading. The derived-query showcase is the concentration pass.)
+        # wg_host_rank is BACK in the timed suite (round-3 exclusion was
+        # ~19 s of BSP shuffle-round scheduling): the broadcast-rank power
+        # iteration (graphalgo._pagerank_broadcast — one map pass + driver
+        # combiner merge per round, no per-round all-to-all) runs it in
+        # ~4-5 s at sf0.1, bit-exact vs the unchanged golden.
+        timed("wg_host_rank", weblinks.wg_host_rank)
         timed("wg_outlink_concentration", weblinks.wg_outlink_concentration)
         # artifact-level full-text search: the pipeline build is cached
         # (untimed here - kg_pipeline above is the build segment); the
