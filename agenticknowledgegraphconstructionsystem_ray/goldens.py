@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "44"  # v43: video stride 1; v44: + truss
+GOLDEN_VERSION = "45"  # v44: + truss; v45: + mm keep verdicts
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -717,6 +717,41 @@ def _seq_pairs_keep(
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
+            "rep_id": pa.array(reps, pa.int64()),
+            "keep": pa.array([i == r for i, r in zip(ids, reps)], pa.bool_()),
+        }
+    )
+
+
+def _seq_mm_keep(
+    sf_dir: str, pairs: pa.Table, predicate_mod: int, predicate_not: bool
+) -> pa.Table:
+    """Sequential image/video keep golden (mirrors training._mm_keep):
+    UnionFind over the modality pair list, min-id representative, verdict
+    row for every media item matching the modality's formula predicate
+    (media_id == doc_id)."""
+    uf = UnionFind()
+    for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        uf.add(a)
+        uf.add(b)
+        uf.union(a, b)
+    rep_of: dict[int, int] = {}
+    for members in uf.components().values():
+        rep = min(members)
+        for m in members:
+            rep_of[m] = rep
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    ids = [
+        i
+        for i in t["doc_id"].to_pylist()
+        if (i % predicate_mod == 2) != predicate_not
+    ]
+    reps = [rep_of.get(i, i) for i in ids]
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
             "rep_id": pa.array(reps, pa.int64()),
             "keep": pa.array([i == r for i, r in zip(ids, reps)], pa.bool_()),
         }
@@ -2102,6 +2137,14 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["dhash"] = _seq_dhash(sf_dir)
         tables["dhash_pairs"] = _seq_dhash_pairs(sf_dir)
         tables["video_pairs"] = _seq_video_pairs(sf_dir)
+        # modality keep verdicts compose the near_dup_keep mirror over the
+        # multimodal pair sources (v45)
+        tables["mm_dhash_keep"] = _seq_mm_keep(
+            sf_dir, tables["dhash_pairs"], 5, True
+        )
+        tables["mm_video_keep"] = _seq_mm_keep(
+            sf_dir, tables["video_pairs"], 3, False
+        )
         tables["cdc"] = _seq_cdc(sf_dir)
         tables["mm_decode"] = _seq_media_decode(sf_dir)
         tables["mm_resize"] = _seq_media_resize(sf_dir)
@@ -2852,6 +2895,12 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "mm_dhash_pairs": f"""
             SELECT id_a, id_b, hamming FROM {_g('dhash_pairs')}
+        """,
+        "mm_dhash_keep": f"""
+            SELECT media_id, rep_id, keep FROM {_g('mm_dhash_keep')}
+        """,
+        "mm_video_keep": f"""
+            SELECT media_id, rep_id, keep FROM {_g('mm_video_keep')}
         """,
         "mm_video_pairs": f"""
             SELECT id_a, id_b, n_shared FROM {_g('video_pairs')}

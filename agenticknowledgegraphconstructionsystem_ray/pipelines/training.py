@@ -1192,6 +1192,82 @@ def mm_video_pairs(sf_dir: str):
     return multimodal.video_near_dups(sf_dir)
 
 
+def _mm_keep(sf_dir: str, pairs_ds, predicate_mod: int,
+             predicate_not: bool):
+    """Shared image/video keep plumbing: collect the (tiny) pair list,
+    run near_dup_keep's union-find + broadcast rep map over the modality's
+    media universe (media_id == doc_id; the membership predicate is the
+    same pure formula the media synthesizers use), rename to media_id."""
+    import numpy as np
+
+    from ..stages import dedup as _dedup
+
+    pairs_t = (
+        pairs_ds
+        if isinstance(pairs_ds, pa.Table)  # video path returns a Table
+        else pa.concat_tables(
+            [
+                b
+                for b in pairs_ds.iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            ]
+        )
+    )
+    pairs = pa.table(
+        {"doc_a": pairs_t["id_a"], "doc_b": pairs_t["id_b"]}
+    )
+
+    def member(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = ids % predicate_mod == 2
+        if predicate_not:
+            m = ~m
+        return t.filter(pa.array(m))
+
+    universe = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        member, batch_format="pyarrow"
+    )
+    out = _dedup.near_dup_keep(universe, pairs=pairs)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t["doc_id"],
+                "rep_id": t["rep_id"],
+                "keep": t["keep"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def mm_dhash_keep(sf_dir: str):
+    """Image-corpus dedup VERDICT (not just pairs): dHash banded near-dup
+    pairs -> driver union-find over the pair-involved images -> broadcast
+    rep map -> (media_id, rep_id, keep) over the image universe
+    (doc_id % 5 != 2 — the decodable-media formula's non-WAV rows; images
+    with no near-dup keep themselves). Same compose near_dup_keep already
+    proven for text MinHash/SimHash pairs, now over the image pair source.
+    Golden-file oracle (goldens._seq_mm_keep)."""
+    from ..stages import imagehash
+
+    return _mm_keep(
+        sf_dir, imagehash.dhash_pairs(sf_dir), predicate_mod=5,
+        predicate_not=True,
+    )
+
+
+def mm_video_keep(sf_dir: str):
+    """Video-corpus dedup verdict over the cross-video shot near-dup
+    pairs: (media_id, rep_id, keep) for every video media item
+    (doc_id % 3 == 2 — build_media_batch's kind formula). Golden-file
+    oracle (goldens._seq_mm_keep)."""
+    return _mm_keep(
+        sf_dir, multimodal.video_near_dups(sf_dir), predicate_mod=3,
+        predicate_not=False,
+    )
+
+
 def tx_cdc(sf_dir: str):
     """Gear-CDC chunk dedup rollup (stages/cdc.cdc_dedup_stats): per-doc
     (n_chunks, n_bytes, dup_chunks, dup_bytes) where dup = not the global
@@ -1503,6 +1579,8 @@ QUERIES = {
     "mm_dhash": mm_dhash,
     "mm_dhash_pairs": mm_dhash_pairs,
     "mm_video_pairs": mm_video_pairs,
+    "mm_dhash_keep": mm_dhash_keep,
+    "mm_video_keep": mm_video_keep,
     "tx_cdc": tx_cdc,
     "dd_semdedup": dd_semdedup,
 }
