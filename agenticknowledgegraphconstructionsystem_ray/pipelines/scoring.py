@@ -830,8 +830,81 @@ def tx_fertility(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# tx_phrase_match: positional-index phrase search — the tsquery '<->'
+# followed-by retrieval shape (the one text-retrieval primitive q42's
+# document-level postings cannot answer: "t1 immediately before t2").
+# Shape: ONE tokenize pass emits the PROBED positional-index rows
+# (term, doc_id, capped 1-based positions) for the phrase's terms only —
+# exactly what a persisted positional index would hand back per query
+# term — then one doc_id groupby intersects t1's positions with t2's
+# shifted by one. Positions per (term, doc) are capped at PH_POS_CAP in
+# BOTH the pipeline and the SQL oracle (window rank), so the comparison
+# stays exact while a hot term's in-doc positions never exceed the cap.
+# ---------------------------------------------------------------------------
+
+PHRASE_TERMS = ("table", "hash")
+PH_POS_CAP = 64
+
+
+def tx_phrase_match(sf_dir: str):
+    """Docs containing the exact phrase '{PHRASE_TERMS[0]} {PHRASE_TERMS[1]}'
+    (adjacent tokens): (doc_id, n_phrase, first_pos) sorted by doc_id."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    t1, t2 = PHRASE_TERMS
+
+    def index_rows(t: pa.Table) -> pa.Table:
+        out_term, out_doc, out_pos = [], [], []
+        for doc_id, text in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(text.lower())
+            for term in (t1, t2):
+                pos = [i + 1 for i, w in enumerate(toks) if w == term]
+                if pos:
+                    out_term.append(term)
+                    out_doc.append(doc_id)
+                    out_pos.append(pos[:PH_POS_CAP])
+        return pa.table(
+            {
+                "term": pa.array(out_term, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "positions": pa.array(out_pos, pa.list_(pa.int64())),
+            }
+        )
+
+    idx = ds.map_batches(index_rows, batch_format="pyarrow")
+
+    def intersect(df: pd.DataFrame) -> pd.DataFrame:
+        by = dict(zip(df["term"], df["positions"]))
+        b = set(by.get(t2, ()))
+        hits = sorted(p for p in by.get(t1, ()) if p + 1 in b)
+        if not hits:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_phrase": pd.Series([], dtype="int64"),
+                    "first_pos": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.array([df["doc_id"].iloc[0]], np.int64),
+                "n_phrase": np.array([len(hits)], np.int64),
+                "first_pos": np.array([hits[0]], np.int64),
+            }
+        )
+
+    return (
+        idx.groupby("doc_id")
+        .map_groups(intersect, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
 QUERIES = {
     "q41_tfidf_top_terms": q41_tfidf_top_terms,
+    "tx_phrase_match": tx_phrase_match,
     "q42_inverted_index": q42_inverted_index,
     "q43_doc_dev": q43_doc_dev,
     "q49_lm_surprisal": q49_lm_surprisal,
@@ -845,6 +918,42 @@ QUERIES = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "tx_phrase_match": f"""
+        WITH lst AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '') AS toks
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS term
+            FROM lst, LATERAL (
+                SELECT unnest(generate_series(1, len(toks))) AS i
+            )
+        ),
+        a AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                ) AS rk
+                FROM tok WHERE term = '{PHRASE_TERMS[0]}'
+            ) WHERE rk <= {PH_POS_CAP}
+        ),
+        b AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                ) AS rk
+                FROM tok WHERE term = '{PHRASE_TERMS[1]}'
+            ) WHERE rk <= {PH_POS_CAP}
+        ),
+        m AS (
+            SELECT a.doc_id, a.pos
+            FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase,
+               CAST(MIN(pos) AS BIGINT) AS first_pos
+        FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
     "q41_tfidf_top_terms": f"""
         WITH tok AS ({_TOK_SQL}),
         tf AS (
