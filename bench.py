@@ -152,6 +152,12 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
     res = kg.run_pipeline(kg.KGConfig(pages_dir=pages_dir, out_dir=out_dir))
     t_kg = time.perf_counter() - t0
     queries["kg_pipeline"] = round(t_kg, 3)
+    # per-phase split (diagnoses WHICH phase stops scaling at N vs 4N —
+    # --scaling surfaces these at both levels)
+    queries["kg_phase_a"] = res["phase_a_wall_s"]
+    queries["kg_phase_b"] = res["phase_b_wall_s"]
+    for k, v in res.get("phase_b_timings", {}).items():
+        queries[f"kg_b_{k}"] = v
     docs_per_s = res["pages_processed"] / t_kg if t_kg else 0.0
     triples_per_s = res["n_edges"] / t_kg if t_kg else 0.0
 
@@ -357,6 +363,14 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "calib_lo": {k: r_lo[k] for k in r_lo if k.startswith("calib_")},
         "calib_hi": {k: r_hi[k] for k in r_hi if k.startswith("calib_")},
+        # per-phase split at both levels: locates the non-scaling fraction
+        # (round-3 verdict item #6) — kg_phase_a / kg_phase_b / kg_b_*
+        "phases_lo": {
+            k: v for k, v in r_lo["queries"].items() if k.startswith("kg_")
+        },
+        "phases_hi": {
+            k: v for k, v in r_hi["queries"].items() if k.startswith("kg_")
+        },
         # per-CPU throughput the HOST delivered at hi vs lo (mean of the two
         # bracketing spin samples per level): the ceiling even perfect
         # embarrassingly-parallel compute could reach in those windows —
