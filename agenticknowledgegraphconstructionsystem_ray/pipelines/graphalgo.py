@@ -342,6 +342,11 @@ def _pagerank_broadcast(adj: "rd.Dataset", nodes: "rd.Dataset",
                     "pagerank requires endpoint closure"
                 )
             np.add.at(new, idx, b["c"].to_numpy(zero_copy_only=False))
+        if np.array_equal(new, rank):
+            # exact integer fixpoint: every remaining iteration is a
+            # no-op, so early exit is EXACT (identical output to running
+            # all iters) — free here because the vector is driver-resident
+            break
         rank = new
 
     order = np.lexsort((ids, -rank))[:top]
@@ -2372,8 +2377,13 @@ def _hits_broadcast(pairs: "rd.Dataset", nodes: "rd.Dataset",
     hubs = np.full(n, HITS_SCALE, np.int64)
     auths = hubs
     for _ in range(iters):
-        auths = half(hubs, "subj_id", "obj_id")
-        hubs = half(auths, "obj_id", "subj_id")
+        new_auths = half(hubs, "subj_id", "obj_id")
+        new_hubs = half(new_auths, "obj_id", "subj_id")
+        if np.array_equal(new_auths, auths) and np.array_equal(
+            new_hubs, hubs
+        ):
+            break  # exact fixpoint — further iterations are no-ops
+        auths, hubs = new_auths, new_hubs
 
     order = np.lexsort((ids, -auths))[:top]
     return rd.from_arrow(
