@@ -131,3 +131,35 @@ def test_lshb_sorted_within_files(index_root):
     ):
         lshb = pq.read_table(f, columns=["lshb"])["lshb"].to_numpy()
         assert (np.diff(lshb) >= 0).all(), f
+
+
+class TestBpeArtifact:
+    """Persisted BPE tokenizer artifact (scoring._ensure_bpe_merges):
+    same layout-cache contract as the ANN index."""
+
+    def test_reuse_and_invalidation(self, ray_session, tmp_path):
+        import pyarrow.parquet as _pq
+
+        from agenticknowledgegraphconstructionsystem_ray.pipelines import (
+            scoring,
+        )
+
+        d = tmp_path / "corpus"
+        d.mkdir()
+        shutil.copy(
+            os.path.join(SF, "documents.parquet"), d / "documents.parquet"
+        )
+        m1 = scoring._ensure_bpe_merges(str(d))
+        marker = os.path.join(scoring.bpe_root(str(d)), "_DONE")
+        before = os.stat(marker).st_mtime_ns
+        m2 = scoring._ensure_bpe_merges(str(d))
+        assert m1 == m2
+        assert os.stat(marker).st_mtime_ns == before  # reuse is a no-op
+
+        # source change -> fingerprint mismatch -> rebuild
+        t = _pq.read_table(d / "documents.parquet")
+        _pq.write_table(t.slice(0, t.num_rows // 2), d / "documents.parquet")
+        m3 = scoring._ensure_bpe_merges(str(d))
+        assert os.stat(marker).st_mtime_ns != before
+        assert isinstance(m3, list) and m3  # retrained on the halved corpus
+        shutil.rmtree(scoring.bpe_root(str(d)), ignore_errors=True)
