@@ -52,8 +52,16 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-ANN_INDEX_VERSION = 1
+ANN_INDEX_VERSION = 2  # v2: + lshproj/ prefix-partitioned LSH projection
 ANN_NLIST = 16  # IVF partitions — must match ivf_topk's default
+# The LSH projection partitions by the code's top LSH_PREFIX_BITS bits
+# (16 dirs at 4 bits): a Hamming-1 multiprobe of an nbits code touches the
+# query's own prefix plus one prefix per flipped HIGH bit — 1 +
+# LSH_PREFIX_BITS of the 2^LSH_PREFIX_BITS partitions (5/16 of the corpus
+# at 4 bits), with files lshb-sorted inside for row-group locality. Two
+# projections of one index = one partitioning key per consumer, the
+# secondary-index layout.
+LSH_PREFIX_BITS = 4
 
 
 def ann_root(sf_dir: str, table: str = "embeddings") -> str:
@@ -85,6 +93,7 @@ def _contract(sf_dir: str, table: str) -> dict:
         "iters": PQ_ITERS,
         "nbits": LSH_BITS,
         "seed": LSH_SEED,
+        "pbits": LSH_PREFIX_BITS,
         "src": _fingerprint(sf_dir, table),
     }
 
@@ -93,6 +102,7 @@ def ensure_ann_index(sf_dir: str, table: str = "embeddings") -> str:
     """Build (or reuse) the persisted ANN index for a corpus table."""
     from ..sources.tables import read_table
     from .similarity import (
+        LSH_BITS,
         _kmeans_lite,
         _matrix,
         km_quantize,
@@ -175,6 +185,38 @@ def ensure_ann_index(sf_dir: str, table: str = "embeddings") -> str:
 
     ds.map_batches(code_block, batch_format="pyarrow").write_parquet(
         os.path.join(tmp, "coded"), partition_cols=["ivfb"],
+        compression="zstd",
+    )
+
+    # Second projection of the same index, partitioned by the LSH code's
+    # top LSH_PREFIX_BITS bits — derived from the coded tree (no
+    # recompute). One partitioning key per consumer: IVF probes prune on
+    # ivfb=, LSH probes prune on lshp=.
+    import glob as _glob
+
+    def lsh_block(t: pa.Table) -> pa.Table:
+        lshb = t["lshb"].combine_chunks().to_numpy(zero_copy_only=False)
+        lshp = (
+            lshb.astype(np.int64) >> (LSH_BITS - LSH_PREFIX_BITS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+                "lshb": t["lshb"],
+                "lshp": pa.array(lshp, pa.int32()),
+            }
+        )
+
+    coded_files = sorted(
+        _glob.glob(
+            os.path.join(tmp, "coded", "**", "*.parquet"), recursive=True
+        )
+    )
+    rd.read_parquet(
+        coded_files, columns=["vec_id", "embedding", "lshb"]
+    ).map_batches(lsh_block, batch_format="pyarrow").write_parquet(
+        os.path.join(tmp, "lshproj"), partition_cols=["lshp"],
         compression="zstd",
     )
 
@@ -295,3 +337,33 @@ def coded_dataset(
     if read_filter is not None:
         kwargs["filter"] = read_filter
     return rd.read_parquet(paths, columns=columns, **kwargs)
+
+
+def lsh_dataset(
+    root: str, prefixes: set[int], columns: list[str] | None = None
+) -> rd.Dataset:
+    """The LSH projection pruned to the probed prefix partitions (same
+    missing-dir-vs-lost-marker contract as coded_dataset)."""
+    import glob
+
+    paths = []
+    for p in sorted(prefixes):
+        d = os.path.join(root, "lshproj", f"lshp={p}")
+        if os.path.isdir(d):
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        elif not os.path.exists(os.path.join(root, "_DONE")):
+            raise FileNotFoundError(
+                f"ANN index {root} lost its _DONE marker while probing "
+                f"lshp={p} — index removed or rebuilt mid-query"
+            )
+    if not paths:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float64())),
+                    ("lshb", pa.int32()),
+                ]
+            ).empty_table()
+        )
+    return rd.read_parquet(paths, columns=columns)

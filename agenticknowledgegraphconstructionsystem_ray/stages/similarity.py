@@ -1056,19 +1056,22 @@ def lsh_topk(
     probe_ref = ray.put(probe)
 
     if nbits == LSH_BITS:
-        # persisted index: codes were stored at build time, so the per-call
-        # coding pass (matmul over every vector) is gone; the probe filter
-        # runs inside PartialTopK on the stored column (NOT as a read-level
+        # persisted index, LSH projection: codes were stored at build time
+        # (no per-call coding matmul) AND the scan reads ONLY the probed
+        # lshp= prefix partitions — 1 + LSH_PREFIX_BITS of the
+        # 2^LSH_PREFIX_BITS partitions for a Hamming-1 multiprobe (5/16 at
+        # 4 prefix bits). The exact per-query probe filter still runs
+        # inside PartialTopK on the stored column (NOT as a read-level
         # filter — a fragment pruned to zero rows makes Ray skip the UDF
         # and emit a schemaless empty block, the "new schema: ." warning
-        # class eliminated in round 3). Files are lshb-sorted so a
-        # dedicated lshb-projection of the layout could add row-group
-        # pruning without rewriting the index.
-        from .annindex import coded_dataset, ensure_ann_index
+        # class eliminated in round 3).
+        from .annindex import LSH_PREFIX_BITS, ensure_ann_index, lsh_dataset
 
         root = ensure_ann_index(sf_dir, table)
-        bucketed = coded_dataset(
-            root, columns=["vec_id", "embedding", "lshb"]
+        union = set().union(*probe.values())
+        prefixes = {c >> (LSH_BITS - LSH_PREFIX_BITS) for c in union}
+        bucketed = lsh_dataset(
+            root, prefixes, columns=["vec_id", "embedding", "lshb"]
         )
         partials = bucketed.map_batches(
             PartialTopK,

@@ -163,3 +163,26 @@ class TestBpeArtifact:
         assert os.stat(marker).st_mtime_ns != before
         assert isinstance(m3, list) and m3  # retrained on the halved corpus
         shutil.rmtree(scoring.bpe_root(str(d)), ignore_errors=True)
+
+
+def test_lsh_projection_matches_coded(index_root):
+    """The lshproj/ secondary projection holds exactly the coded rows,
+    partitioned by the code's top LSH_PREFIX_BITS bits."""
+    coded = pq.read_table(
+        sorted(glob.glob(os.path.join(index_root, "coded", "**", "*.parquet"),
+                         recursive=True)),
+        columns=["vec_id", "lshb"],
+    )
+    want = dict(zip(coded["vec_id"].to_pylist(), coded["lshb"].to_pylist()))
+    seen = {}
+    shift = similarity.LSH_BITS - annindex.LSH_PREFIX_BITS
+    for d in sorted(glob.glob(os.path.join(index_root, "lshproj", "lshp=*"))):
+        p = int(os.path.basename(d).split("=")[1])
+        t = pq.read_table(
+            sorted(glob.glob(os.path.join(d, "*.parquet"))),
+            columns=["vec_id", "lshb"],
+        )
+        for v, b in zip(t["vec_id"].to_pylist(), t["lshb"].to_pylist()):
+            assert b >> shift == p  # row lives in its own prefix partition
+            seen[v] = b
+    assert seen == want  # same rows, same codes, nothing lost or doubled
