@@ -205,6 +205,25 @@ def _contrib_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def _gather_node_ids(nodes: "rd.Dataset"):
+    """Sorted unique int64 node ids on the driver — the broadcast paths'
+    shared gather (callers pre-materialize `nodes`, so this re-reads
+    blocks, not the upstream plan)."""
+    import numpy as np
+
+    return np.unique(
+        np.concatenate(
+            [
+                b["entity_id"].to_numpy(zero_copy_only=False)
+                for b in nodes.iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            ]
+            or [np.zeros(0, np.int64)]
+        ).astype(np.int64)
+    )
+
+
 def _pagerank_broadcast(adj: "rd.Dataset", nodes: "rd.Dataset",
                         iters: int, top: int,
                         seed_mod: int | None,
@@ -226,17 +245,7 @@ def _pagerank_broadcast(adj: "rd.Dataset", nodes: "rd.Dataset",
     must use the shuffle loop, not silently mis-rank."""
     import numpy as np
 
-    ids = np.unique(
-        np.concatenate(
-            [
-                b["entity_id"].to_numpy(zero_copy_only=False)
-                for b in nodes.iter_batches(
-                    batch_format="pyarrow", batch_size=None
-                )
-            ]
-            or [np.zeros(0, np.int64)]
-        ).astype(np.int64)
-    )
+    ids = _gather_node_ids(nodes)
     n = len(ids)
     if n == 0:
         return rd.from_arrow(
@@ -370,7 +379,12 @@ def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
     ``seed_mod``: PERSONALIZED variant — teleport mass (initial rank and
     the per-round base) goes only to nodes with ``node_id % seed_mod == 0``
     instead of every node; everything else about the integer fixed-point
-    semantics is identical."""
+    semantics is identical.
+
+    Endpoint closure: every edge endpoint must appear in ``nodes``. The
+    broadcast path (node count <= PR_BROADCAST_NODES) ENFORCES this with a
+    ValueError; the shuffle path above the gate silently drops/absorbs
+    open-graph rows — pass a closed node set regardless of size."""
     n_parts = max(8, cluster_cpus())
 
     pairs = (
@@ -378,6 +392,9 @@ def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
+    # materialize once: the gate's count() and the broadcast path's id
+    # gather would otherwise each re-execute the upstream node plan
+    nodes = nodes.materialize()
     if nodes.count() <= PR_BROADCAST_NODES:
         # no deg attach: the broadcast path derives the divisor vector
         # from the distinct pairs in one combiner pass
@@ -2305,17 +2322,7 @@ def _hits_broadcast(pairs: "rd.Dataset", nodes: "rd.Dataset",
     as in _pagerank_broadcast."""
     import numpy as np
 
-    ids = np.unique(
-        np.concatenate(
-            [
-                b["entity_id"].to_numpy(zero_copy_only=False)
-                for b in nodes.iter_batches(
-                    batch_format="pyarrow", batch_size=None
-                )
-            ]
-            or [np.zeros(0, np.int64)]
-        ).astype(np.int64)
-    )
+    ids = _gather_node_ids(nodes)
     n = len(ids)
     if n == 0:
         return rd.from_arrow(
@@ -2415,6 +2422,7 @@ def hits(edges: "rd.Dataset", nodes: "rd.Dataset",
         .materialize()  # reused twice per iteration
     )
 
+    nodes = nodes.materialize()  # gate count + gather share one execution
     if nodes.count() <= PR_BROADCAST_NODES:
         return _hits_broadcast(pairs, nodes, iters, top)
 
@@ -2872,6 +2880,7 @@ def pagerank_weighted(edges: "rd.Dataset", nodes: "rd.Dataset",
     (weights already aggregated); ``nodes``: (entity_id)."""
     n_parts = max(8, cluster_cpus())
 
+    nodes = nodes.materialize()  # gate count + gather share one execution
     if nodes.count() <= PR_BROADCAST_NODES:
         # no wout attach: the broadcast path derives the out-weight
         # divisor from the (already-aggregated) edges in one combiner pass

@@ -574,11 +574,15 @@ def kg_trending(sf_dir: str, k: int = 5):
 KG_SEARCH_QUERY = ("gaussian", "rendering", "synthesis")
 KG_SEARCH_K = 20
 # Per-block cap on emitted AND-candidates. A block that would exceed it
-# sets an overflow flag instead of emitting more rows; any overflow flips
-# the query into the streaming q89-shape fallback (see _kg_search_impl) —
-# so candidate materialization is bounded by cap x blocks at ANY query
+# sets an overflow flag instead of emitting more rows; any overflow — OR a
+# TOTAL match count above KG_SEARCH_TOTAL_CAP (the guard for
+# many-small-blocks layouts where no single block reaches the per-block
+# cap) — flips the query into the streaming q89-shape fallback (see
+# _kg_search_impl). The selective path therefore never feeds more than
+# min(cap x blocks, TOTAL_CAP-ish) candidate rows downstream at ANY query
 # selectivity, including a single stop-word term.
 KG_SEARCH_BLOCK_CAP = 512
+KG_SEARCH_TOTAL_CAP = 2048
 # Stop-word-ish single-term query (df ~= corpus size on the synth corpus):
 # exercises the degenerate regime end-to-end against the same SQL oracle.
 KG_SEARCH_DEGEN_QUERY = ("the",)
@@ -630,7 +634,7 @@ def _kg_search_impl(sf_dir: str, qterms: list, K: int):
     def tokenize_pass(t: pa.Table) -> pa.Table:
         from collections import Counter
 
-        n, tok, ovf = 0, 0, 0
+        n, tok, ovf, match = 0, 0, 0, 0
         dfp = [0] * nq
         c_url, c_dl = [], []
         c_tf = [[] for _ in range(nq)]
@@ -644,6 +648,7 @@ def _kg_search_impl(sf_dir: str, qterms: list, K: int):
                 if tf:
                     dfp[i] += 1
             if all(tfs):  # tsquery AND: every term must match
+                match += 1  # counted even past the cap (total-cap guard)
                 if len(c_url) >= cap:
                     ovf = 1  # stop emitting; regime decided after stats
                     continue
@@ -669,6 +674,9 @@ def _kg_search_impl(sf_dir: str, qterms: list, K: int):
                     for i in range(nq)
                 },
                 "ovf_p": pa.array([ovf] + [0] * len(c_url), pa.int64()),
+                "match_p": pa.array(
+                    [match] + [0] * len(c_url), pa.int64()
+                ),
             }
         )
 
@@ -677,11 +685,18 @@ def _kg_search_impl(sf_dir: str, qterms: list, K: int):
     ).materialize()  # partials + capped AND-candidates: bounded, one read
 
     stats = narrow.sum(
-        ["n_p", "tok_p", "ovf_p"] + [f"df_{i}_p" for i in range(nq)]
+        ["n_p", "tok_p", "ovf_p", "match_p"]
+        + [f"df_{i}_p" for i in range(nq)]
     )
     N = int(stats["sum(n_p)"])
     T = int(stats["sum(tok_p)"])
-    overflowed = int(stats["sum(ovf_p)"]) > 0
+    # degenerate regime if any block overflowed its cap OR the corpus-wide
+    # match count exceeds the total cap (catches many-small-blocks
+    # layouts where no single block reaches the per-block cap)
+    overflowed = (
+        int(stats["sum(ovf_p)"]) > 0
+        or int(stats["sum(match_p)"]) > KG_SEARCH_TOTAL_CAP
+    )
     idf = [
         len(str((2 * N + 1) // (2 * int(stats[f"sum(df_{i}_p)"]) + 1)))
         for i in range(nq)

@@ -700,7 +700,16 @@ def _ensure_bpe_merges(sf_dir: str) -> list[tuple[str, str, int]]:
         except (OSError, ValueError):
             ok = False
         if ok:
-            t = _pq.read_table(table_file)
+            try:
+                t = _pq.read_table(table_file)
+            except (OSError, FileNotFoundError) as e:
+                # layout vanished between the marker check and the read
+                # (concurrent mismatched-fingerprint rebuild) — same
+                # retryable-error contract as training._read_bucket
+                raise FileNotFoundError(
+                    f"BPE artifact {root} was removed or rebuilt "
+                    "mid-read — re-run the query"
+                ) from e
             return list(
                 zip(
                     t["sym_a"].to_pylist(),

@@ -1202,18 +1202,21 @@ def _mm_keep(sf_dir: str, pairs_ds, predicate_mod: int,
 
     from ..stages import dedup as _dedup
 
-    pairs_t = (
-        pairs_ds
-        if isinstance(pairs_ds, pa.Table)  # video path returns a Table
-        else pa.concat_tables(
-            [
-                b
-                for b in pairs_ds.iter_batches(
-                    batch_format="pyarrow", batch_size=None
-                )
-            ]
+    if isinstance(pairs_ds, pa.Table):  # video path returns a Table
+        pairs_t = pairs_ds
+    else:
+        batches = list(
+            pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None)
         )
-    )
+        # an empty Ray dataset yields ZERO batches and concat_tables([])
+        # raises — a pair-free corpus must mean "everything keeps"
+        pairs_t = (
+            pa.concat_tables(batches)
+            if batches
+            else pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64())]
+            ).empty_table()
+        )
     pairs = pa.table(
         {"doc_a": pairs_t["id_a"], "doc_b": pairs_t["id_b"]}
     )

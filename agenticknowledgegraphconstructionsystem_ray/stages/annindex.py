@@ -297,7 +297,6 @@ def coded_dataset(
     root: str,
     buckets: set[int] | None = None,
     columns: list[str] | None = None,
-    read_filter=None,
 ) -> rd.Dataset:
     """The coded corpus — pruned to the probed IVF partitions when
     ``buckets`` is given (each probed directory read directly; a missing
@@ -333,10 +332,7 @@ def coded_dataset(
                 ]
             ).empty_table()
         )
-    kwargs = {}
-    if read_filter is not None:
-        kwargs["filter"] = read_filter
-    return rd.read_parquet(paths, columns=columns, **kwargs)
+    return rd.read_parquet(paths, columns=columns)
 
 
 def lsh_dataset(

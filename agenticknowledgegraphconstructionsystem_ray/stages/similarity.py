@@ -227,7 +227,7 @@ def ivf_topk(
         )
         S = S / np.linalg.norm(S, axis=1, keepdims=True)
         cent = _kmeans_lite(S, nlist)
-    cent_ref = ray.put(cent)
+        cent_ref = ray.put(cent)  # consumed only by the live AssignBucket
 
     want = pa.array(sorted(set(query_ids)), pa.int64())
     qrows = emb.map_batches(
