@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "45"  # v44: + truss; v45: + mm keep verdicts
+GOLDEN_VERSION = "46"  # v45: + mm keep; v46: + incremental ANN
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -1167,6 +1167,55 @@ def _seq_lineage(pages_dir: str) -> pa.Table:
     )
 
 
+def _seq_ann_incremental(
+    sf_dir: str, query_ids=(0, 1, 2), k: int = 10, nprobe: int = 4
+) -> pa.Table:
+    """Sequential mirror of annindex.incremental_ivf_topk: quantizers
+    trained on the OLD half (vec_id < n//2) with the SHARED kernels, then
+    IVF probe + exact cosine over the full corpus — the frozen-quantizer
+    equivalence makes base∪delta coding identical to this one-pass form."""
+    import numpy as np
+
+    from .stages.annindex import ANN_NLIST
+    from .stages.similarity import _kmeans_lite
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    split = len(ids) // 2
+    # canonical sample rule (mirrors ensure_ann_index_incremental): the
+    # smallest vec_ids below min(split, 2048), ordered by vec_id
+    bound = min(split, 2048)
+    sel = np.nonzero(ids < bound)[0]
+    sel = sel[np.argsort(ids[sel], kind="stable")]
+    S = Mn[sel]
+    cent = _kmeans_lite(S, ANN_NLIST)
+    assign = np.argmax(Mn @ cent.T, axis=1)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for qid in sorted(query_ids):
+        qn = Mn[pos[qid]]
+        order = np.argsort(-(cent @ qn), kind="stable")[:nprobe]
+        probe = set(int(x) for x in order)
+        mask = np.isin(assign, list(probe)) & (ids != qid)
+        cids = ids[mask]
+        sims = Mn[mask] @ qn
+        top = np.lexsort((cids, -sims))[:k]
+        for rank, j in enumerate(top, 1):
+            rows.append((qid, int(cids[j]), rank))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _seq_pq(sf_dir: str, k: int = 10) -> pa.Table:
     """Sequential PQ golden: same fixed-point kernels (km_quantize /
     km_assign / pq_encode) run on the whole matrix in one process — the
@@ -2121,6 +2170,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["fingerprints"] = _seq_fingerprints(sf_dir)
         tables["winnow_pairs"] = _seq_winnow_pairs(sf_dir)
         tables["ivf_topk"] = _seq_ivf_topk(sf_dir)
+        tables["ann_incremental"] = _seq_ann_incremental(sf_dir)  # v46
         tables["lsh_topk"] = _seq_lsh_topk(sf_dir)
         tables["pca"] = _seq_pca(sf_dir)
         tables["knn"] = _seq_knn(sf_dir)
@@ -2821,6 +2871,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "tx_fingerprints": f"""
             SELECT doc_id, fp_min, n_fps FROM {_g('fingerprints')}
+        """,
+        "ann_incremental_topk": f"""
+            SELECT query_id, vec_id, rank FROM {_g('ann_incremental')}
         """,
         "ann_ivf_topk": f"""
             SELECT query_id, vec_id, rank FROM {_g('ivf_topk')}

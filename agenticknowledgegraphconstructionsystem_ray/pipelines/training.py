@@ -999,6 +999,19 @@ def ann_pq_rerank(sf_dir: str):
     return similarity.pq_rerank_topk(sf_dir)
 
 
+def ann_incremental_topk(sf_dir: str):
+    """IVF top-k over the INCREMENTALLY-built persisted index
+    (stages/annindex.ensure_ann_index_incremental): quantizers trained
+    once on the base half and frozen, the delta coded by a delta-only
+    pass appended beside the untouched base files — the
+    dd_minhash_incremental crawl-increment shape for the vector family.
+    Golden-file oracle (goldens._seq_ann_incremental): bit-identical to
+    one-pass coding with the same frozen quantizers."""
+    from ..stages.annindex import incremental_ivf_topk
+
+    return incremental_ivf_topk(sf_dir)
+
+
 def ann_ivfpq_rerank(sf_dir: str):
     """IVFPQ + exact refine (stages/similarity.ivfpq_rerank_topk) — the
     FAISS-style production composition: IVF probe bounds the scan, PQ codes
@@ -1577,6 +1590,7 @@ QUERIES = {
     "ann_ivfpq_rerank": ann_ivfpq_rerank,
     "dd_minhash_incremental": dd_minhash_incremental,
     "ann_pq_topk": ann_pq_topk,
+    "ann_incremental_topk": ann_incremental_topk,
     "ann_pq_rerank": ann_pq_rerank,
     "ann_rrf_topk": ann_rrf_topk,
     "mm_dhash": mm_dhash,

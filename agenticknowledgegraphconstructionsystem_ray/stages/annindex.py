@@ -363,3 +363,259 @@ def lsh_dataset(
             ).empty_table()
         )
     return rd.read_parquet(paths, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Incremental index build — the crawl-increment story for the vector
+# family (dd_minhash_incremental's shape): quantizers are trained ONCE on
+# the base corpus and FROZEN (the FAISS train-once-add-forever contract);
+# an increment codes only the delta vectors with the frozen quantizers and
+# APPENDS new partition files — base files are never rewritten. Because
+# frozen-quantizer coding is per-vector deterministic, base ∪ delta coded
+# separately is bit-identical to coding the union in one pass — the same
+# provable-equivalence contract as the MinHash band-index increment.
+# ---------------------------------------------------------------------------
+
+ANN_INCR_VERSION = 1
+
+
+def incr_root(sf_dir: str, table: str = "embeddings") -> str:
+    return ann_root(sf_dir, table) + "_incr"
+
+
+def ensure_ann_index_incremental(
+    sf_dir: str, table: str = "embeddings"
+) -> tuple[str, int]:
+    """Two-phase build: base index from the OLD half (vec_id < split_id,
+    split at half the corpus count), then an increment pass coding the
+    delta with the frozen base quantizers into ``coded_delta/``. Returns
+    (root, split_id)."""
+    import pyarrow.compute as pc
+
+    from ..sources.tables import read_table
+    from .similarity import (
+        _kmeans_lite,
+        _matrix,
+        km_quantize,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    root = incr_root(sf_dir, table)
+    marker = os.path.join(root, "_DONE")
+    contract = dict(_contract(sf_dir, table), iv=ANN_INCR_VERSION)
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                meta = json.load(f)
+            if {k: v for k, v in meta.items() if k != "split"} == contract:
+                return root, int(meta["split"])
+        except (OSError, ValueError):
+            pass
+        shutil.rmtree(root, ignore_errors=True)
+
+    from ..runtime import cluster_cpus
+
+    ds = read_table(sf_dir, table, columns=["vec_id", "embedding"])
+    split = ds.count() // 2
+    contract_out = dict(contract, split=split)
+    n_parts = max(8, cluster_cpus())
+    # repartition after the filters: a filter leaves empty blocks whose
+    # downstream tasks would emit schemaless empties (the "new schema: ."
+    # warning class); row-identical, order-irrelevant here
+    old = ds.filter(expr=f"vec_id < {split}").repartition(n_parts)
+    delta = ds.filter(expr=f"vec_id >= {split}").repartition(n_parts)
+
+    tmp = root + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    # ---- base phase: quantizers trained on the OLD half only.
+    # Canonical sample rule: the rows with the SMALLEST vec_ids (id-bound
+    # filter + explicit vec_id sort) — blocking/order-proof, unlike a
+    # filter+limit whose row order Ray does not guarantee.
+    sample_rows = ds.filter(
+        expr=f"vec_id < {min(split, 2048)}"
+    ).take_all()
+    sample_rows.sort(key=lambda r: r["vec_id"])
+    S = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    ivf_cent = _kmeans_lite(S, ANN_NLIST)
+    pq_cents = train_pq_codebooks(old)
+    ref = ray.put((ivf_cent, pq_cents))
+
+    def code(t: pa.Table, _ref=ref) -> pa.Table:
+        icent, pcents = ray.get(_ref)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                    "pq_code": pa.array([], pa.list_(pa.int64())),
+                    "bucket": pa.array([], pa.int32()),
+                    "ivfb": pa.array([], pa.int32()),
+                }
+            )
+        raw = _matrix(t)
+        rn = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+        ivfb = np.argmax(rn @ icent.T, axis=1).astype(np.int32)
+        codes = pq_encode(km_quantize(raw), pcents)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+                "pq_code": pa.array(codes.tolist(), pa.list_(pa.int64())),
+                "bucket": pa.array(ivfb, pa.int32()),
+                "ivfb": pa.array(ivfb, pa.int32()),
+            }
+        )
+
+    old.map_batches(code, batch_format="pyarrow").write_parquet(
+        os.path.join(tmp, "coded_base"), partition_cols=["ivfb"],
+        compression="zstd",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(range(len(ivf_cent)), pa.int64()),
+                "centroid": pa.array(
+                    ivf_cent.tolist(), pa.list_(pa.float64())
+                ),
+            }
+        ),
+        os.path.join(tmp, "ivf_centroids.parquet"),
+    )
+    m, kk, _ = pq_cents.shape
+    pq.write_table(
+        pa.table(
+            {
+                "sub": pa.array(
+                    [j for j in range(m) for _ in range(kk)], pa.int64()
+                ),
+                "cluster": pa.array(list(range(kk)) * m, pa.int64()),
+                "centroid": pa.array(
+                    [pq_cents[j, c].tolist() for j in range(m)
+                     for c in range(kk)],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        ),
+        os.path.join(tmp, "pq_codebooks.parquet"),
+    )
+
+    # ---- increment phase: frozen quantizers, delta-only coding pass,
+    # new files appended beside the untouched base tree
+    delta.map_batches(code, batch_format="pyarrow").write_parquet(
+        os.path.join(tmp, "coded_delta"), partition_cols=["ivfb"],
+        compression="zstd",
+    )
+
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        json.dump(contract_out, f)
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                ok = json.load(f) == contract_out
+        except (OSError, ValueError):
+            ok = False
+        if ok:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return root, split
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.replace(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return root, split
+
+
+def incr_coded_dataset(
+    root: str, buckets: set[int], columns: list[str] | None = None
+) -> rd.Dataset:
+    """Probed partitions of the incremental index: base AND delta trees
+    (same missing-dir-vs-lost-marker contract as coded_dataset)."""
+    import glob
+
+    paths = []
+    for tree in ("coded_base", "coded_delta"):
+        for b in sorted(buckets):
+            d = os.path.join(root, tree, f"ivfb={b}")
+            if os.path.isdir(d):
+                paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+            elif not os.path.exists(os.path.join(root, "_DONE")):
+                raise FileNotFoundError(
+                    f"incremental ANN index {root} lost its _DONE marker "
+                    f"while probing {tree}/ivfb={b}"
+                )
+    if not paths:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float64())),
+                    ("pq_code", pa.list_(pa.int64())),
+                    ("bucket", pa.int32()),
+                ]
+            ).empty_table()
+        )
+    return rd.read_parquet(paths, columns=columns)
+
+
+def incremental_ivf_topk(
+    sf_dir: str,
+    query_ids=(0, 1, 2),
+    k: int = 10,
+    nprobe: int = 4,
+    table: str = "embeddings",
+) -> pa.Table:
+    """IVF top-k over the incrementally-built index: probe the frozen
+    base-trained centroids, scan base + delta probed partitions with the
+    shared per-block top-k combiner. Output (query_id, vec_id, rank) —
+    bit-identical to an index whose quantizers were trained on the base
+    half and whose coding ran in one pass over the full corpus (the
+    frozen-quantizer equivalence; goldens._seq_ann_incremental)."""
+    import pyarrow.compute as pc
+
+    from ..sources.tables import read_table
+    from .similarity import PartialTopK, _merge_partials
+
+    root, _split = ensure_ann_index_incremental(sf_dir, table)
+    cent = load_ivf_centroids(root)
+
+    emb = read_table(sf_dir, table, columns=["vec_id", "embedding"])
+    want = pa.array(sorted(set(query_ids)), pa.int64())
+    qrows = emb.map_batches(
+        lambda t: t.filter(
+            pc.is_valid(pc.index_in(t["vec_id"], value_set=want))
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    q_by_id = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in qrows
+    }
+    qid_order = sorted(q_by_id)
+    Q = np.asarray([q_by_id[qid] for qid in qid_order], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe: dict[int, set[int]] = {}
+    for qid, qn in zip(qid_order, Q):
+        order = np.argsort(-(cent @ qn), kind="stable")[:nprobe]
+        probe[qid] = set(int(x) for x in order)
+
+    scan = incr_coded_dataset(
+        root,
+        buckets=set().union(*probe.values()),
+        columns=["vec_id", "embedding", "bucket"],
+    )
+    partials = scan.map_batches(
+        PartialTopK,
+        fn_constructor_kwargs={
+            "ref": ray.put((qid_order, Q)),
+            "k": k,
+            "probe_ref": ray.put(probe),
+        },
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).take_all()
+    return _merge_partials(partials, k)

@@ -186,3 +186,46 @@ def test_lsh_projection_matches_coded(index_root):
             assert b >> shift == p  # row lives in its own prefix partition
             seen[v] = b
     assert seen == want  # same rows, same codes, nothing lost or doubled
+
+
+def test_incremental_equals_one_pass_frozen_coding(ray_session):
+    """Frozen-quantizer equivalence: the incremental index's base + delta
+    coded rows are bit-identical to coding the FULL corpus in one pass
+    with the same (base-trained) quantizers — the contract that makes
+    append-only increments sound (dd_minhash_incremental's proof shape)."""
+    root, split = annindex.ensure_ann_index_incremental(SF)
+    coded = pq.read_table(
+        sorted(glob.glob(os.path.join(root, "coded_*", "**", "*.parquet"),
+                         recursive=True)),
+        columns=["vec_id", "pq_code", "bucket"],
+    )
+    src = pq.read_table(
+        os.path.join(SF, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = src["vec_id"].to_numpy()
+    raw = np.asarray(src["embedding"].to_pylist(), np.float64)
+    assert coded.num_rows == len(ids)
+    # base files hold only vec_id < split; delta files the rest
+    base_ids = pq.read_table(
+        sorted(glob.glob(os.path.join(root, "coded_base", "**", "*.parquet"),
+                         recursive=True)),
+        columns=["vec_id"],
+    )["vec_id"].to_numpy()
+    assert (base_ids < split).all() and len(base_ids) == split
+
+    cent = annindex.load_ivf_centroids(root)
+    cents = annindex.load_pq_codebooks(root)
+    order = np.argsort(coded["vec_id"].to_numpy())
+    by_src = {int(v): i for i, v in enumerate(ids)}
+    sel = np.asarray(
+        [by_src[int(v)] for v in coded["vec_id"].to_numpy()[order]]
+    )
+    rn = raw[sel] / np.linalg.norm(raw[sel], axis=1, keepdims=True)
+    assert (
+        coded["bucket"].to_numpy()[order]
+        == np.argmax(rn @ cent.T, axis=1)
+    ).all()
+    want_codes = similarity.pq_encode(similarity.km_quantize(raw[sel]), cents)
+    got_codes = np.asarray(coded["pq_code"].to_pylist(), np.int64)[order]
+    assert (got_codes == want_codes).all()
