@@ -81,6 +81,20 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--out", default=None,
                     help="optional parquet path for the full change table")
 
+    si = sub.add_parser(
+        "index",
+        help="pre-build the per-corpus layout artifacts at ingest time "
+             "(ANN index, incremental ANN, BPE tokenizer, SMB buckets, "
+             "web-link table) so every downstream query amortizes them",
+    )
+    si.add_argument("--sf-dir", required=True,
+                    help="corpus dir holding the driver-table parquets")
+    si.add_argument(
+        "--what", default="ann,bpe,smb,links",
+        help="comma list of ann,ann-incr,bpe,smb,links (default all but "
+             "ann-incr)",
+    )
+
     args = p.parse_args(argv)
     _ensure_ray()
 
@@ -114,6 +128,46 @@ def main(argv: list[str] | None = None) -> int:
                                           "int64")).as_py() or 0),
             "out": args.out,
         }))
+        return 0
+
+    if args.cmd == "index":
+        import time as _time
+
+        built: dict[str, float] = {}
+        want = {w.strip() for w in args.what.split(",") if w.strip()}
+        steps = {
+            "ann": lambda: __import__(
+                "agenticknowledgegraphconstructionsystem_ray.stages.annindex",
+                fromlist=["ensure_ann_index"],
+            ).ensure_ann_index(args.sf_dir),
+            "ann-incr": lambda: __import__(
+                "agenticknowledgegraphconstructionsystem_ray.stages.annindex",
+                fromlist=["ensure_ann_index_incremental"],
+            ).ensure_ann_index_incremental(args.sf_dir),
+            "bpe": lambda: __import__(
+                "agenticknowledgegraphconstructionsystem_ray.pipelines.scoring",
+                fromlist=["_ensure_bpe_merges"],
+            )._ensure_bpe_merges(args.sf_dir),
+            "smb": lambda: __import__(
+                "agenticknowledgegraphconstructionsystem_ray.pipelines.training",
+                fromlist=["_smb_layout"],
+            )._smb_layout(args.sf_dir),
+            "links": lambda: __import__(
+                "agenticknowledgegraphconstructionsystem_ray.pipelines.weblinks",
+                fromlist=["_ensure_link_tables"],
+            )._ensure_link_tables(args.sf_dir),
+        }
+        unknown = want - set(steps)
+        if unknown:
+            print(f"unknown index kinds: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        for kind in ("ann", "ann-incr", "bpe", "smb", "links"):
+            if kind not in want:
+                continue
+            t0 = _time.perf_counter()
+            steps[kind]()
+            built[kind] = round(_time.perf_counter() - t0, 3)
+        print(json.dumps({"sf_dir": args.sf_dir, "built_s": built}))
         return 0
 
     if args.cmd == "synth":
