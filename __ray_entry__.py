@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_trending": kgqueries.kg_trending,
             "kg_search": kgqueries.kg_search,
             "kg_search_degenerate": kgqueries.kg_search_degenerate,
+            "kg_search_indexed": kgqueries.kg_search_indexed,
+            "kg_search_indexed_degenerate":
+                kgqueries.kg_search_indexed_degenerate,
             "kg_merge_nodes": kgqueries.kg_merge_nodes,
             "kg_merge_edges": kgqueries.kg_merge_edges,
             "kg_improves_seminal": kgqueries.kg_improves_seminal,

@@ -3224,6 +3224,10 @@ def kg_oracle_sql() -> dict[str, str]:
         # kg_search_degenerate: same SQL oracle with the single stop-word
         # term — the Ray side runs its streaming fallback regime here
         "kg_search_degenerate": _kg_search_sql(_degen_query()),
+        # indexed variants: SAME SQL oracles — the persisted-index path
+        # must not change the answer (the link-table proof standard)
+        "kg_search_indexed": _kg_search_sql(),
+        "kg_search_indexed_degenerate": _kg_search_sql(_degen_query()),
         # pure SQL (no golden needed): the deterministic fake video payload is
         # text-derived, so the frame-sample count is arithmetic on byte length
         "mm_sampled_frames": """

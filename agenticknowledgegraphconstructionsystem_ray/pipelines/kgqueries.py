@@ -780,6 +780,313 @@ def _kg_search_impl(sf_dir: str, qterms: list, K: int):
     cand = scored.take_all()
     cand.sort(key=lambda r: (-r["bm25_ppm"], r["url"]))
     top = cand[:K]
+    return _kg_search_enrich(out, top)
+
+
+# ---------------------------------------------------------------------------
+# Persisted full-text index — the reference's GIN index itself (tsvector
+# GENERATED columns + CREATE INDEX ... USING GIN, db_init.py:35-42), not
+# just the query capability: ONE tokenize pass over the extracted text
+# writes term-bucket-partitioned postings (bkt = md5(term) % FTS_BUCKETS;
+# rows (term, url, tf, dl), one per distinct (term, doc)) plus per-doc
+# sentinel rows in bucket FTS_BUCKETS carrying (url, dl) for the corpus
+# stats — no shuffle anywhere in the build. A query then reads ONLY its
+# terms' buckets (~nq/64 of the index), never the corpus text: df from the
+# pruned rows, AND-match + BM25 from a url-keyed groupby bounded by the
+# query terms' posting sizes — the GIN cost model, exact at ANY
+# selectivity with no cap heuristic (a stop-word term pays its own
+# posting-list size, like every FTS engine). Marker-guarded atomic layout,
+# same contract as the SMB/link-table/ANN artifacts.
+# ---------------------------------------------------------------------------
+
+FTS_BUCKETS = 64
+
+
+def fts_root(sf_dir: str) -> str:
+    """Cache root of the full-text index for a corpus."""
+    return f"/tmp/agkg_fts/sf{sf_of(sf_dir):g}"
+
+
+def _fts_bucket(term: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % FTS_BUCKETS
+
+
+def _ensure_text_index(sf_dir: str) -> str:
+    import json
+    import shutil
+
+    import pyarrow as pa
+
+    from .scoring import _TOKEN_RE
+
+    out = _ensure_run(sf_dir)
+    root = fts_root(sf_dir)
+    marker = os.path.join(root, "_DONE")
+    contract = {"v": 1, "layout": kg.LAYOUT_VERSION, "nb": FTS_BUCKETS}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                ok = json.load(f) == contract
+        except (OSError, ValueError):
+            ok = False
+        if ok:
+            return root
+        shutil.rmtree(root, ignore_errors=True)
+
+    tmp = root + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def fts_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        bkts, terms, urls, tfs, dls = [], [], [], [], []
+        for url, txt in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall(txt.lower())
+            dl = len(toks)
+            for term, tf in Counter(toks).items():
+                bkts.append(_fts_bucket(term))
+                terms.append(term)
+                urls.append(url)
+                tfs.append(tf)
+                dls.append(dl)
+            # sentinel doc row (term "") in the stats bucket: N = row
+            # count, T = sum(dl) — empty-text docs included
+            bkts.append(FTS_BUCKETS)
+            terms.append("")
+            urls.append(url)
+            tfs.append(0)
+            dls.append(dl)
+        return pa.table(
+            {
+                "bkt": pa.array(bkts, pa.int32()),
+                "term": pa.array(terms, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "dl": pa.array(dls, pa.int64()),
+            }
+        )
+
+    kg.text_dataset(out, columns=["url", "text"]).map_batches(
+        fts_rows, batch_format="pyarrow"
+    ).write_parquet(
+        os.path.join(tmp, "postings"), partition_cols=["bkt"],
+        compression="zstd",
+    )
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        json.dump(contract, f)
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                ok = json.load(f) == contract
+        except (OSError, ValueError):
+            ok = False
+        if ok:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return root
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.replace(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return root
+
+
+def _fts_files(root: str, buckets: set[int]) -> list:
+    import glob
+
+    paths = []
+    for b in sorted(buckets):
+        d = os.path.join(root, "postings", f"bkt={b}")
+        if os.path.isdir(d):
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        elif not os.path.exists(os.path.join(root, "_DONE")):
+            raise FileNotFoundError(
+                f"full-text index {root} lost its _DONE marker while "
+                f"probing bkt={b} — index removed or rebuilt mid-query"
+            )
+    return paths
+
+
+def kg_search_indexed(sf_dir: str):
+    """kg_search served from the persisted full-text index — SAME output,
+    SAME SQL oracle (the link-table proof standard)."""
+    return _kg_search_indexed_impl(sf_dir, list(KG_SEARCH_QUERY), KG_SEARCH_K)
+
+
+def kg_search_indexed_degenerate(sf_dir: str):
+    """The stop-word query against the index: cost = that term's posting
+    list (the GIN cost model), exact with no cap heuristic."""
+    return _kg_search_indexed_impl(
+        sf_dir, list(KG_SEARCH_DEGEN_QUERY), KG_SEARCH_K
+    )
+
+
+def _kg_search_indexed_impl(sf_dir: str, qterms: list, K: int):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    out = _ensure_run(sf_dir)
+    root = _ensure_text_index(sf_dir)
+    nq = len(qterms)
+
+    # corpus stats from the sentinel bucket (N docs, T tokens)
+    stats_ds = rd.read_parquet(
+        _fts_files(root, {FTS_BUCKETS}), columns=["dl"]
+    )
+    N = stats_ds.count()
+    T = int(stats_ds.sum("dl") or 0)
+
+    # pruned read: ONLY the query terms' buckets, filtered to the terms
+    want = pa.array(sorted(set(qterms)), pa.string())
+    posts = rd.read_parquet(
+        _fts_files(root, {_fts_bucket(t) for t in qterms}),
+        columns=["term", "url", "tf", "dl"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_valid(pc.index_in(t["term"], value_set=want))
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # bounded by the query terms' posting sizes
+
+    # exact df per term from the pruned rows (block partials -> sum)
+    def df_partial(t: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter(t["term"].to_pylist())
+        ks = sorted(c)
+        return pa.table(
+            {
+                "term": pa.array(ks, pa.string()),
+                "n_p": pa.array([c[k] for k in ks], pa.int64()),
+            }
+        )
+
+    df: dict[str, int] = {t: 0 for t in qterms}
+    for b in posts.map_batches(
+        df_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for term, n in zip(b["term"].to_pylist(), b["n_p"].to_pylist()):
+            df[term] += n
+    idf = [
+        len(str((2 * N + 1) // (2 * df[t] + 1))) for t in qterms
+    ]
+    sref = ray.put((idf, T, N, list(qterms)))
+
+    def score_rows(urls, dls, tf_cols, idf_, T_, N_):
+        total = np.zeros(len(urls), dtype=object)
+        for i, w in enumerate(idf_):
+            tf = tf_cols[i].astype(object)
+            num = 1_000_000 * 22 * T_ * tf
+            den = 10 * T_ * tf + 3 * T_ + 9 * dls.astype(object) * N_
+            total = total + w * (num // den)
+        return [int(x) for x in total]
+
+    if nq == 1:
+        # single term: every posting row IS a candidate — score in-stream
+        # with a per-block top-k, no shuffle at all
+        def single_topk(t: pa.Table, _ref=sref) -> pa.Table:
+            idf_, T_, N_, _q = (
+                ray.get(_ref) if hasattr(_ref, "hex") else _ref
+            )
+            urls = t["url"].to_pylist()
+            if not urls:
+                return pa.table(
+                    {
+                        "url": pa.array([], pa.string()),
+                        "bm25_ppm": pa.array([], pa.int64()),
+                    }
+                )
+            dls = t["dl"].to_numpy(zero_copy_only=False)
+            tfs = [t["tf"].to_numpy(zero_copy_only=False)]
+            scores = score_rows(urls, dls, tfs, idf_, T_, N_)
+            order = np.lexsort(
+                (np.array(urls), -np.array(scores, dtype=np.int64))
+            )[:K]
+            return pa.table(
+                {
+                    "url": pa.array([urls[i] for i in order], pa.string()),
+                    "bm25_ppm": pa.array(
+                        [scores[i] for i in order], pa.int64()
+                    ),
+                }
+            )
+
+        scored = posts.map_batches(single_topk, batch_format="pyarrow")
+    else:
+        # AND-match: url-keyed groupby of the query terms' rows (each
+        # group <= nq rows), score groups holding every term
+        def and_score(g: "pd.DataFrame") -> "pd.DataFrame":
+            idf_, T_, N_, qs = ray.get(sref) if hasattr(
+                sref, "hex"
+            ) else sref
+            by = dict(zip(g["term"], g["tf"]))
+            if len(by) < len(qs):
+                return pd.DataFrame(
+                    {
+                        "url": pd.Series([], dtype=object),
+                        "bm25_ppm": pd.Series([], dtype="int64"),
+                    }
+                )
+            dl = int(g["dl"].iloc[0])
+            total = 0
+            for i, w in enumerate(idf_):
+                tf = int(by[qs[i]])
+                num = 1_000_000 * 22 * T_ * tf
+                den = 10 * T_ * tf + 3 * T_ + 9 * dl * N_
+                total += w * (num // den)
+            return pd.DataFrame(
+                {
+                    "url": [g["url"].iloc[0]],
+                    "bm25_ppm": np.array([total], np.int64),
+                }
+            )
+
+        def block_topk(t: pa.Table) -> pa.Table:
+            urls = t["url"].to_pylist()
+            if not urls:
+                return pa.table(
+                    {
+                        "url": pa.array([], pa.string()),
+                        "bm25_ppm": pa.array([], pa.int64()),
+                    }
+                )
+            scores = t["bm25_ppm"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((np.array(urls), -scores))[:K]
+            return pa.table(
+                {
+                    "url": pa.array([urls[i] for i in order], pa.string()),
+                    "bm25_ppm": pa.array(
+                        scores[order].tolist(), pa.int64()
+                    ),
+                }
+            )
+
+        scored = (
+            posts.groupby("url")
+            .map_groups(and_score, batch_format="pandas")
+            .map_batches(block_topk, batch_format="pyarrow")
+        )
+
+    cand = scored.take_all()
+    cand.sort(key=lambda r: (-r["bm25_ppm"], r["url"]))
+    return _kg_search_enrich(out, cand[:K])
+
+
+def _kg_search_enrich(out: str, top: list) -> "pa.Table":
+    """Shared result tail of the search family: KG-entity enrichment of
+    the top hits — one mentions scan filtered by the broadcast url set,
+    per-block count/sum partials merged on the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
     top_urls = [r["url"] for r in top]
     score_of = {r["url"]: r["bm25_ppm"] for r in top}
 

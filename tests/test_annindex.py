@@ -229,3 +229,44 @@ def test_incremental_equals_one_pass_frozen_coding(ray_session):
     want_codes = similarity.pq_encode(similarity.km_quantize(raw[sel]), cents)
     got_codes = np.asarray(coded["pq_code"].to_pylist(), np.int64)[order]
     assert (got_codes == want_codes).all()
+
+
+def test_fts_index_reuse_and_stats(ray_session):
+    """Persisted full-text index: reuse is a no-op; the sentinel bucket
+    carries exact corpus stats (N docs, T tokens)."""
+    import pyarrow.parquet as _pq
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import (
+        kg,
+        kgqueries,
+    )
+    from agenticknowledgegraphconstructionsystem_ray.pipelines.scoring import (
+        _TOKEN_RE,
+    )
+
+    root = kgqueries._ensure_text_index(SF)
+    marker = os.path.join(root, "_DONE")
+    before = os.stat(marker).st_mtime_ns
+    assert kgqueries._ensure_text_index(SF) == root
+    assert os.stat(marker).st_mtime_ns == before  # reuse is a no-op
+
+    sent = _pq.read_table(
+        sorted(
+            glob.glob(
+                os.path.join(
+                    root, "postings", f"bkt={kgqueries.FTS_BUCKETS}", "*.parquet"
+                )
+            )
+        ),
+        columns=["url", "dl"],
+    )
+    out = kgqueries._ensure_run(SF)
+    want_n, want_t = 0, 0
+    for b in kg.text_dataset(out, columns=["text"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for txt in b["text"].to_pylist():
+            want_n += 1
+            want_t += len(_TOKEN_RE.findall(txt.lower()))
+    assert sent.num_rows == want_n
+    assert sum(sent["dl"].to_pylist()) == want_t
