@@ -42,7 +42,7 @@ from .functions.validate_rules import (
 from .state.unionfind import UnionFind
 
 GOLDEN_ROOT = "/tmp/agkg_golden"
-GOLDEN_VERSION = "46"  # v45: + mm keep; v46: + incremental ANN
+GOLDEN_VERSION = "48"  # v47: + audio pairs; v48: quantized audio windows
 
 # The driver's correctness gate always runs at sf0.01; the kg_* oracle SQL
 # strings are pinned to this golden directory.
@@ -1737,6 +1737,47 @@ def _seq_video_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def _seq_audio_pairs(sf_dir: str) -> pa.Table:
+    """Sequential cross-audio window-overlap golden: samples straight from
+    the synthesis formula (synth_samples — no codec), SHARED
+    audio_window_hashes kernel; postings capped and thresholded with the
+    same constants. Pipeline parity proves WAV codec inversion."""
+    from .stages.multimodal import (
+        AF_MIN_SHARED,
+        AF_POST_CAP,
+        audio_window_hashes,
+        synth_samples,
+    )
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    posts: dict[int, set[int]] = {}
+    for d in docs["doc_id"].to_pylist():
+        if d % 5 != 2:
+            continue
+        _rate, samples = synth_samples(d)
+        for h in audio_window_hashes(samples):
+            posts.setdefault(h, set()).add(d)
+    counts: dict[tuple[int, int], int] = {}
+    for mids in posts.values():
+        if len(mids) < 2 or len(mids) > AF_POST_CAP:
+            continue
+        ms = sorted(mids)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                k = (ms[i], ms[j])
+                counts[k] = counts.get(k, 0) + 1
+    keys = sorted(k for k, v in counts.items() if v >= AF_MIN_SHARED)
+    return pa.table(
+        {
+            "id_a": pa.array([k[0] for k in keys], pa.int64()),
+            "id_b": pa.array([k[1] for k in keys], pa.int64()),
+            "n_shared": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
 def _seq_cdc(sf_dir: str) -> pa.Table:
     """Sequential gear-CDC chunk-dedup golden: one-process pass with the
     SHARED chunking kernel (stages/cdc.doc_chunk_rows); global first
@@ -2187,6 +2228,7 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["dhash"] = _seq_dhash(sf_dir)
         tables["dhash_pairs"] = _seq_dhash_pairs(sf_dir)
         tables["video_pairs"] = _seq_video_pairs(sf_dir)
+        tables["audio_pairs"] = _seq_audio_pairs(sf_dir)  # v47
         # modality keep verdicts compose the near_dup_keep mirror over the
         # multimodal pair sources (v45)
         tables["mm_dhash_keep"] = _seq_mm_keep(
@@ -2954,6 +2996,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "mm_video_keep": f"""
             SELECT media_id, rep_id, keep FROM {_g('mm_video_keep')}
+        """,
+        "mm_audio_pairs": f"""
+            SELECT id_a, id_b, n_shared FROM {_g('audio_pairs')}
         """,
         "mm_video_pairs": f"""
             SELECT id_a, id_b, n_shared FROM {_g('video_pairs')}

@@ -1284,6 +1284,16 @@ def mm_video_keep(sf_dir: str):
     )
 
 
+def mm_audio_pairs(sf_dir: str):
+    """Cross-audio near-dup via sample-window fingerprints (the
+    audio-fingerprint dedup: shifted copies of a recording share window
+    hashes — stages/multimodal.audio_near_dups). Golden-file oracle with
+    shared window-hash kernel computed straight from the synthesis
+    formula (goldens._seq_audio_pairs) — parity proves WAV codec
+    inversion."""
+    return multimodal.audio_near_dups(sf_dir)
+
+
 def tx_cdc(sf_dir: str):
     """Gear-CDC chunk dedup rollup (stages/cdc.cdc_dedup_stats): per-doc
     (n_chunks, n_bytes, dup_chunks, dup_bytes) where dup = not the global
@@ -1596,6 +1606,7 @@ QUERIES = {
     "mm_dhash": mm_dhash,
     "mm_dhash_pairs": mm_dhash_pairs,
     "mm_video_pairs": mm_video_pairs,
+    "mm_audio_pairs": mm_audio_pairs,
     "mm_dhash_keep": mm_dhash_keep,
     "mm_video_keep": mm_video_keep,
     "tx_cdc": tx_cdc,

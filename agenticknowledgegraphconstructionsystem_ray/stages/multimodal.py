@@ -639,3 +639,126 @@ def audio_stats(sf_dir: str):
     return media.map_batches(
         AudioStats, batch_format="pyarrow", concurrency=(1, 4)
     ).sort("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-audio near-dup — the audio-fingerprint dedup (shifted-recording
+# detection, the Chromaprint/Shazam shape at toy scale): channel-0 sample
+# WINDOWS (AF_WIN @ AF_STRIDE) hashed like video frames; audios sharing
+# >= AF_MIN_SHARED window hashes pair up. Because windows slide, a
+# re-encoded or offset copy of the same recording still collides — the
+# property frame-exact hashing (mm_video_pairs) does not give. Same
+# postings shape: per-block distinct (hash, id) partials, ONE hash
+# groupby with the posting cap, pair-count groupby, typed driver
+# assembly. Pipeline decodes REAL WAV payloads; the golden computes
+# hashes straight from the synthesis formula — parity proves codec
+# inversion (the dhash proof pattern).
+# ---------------------------------------------------------------------------
+
+AF_WIN = 64
+AF_STRIDE = 32
+AF_POST_CAP = 32
+AF_MIN_SHARED = 2
+AF_QSHIFT = 13  # 3-bit amplitude quantization before hashing
+
+
+def audio_window_hashes(samples: "np.ndarray") -> list[int]:
+    """Shared pure kernel: channel-0 windows of AF_WIN samples at
+    AF_STRIDE, QUANTIZED to 3-bit amplitude levels (>> AF_QSHIFT) before
+    the frame_hash blake2b — the fingerprint-robustness move: offset or
+    lightly perturbed copies of a recording still collide, which exact
+    int16 hashing would miss."""
+    ch0 = samples[:, 0] if samples.ndim == 2 else samples
+    q = np.ascontiguousarray(
+        (ch0.astype(np.int32) >> AF_QSHIFT).astype(np.int8)
+    )
+    out = []
+    for off in range(0, len(q) - AF_WIN + 1, AF_STRIDE):
+        out.append(frame_hash(q[off : off + AF_WIN].tobytes()))
+    return out
+
+
+def audio_near_dups(sf_dir: str) -> pa.Table:
+    """(id_a, id_b, n_shared) pairs of WAV corpus members sharing
+    >= AF_MIN_SHARED sample-window hashes, sorted."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = t.filter(pa.array(ids % 5 == 2))
+        return build_decodable_media_batch(keep)
+
+    class WindowHashes:
+        """Actor-pool decode + window hash: per-block DISTINCT
+        (ah, media_id) partials — samples never leave the worker."""
+
+        def __init__(self) -> None:
+            from ..functions import mediadecode as md
+
+            self.md = md
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seen: set[tuple[int, int]] = set()
+            for media_id, payload in zip(
+                t["media_id"].to_pylist(), t["payload"].to_pylist()
+            ):
+                _rate, samples = self.md.decode_wav(payload)
+                for h in audio_window_hashes(samples):
+                    seen.add((h, media_id))
+            ks = sorted(seen)
+            return pa.table(
+                {
+                    "ah": pa.array([k[0] for k in ks], pa.int64()),
+                    "media_id": pa.array([k[1] for k in ks], pa.int64()),
+                }
+            )
+
+    posts = (
+        docs.map_batches(build, batch_format="pyarrow")
+        .map_batches(
+            WindowHashes, batch_format="pyarrow", batch_size=512,
+            concurrency=(1, 4),
+        )
+        .groupby(["ah", "media_id"])
+        .aggregate(Count(alias_name="_n"))  # global distinct (ah, media_id)
+    )
+
+    def emit_pairs(g) -> dict:
+        mids = sorted(set(int(m) for m in g["media_id"]))
+        if len(mids) < 2 or len(mids) > AF_POST_CAP:
+            return {
+                "id_a": np.array([], np.int64),
+                "id_b": np.array([], np.int64),
+                "n_p": np.array([], np.int64),
+            }
+        a_idx, b_idx = np.triu_indices(len(mids), k=1)
+        mv = np.asarray(mids, np.int64)
+        return {
+            "id_a": mv[a_idx],
+            "id_b": mv[b_idx],
+            "n_p": np.ones(len(a_idx), np.int64),
+        }
+
+    pairs = (
+        posts.groupby("ah")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Sum("n_p", alias_name="n_shared"))
+    )
+
+    rows = [
+        r for r in pairs.take_all() if r.get("n_shared", 0) >= AF_MIN_SHARED
+    ]
+    rows.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    return pa.table(
+        {
+            "id_a": pa.array([r["id_a"] for r in rows], pa.int64()),
+            "id_b": pa.array([r["id_b"] for r in rows], pa.int64()),
+            "n_shared": pa.array([r["n_shared"] for r in rows], pa.int64()),
+        }
+    )
