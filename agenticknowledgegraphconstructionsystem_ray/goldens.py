@@ -2237,6 +2237,9 @@ def ensure_kg_golden(sf: float = DRIVER_SF, seed: int = 42) -> str:
         tables["mm_video_keep"] = _seq_mm_keep(
             sf_dir, tables["video_pairs"], 3, False
         )
+        tables["mm_audio_keep"] = _seq_mm_keep(
+            sf_dir, tables["audio_pairs"], 5, False
+        )
         tables["cdc"] = _seq_cdc(sf_dir)
         tables["mm_decode"] = _seq_media_decode(sf_dir)
         tables["mm_resize"] = _seq_media_resize(sf_dir)
@@ -2996,6 +2999,9 @@ def kg_oracle_sql() -> dict[str, str]:
         """,
         "mm_video_keep": f"""
             SELECT media_id, rep_id, keep FROM {_g('mm_video_keep')}
+        """,
+        "mm_audio_keep": f"""
+            SELECT media_id, rep_id, keep FROM {_g('mm_audio_keep')}
         """,
         "mm_audio_pairs": f"""
             SELECT id_a, id_b, n_shared FROM {_g('audio_pairs')}

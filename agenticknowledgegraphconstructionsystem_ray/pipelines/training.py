@@ -1294,6 +1294,16 @@ def mm_audio_pairs(sf_dir: str):
     return multimodal.audio_near_dups(sf_dir)
 
 
+def mm_audio_keep(sf_dir: str):
+    """Audio-corpus dedup verdict over the fingerprint pairs:
+    (media_id, rep_id, keep) for every WAV media item (doc_id % 5 == 2).
+    Golden-file oracle (goldens._seq_mm_keep)."""
+    return _mm_keep(
+        sf_dir, multimodal.audio_near_dups(sf_dir), predicate_mod=5,
+        predicate_not=False,
+    )
+
+
 def tx_cdc(sf_dir: str):
     """Gear-CDC chunk dedup rollup (stages/cdc.cdc_dedup_stats): per-doc
     (n_chunks, n_bytes, dup_chunks, dup_bytes) where dup = not the global
@@ -1607,6 +1617,7 @@ QUERIES = {
     "mm_dhash_pairs": mm_dhash_pairs,
     "mm_video_pairs": mm_video_pairs,
     "mm_audio_pairs": mm_audio_pairs,
+    "mm_audio_keep": mm_audio_keep,
     "mm_dhash_keep": mm_dhash_keep,
     "mm_video_keep": mm_video_keep,
     "tx_cdc": tx_cdc,
