@@ -988,6 +988,37 @@ def _kg_search_indexed_impl(sf_dir: str, qterms: list, K: int):
             total = total + w * (num // den)
         return [int(x) for x in total]
 
+    # Rarest-term semi-join (the standard FTS AND optimization): AND
+    # candidates must contain the smallest-df term, so broadcast that
+    # term's url set (df_min strings) and pre-filter the other terms'
+    # rows before the groupby — the shuffle then carries <= nq * df_min
+    # rows instead of the sum of all posting lists. Skipped when the
+    # rarest posting list is itself large (degenerate terms).
+    FTS_SEMI_CAP = 100_000
+    rare = min(qterms, key=lambda t: df[t])
+    if nq > 1 and 0 < df[rare] <= FTS_SEMI_CAP:
+        rare_urls: set = set()
+        for b in posts.map_batches(
+            lambda t, _r=rare: t.filter(pc.equal(t["term"], _r)).select(
+                ["url"]
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            rare_urls.update(b["url"].to_pylist())
+        rref = ray.put(rare_urls)
+
+        def semi(t: pa.Table, _r=rref) -> pa.Table:
+            keep = ray.get(_r) if hasattr(_r, "hex") else _r
+            return t.filter(
+                pc.is_valid(
+                    pc.index_in(
+                        t["url"], value_set=pa.array(sorted(keep), pa.string())
+                    )
+                )
+            )
+
+        posts = posts.map_batches(semi, batch_format="pyarrow")
+
     if nq == 1:
         # single term: every posting row IS a candidate — score in-stream
         # with a per-block top-k, no shuffle at all
