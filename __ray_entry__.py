@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kg_search": kgqueries.kg_search,
             "kg_search_degenerate": kgqueries.kg_search_degenerate,
             "kg_search_indexed": kgqueries.kg_search_indexed,
+            "kg_phrase_indexed": kgqueries.kg_phrase_indexed,
             "kg_search_indexed_degenerate":
                 kgqueries.kg_search_indexed_degenerate,
             "kg_merge_nodes": kgqueries.kg_merge_nodes,

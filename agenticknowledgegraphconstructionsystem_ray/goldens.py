@@ -2543,6 +2543,50 @@ def _kg_search_sql(query: tuple = None) -> str:
     """
 
 
+def _kg_phrase_sql() -> str:
+    """Oracle for kg_phrase_indexed: LATERAL token positions over the
+    golden text, per-(url, term) positions capped at FTS_POS_CAP by
+    window rank (mirroring the stored positional payload), adjacency
+    join, grouped counts."""
+    from .pipelines.kgqueries import FTS_POS_CAP, KG_PHRASE
+
+    t1, t2 = KG_PHRASE
+    return f"""
+        WITH lst AS (
+            SELECT url, list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '') AS toks
+            FROM {_g('text')}
+        ),
+        tok AS (
+            SELECT url, CAST(i AS BIGINT) AS pos, toks[i] AS term
+            FROM lst, LATERAL (
+                SELECT unnest(generate_series(1, len(toks))) AS i
+            )
+        ),
+        a AS (
+            SELECT url, pos FROM (
+                SELECT url, pos, row_number() OVER (
+                    PARTITION BY url ORDER BY pos
+                ) AS rk FROM tok WHERE term = '{t1}'
+            ) WHERE rk <= {FTS_POS_CAP}
+        ),
+        b AS (
+            SELECT url, pos FROM (
+                SELECT url, pos, row_number() OVER (
+                    PARTITION BY url ORDER BY pos
+                ) AS rk FROM tok WHERE term = '{t2}'
+            ) WHERE rk <= {FTS_POS_CAP}
+        ),
+        m AS (
+            SELECT a.url, a.pos
+            FROM a JOIN b ON b.url = a.url AND b.pos = a.pos + 1
+        )
+        SELECT url, CAST(COUNT(*) AS BIGINT) AS n_phrase,
+               CAST(MIN(pos) AS BIGINT) AS first_pos
+        FROM m GROUP BY url ORDER BY url
+    """
+
+
 def _degen_query() -> tuple:
     from .pipelines.kgqueries import KG_SEARCH_DEGEN_QUERY
 
@@ -3278,6 +3322,7 @@ def kg_oracle_sql() -> dict[str, str]:
         # indexed variants: SAME SQL oracles — the persisted-index path
         # must not change the answer (the link-table proof standard)
         "kg_search_indexed": _kg_search_sql(),
+        "kg_phrase_indexed": _kg_phrase_sql(),
         "kg_search_indexed_degenerate": _kg_search_sql(_degen_query()),
         # pure SQL (no golden needed): the deterministic fake video payload is
         # text-derived, so the frame-sample count is arithmetic on byte length

@@ -800,6 +800,7 @@ def _kg_search_impl(sf_dir: str, qterms: list, K: int):
 # ---------------------------------------------------------------------------
 
 FTS_BUCKETS = 64
+FTS_POS_CAP = 64  # capped per-(term,doc) positions stored for phrase ops
 
 
 def fts_root(sf_dir: str) -> str:
@@ -824,7 +825,8 @@ def _ensure_text_index(sf_dir: str) -> str:
     out = _ensure_run(sf_dir)
     root = fts_root(sf_dir)
     marker = os.path.join(root, "_DONE")
-    contract = {"v": 1, "layout": kg.LAYOUT_VERSION, "nb": FTS_BUCKETS}
+    contract = {"v": 2, "layout": kg.LAYOUT_VERSION, "nb": FTS_BUCKETS,
+                "pos_cap": FTS_POS_CAP}
     if os.path.exists(marker):
         try:
             with open(marker) as f:
@@ -839,18 +841,21 @@ def _ensure_text_index(sf_dir: str) -> str:
     shutil.rmtree(tmp, ignore_errors=True)
 
     def fts_rows(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        bkts, terms, urls, tfs, dls = [], [], [], [], []
+        bkts, terms, urls, tfs, dls, poss = [], [], [], [], [], []
         for url, txt in zip(t["url"].to_pylist(), t["text"].to_pylist()):
             toks = _TOKEN_RE.findall(txt.lower())
             dl = len(toks)
-            for term, tf in Counter(toks).items():
+            by_term: dict[str, list[int]] = {}
+            for i, w in enumerate(toks):
+                by_term.setdefault(w, []).append(i + 1)  # 1-based
+            for term, plist in by_term.items():
                 bkts.append(_fts_bucket(term))
                 terms.append(term)
                 urls.append(url)
-                tfs.append(tf)
+                tfs.append(len(plist))
                 dls.append(dl)
+                # capped positional payload: the tsquery '<->' operand
+                poss.append(plist[:FTS_POS_CAP])
             # sentinel doc row (term "") in the stats bucket: N = row
             # count, T = sum(dl) — empty-text docs included
             bkts.append(FTS_BUCKETS)
@@ -858,6 +863,7 @@ def _ensure_text_index(sf_dir: str) -> str:
             urls.append(url)
             tfs.append(0)
             dls.append(dl)
+            poss.append([])
         return pa.table(
             {
                 "bkt": pa.array(bkts, pa.int32()),
@@ -865,6 +871,7 @@ def _ensure_text_index(sf_dir: str) -> str:
                 "url": pa.array(urls, pa.string()),
                 "tf": pa.array(tfs, pa.int64()),
                 "dl": pa.array(dls, pa.int64()),
+                "pos": pa.array(poss, pa.list_(pa.int64())),
             }
         )
 
@@ -922,6 +929,73 @@ def kg_search_indexed_degenerate(sf_dir: str):
     list (the GIN cost model), exact with no cap heuristic."""
     return _kg_search_indexed_impl(
         sf_dir, list(KG_SEARCH_DEGEN_QUERY), KG_SEARCH_K
+    )
+
+
+KG_PHRASE = ("splatting", "compiler")
+
+
+def kg_phrase_indexed(sf_dir: str):
+    """tsquery followed-by ('t1 <-> t2') served from the persisted
+    full-text index — the phrase operator completing the tsquery set
+    (AND = kg_search_indexed, '<->' = this): read ONLY the two terms'
+    buckets, url-keyed groupby of their positional rows, intersect
+    positions at offset 1 (capped at FTS_POS_CAP per (term, doc), the
+    cap mirrored in the SQL oracle). Output (url, n_phrase, first_pos)
+    sorted by url."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t1, t2 = KG_PHRASE
+    _ = _ensure_run(sf_dir)
+    root = _ensure_text_index(sf_dir)
+    want = pa.array(sorted({t1, t2}), pa.string())
+    posts = rd.read_parquet(
+        _fts_files(root, {_fts_bucket(t) for t in (t1, t2)}),
+        columns=["term", "url", "pos"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_valid(pc.index_in(t["term"], value_set=want))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def phrase_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        by = dict(zip(g["term"], g["pos"]))
+        a = by.get(t1)
+        b = by.get(t2)
+        if a is None or b is None:
+            return pd.DataFrame(
+                {
+                    "url": pd.Series([], dtype=object),
+                    "n_phrase": pd.Series([], dtype="int64"),
+                    "first_pos": pd.Series([], dtype="int64"),
+                }
+            )
+        bs = set(int(x) for x in b)
+        hits = sorted(int(x) for x in a if int(x) + 1 in bs)
+        if not hits:
+            return pd.DataFrame(
+                {
+                    "url": pd.Series([], dtype=object),
+                    "n_phrase": pd.Series([], dtype="int64"),
+                    "first_pos": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "url": [g["url"].iloc[0]],
+                "n_phrase": np.array([len(hits)], np.int64),
+                "first_pos": np.array([hits[0]], np.int64),
+            }
+        )
+
+    return (
+        posts.groupby("url")
+        .map_groups(phrase_group, batch_format="pandas")
+        .sort("url")
     )
 
 
