@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 kgqueries.kg_search_indexed_degenerate,
             "kg_merge_nodes": kgqueries.kg_merge_nodes,
             "kg_merge_edges": kgqueries.kg_merge_edges,
+            "kg_update_search": kgqueries.kg_update_search,
             "kg_improves_seminal": kgqueries.kg_improves_seminal,
             "kg_pages_no_edges": kgqueries.kg_pages_no_edges,
             "kg_pages_needing_edges": kgqueries.kg_pages_needing_edges,

@@ -95,6 +95,29 @@ def main(argv: list[str] | None = None) -> int:
              "ann-incr)",
     )
 
+    su = sub.add_parser(
+        "update",
+        help="incremental-crawl flagship: given a completed base run and a "
+             "DELTA pages dir, run delta-extract -> merge_runs -> FTS "
+             "delta index -> link-table delta merge in one command; "
+             "update cost scales with the delta, never the corpus",
+    )
+    su.add_argument("--base-pages", required=True,
+                    help="pages dir of the already-processed base crawl")
+    su.add_argument("--base-out", required=True,
+                    help="completed base run output dir")
+    su.add_argument("--delta-pages", required=True,
+                    help="pages dir holding ONLY the new crawl increment")
+    su.add_argument("--out", required=True,
+                    help="merged output dir (delta run + merged graph + "
+                         "index deltas live under it)")
+    su.add_argument("--chunk-files", type=int, default=8)
+    su.add_argument("--sf-dir", default=None,
+                    help="optional driver-table dir: also refresh the "
+                         "ANN delta coding and MinHash band-index delta")
+    su.add_argument("--global-edge-dedup", action="store_true",
+                    help="required when base and delta share urls (re-crawl)")
+
     args = p.parse_args(argv)
     _ensure_ray()
 
@@ -168,6 +191,71 @@ def main(argv: list[str] | None = None) -> int:
             steps[kind]()
             built[kind] = round(_time.perf_counter() - t0, 3)
         print(json.dumps({"sf_dir": args.sf_dir, "built_s": built}))
+        return 0
+
+    if args.cmd == "update":
+        import glob as _glob
+        import os as _os
+        import time as _time
+
+        from .pipelines import kgqueries, weblinks
+
+        timings: dict[str, float] = {}
+
+        def timed(name, fn):
+            t0 = _time.perf_counter()
+            r = fn()
+            timings[name] = round(_time.perf_counter() - t0, 3)
+            return r
+
+        # 1. delta extract+reduce: phase A scans ONLY the delta pages
+        delta_out = _os.path.join(args.out, "delta_run")
+        timed("delta_run", lambda: kg.ensure_complete(kg.KGConfig(
+            pages_dir=args.delta_pages, out_dir=delta_out,
+            chunk_files=args.chunk_files,
+        )))
+
+        # 2. merged graph: re-reduce over the UNION of record artifacts —
+        # the base pages are never re-read (kg.merge_runs contract)
+        res = timed("merge_runs", lambda: kg.merge_runs(
+            [args.base_out, delta_out], args.out,
+            global_edge_dedup=args.global_edge_dedup,
+        ))
+
+        # 3. FTS: base index built once (reused on every later update),
+        # delta index from the delta run alone; queries read the union
+        # (kgqueries._search_indexed_over), equal to a full rebuild
+        timed("fts_base", lambda: kgqueries.build_fts_postings(
+            args.base_out, _os.path.join(args.out, "fts_base")))
+        timed("fts_delta", lambda: kgqueries.build_fts_postings(
+            delta_out, _os.path.join(args.out, "fts_delta")))
+
+        # 4. link table: persisted base aggregate + delta-only scan,
+        # merged by one host-pair groupby-sum
+        base_files = sorted(
+            _glob.glob(_os.path.join(args.base_pages, "*.parquet")))
+        delta_files = sorted(
+            _glob.glob(_os.path.join(args.delta_pages, "*.parquet")))
+        base_links = timed("links_base", lambda: (
+            weblinks._ensure_link_tables_for(
+                base_files, _os.path.join(args.out, "links_base"))))
+        timed("links_merge", lambda: weblinks.merge_link_tables(
+            base_links, delta_files, _os.path.join(args.out, "links")))
+
+        # 5. optional driver-table deltas (ANN coding, MinHash bands)
+        if args.sf_dir:
+            from .stages import annindex, dedup
+
+            timed("ann_delta", lambda: annindex.ensure_ann_index_incremental(
+                args.sf_dir))
+            timed("minhash_delta",
+                  lambda: dedup.minhash_near_dups_incremental(args.sf_dir))
+
+        print(json.dumps({
+            "out": args.out,
+            "merged": res,
+            "timings_s": timings,
+        }))
         return 0
 
     if args.cmd == "synth":

@@ -2717,6 +2717,9 @@ def kg_oracle_sql() -> dict[str, str]:
         "wg_host_graph": f"""
             SELECT src_host, dst_host, n_links FROM {_g('host_graph')}
         """,
+        "wg_host_graph_incremental": f"""
+            SELECT src_host, dst_host, n_links FROM {_g('host_graph')}
+        """,
         "wg_host_rank": f"SELECT host, rank_fp FROM {_g('host_rank')}",
         "wg_host_hits": f"SELECT host, auth_fp, hub_fp FROM {_g('host_hits')}",
         "wg_host_rank_weighted": f"SELECT host, rank_fp FROM {_g('host_wrank')}",
@@ -3324,6 +3327,9 @@ def kg_oracle_sql() -> dict[str, str]:
         "kg_search_indexed": _kg_search_sql(),
         "kg_phrase_indexed": _kg_phrase_sql(),
         "kg_search_indexed_degenerate": _kg_search_sql(_degen_query()),
+        # incremental flagships: base artifact + delta-only work must equal
+        # the full-corpus answer — SAME oracles as the full-build queries
+        "kg_update_search": _kg_search_sql(),
         # pure SQL (no golden needed): the deterministic fake video payload is
         # text-derived, so the frame-sample count is arithmetic on byte length
         "mm_sampled_frames": """

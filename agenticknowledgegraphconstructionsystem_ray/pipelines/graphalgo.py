@@ -371,7 +371,8 @@ def _pagerank_broadcast(adj: "rd.Dataset", nodes: "rd.Dataset",
 
 def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
              iters: int = PR_ITERS, top: int = PR_TOP,
-             seed_mod: int | None = None) -> "rd.Dataset":
+             seed_mod: int | None = None,
+             force_shuffle: bool = False) -> "rd.Dataset":
     """Fixed-point PageRank. ``edges``: (subj_id, obj_id) int64 rows (may
     repeat; deduped here). ``nodes``: (entity_id) int64, one row per node —
     isolated nodes keep the teleport base.
@@ -384,7 +385,9 @@ def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
     Endpoint closure: every edge endpoint must appear in ``nodes``. The
     broadcast path (node count <= PR_BROADCAST_NODES) ENFORCES this with a
     ValueError; the shuffle path above the gate silently drops/absorbs
-    open-graph rows — pass a closed node set regardless of size."""
+    open-graph rows — pass a closed node set regardless of size, or pass
+    ``force_shuffle=True`` to opt out of the gate and keep the shuffle
+    path's open-graph absorption semantics."""
     n_parts = max(8, cluster_cpus())
 
     pairs = (
@@ -395,7 +398,7 @@ def pagerank(edges: "rd.Dataset", nodes: "rd.Dataset",
     # materialize once: the gate's count() and the broadcast path's id
     # gather would otherwise each re-execute the upstream node plan
     nodes = nodes.materialize()
-    if nodes.count() <= PR_BROADCAST_NODES:
+    if not force_shuffle and nodes.count() <= PR_BROADCAST_NODES:
         # no deg attach: the broadcast path derives the divisor vector
         # from the distinct pairs in one combiner pass
         adjb = pairs.repartition(n_parts).materialize()
@@ -2405,10 +2408,12 @@ def _hits_broadcast(pairs: "rd.Dataset", nodes: "rd.Dataset",
 
 
 def hits(edges: "rd.Dataset", nodes: "rd.Dataset",
-         iters: int = HITS_ITERS, top: int = HITS_TOP) -> "rd.Dataset":
+         iters: int = HITS_ITERS, top: int = HITS_TOP,
+         force_shuffle: bool = False) -> "rd.Dataset":
     """``edges``: (subj_id, obj_id) int64 rows (deduped here); ``nodes``:
     (entity_id), one row per node. Output: top ``top`` nodes by
-    (auth_fp desc, entity_id asc) with both scores."""
+    (auth_fp desc, entity_id asc) with both scores. ``force_shuffle``
+    opts out of the broadcast fast path (see ``pagerank``)."""
     import pyarrow.compute as pc
 
     n_parts = max(8, cluster_cpus())
@@ -2423,7 +2428,7 @@ def hits(edges: "rd.Dataset", nodes: "rd.Dataset",
     )
 
     nodes = nodes.materialize()  # gate count + gather share one execution
-    if nodes.count() <= PR_BROADCAST_NODES:
+    if not force_shuffle and nodes.count() <= PR_BROADCAST_NODES:
         return _hits_broadcast(pairs, nodes, iters, top)
 
     def base_rows(t: pa.Table) -> pa.Table:
@@ -2875,13 +2880,16 @@ def _wcontrib_batch(t: pa.Table) -> pa.Table:
 
 
 def pagerank_weighted(edges: "rd.Dataset", nodes: "rd.Dataset",
-                      iters: int = PR_ITERS, top: int = PR_TOP) -> "rd.Dataset":
+                      iters: int = PR_ITERS, top: int = PR_TOP,
+                      force_shuffle: bool = False) -> "rd.Dataset":
     """``edges``: (subj_id, obj_id, w) int64 rows, one per distinct pair
-    (weights already aggregated); ``nodes``: (entity_id)."""
+    (weights already aggregated); ``nodes``: (entity_id).
+    ``force_shuffle`` opts out of the broadcast fast path (see
+    ``pagerank``)."""
     n_parts = max(8, cluster_cpus())
 
     nodes = nodes.materialize()  # gate count + gather share one execution
-    if nodes.count() <= PR_BROADCAST_NODES:
+    if not force_shuffle and nodes.count() <= PR_BROADCAST_NODES:
         # no wout attach: the broadcast path derives the out-weight
         # divisor from the (already-aggregated) edges in one combiner pass
         adjb = edges.repartition(n_parts).materialize()

@@ -217,20 +217,21 @@ LAYOUT_VERSION = "7"  # v7: synth v4 corpus (lowercase anchor text)
 def _config_fingerprint(cfg: "KGConfig") -> str:
     """Fingerprint of everything that determines phase-A output semantics
     AND the chunk plan: layout version, lang filter, alias dict, chunk_files
-    and the exact input file list. Changing ANY of these invalidates cached
-    artifacts — resume matches chunks by id, so a reshaped plan (different
-    chunk_files, added/removed input files) must never be anti-joined
-    against manifests from the old plan."""
+    and the exact input file list WITH sizes/mtimes. Changing ANY of these
+    invalidates cached artifacts — resume matches chunks by id, so a
+    reshaped plan (different chunk_files, added/removed input files) must
+    never be anti-joined against manifests from the old plan, and a
+    regenerated corpus at the same path (same basenames, new content) must
+    rebuild rather than reuse a completed run of the old content."""
     import hashlib
 
     files = sorted(glob.glob(os.path.join(cfg.pages_dir, "*.parquet")))
+    ident = []
+    for f in files:
+        st = os.stat(f)
+        ident.append((os.path.basename(f), st.st_size, st.st_mtime_ns))
     return hashlib.sha1(
-        repr(
-            (
-                _semantic_fingerprint(cfg),
-                tuple(os.path.basename(f) for f in files),
-            )
-        ).encode()
+        repr((_semantic_fingerprint(cfg), tuple(ident))).encode()
     ).hexdigest()
 
 
@@ -292,10 +293,14 @@ def _check_layout(out_dir: str, cfg: "KGConfig") -> None:
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_LAYOUT")
     current = open(marker).read() if os.path.exists(marker) else None
-    files = [
-        os.path.basename(f)
-        for f in sorted(glob.glob(os.path.join(cfg.pages_dir, "*.parquet")))
-    ]
+    # per-file identity is (basename, size, mtime_ns), NOT basename alone:
+    # a regenerated corpus reusing the same shard names must invalidate
+    # the chunks it feeds, or resume would keep stale extracted text and
+    # rebuild phase B from it
+    files = []
+    for f in sorted(glob.glob(os.path.join(cfg.pages_dir, "*.parquet"))):
+        st = os.stat(f)
+        files.append([os.path.basename(f), st.st_size, st.st_mtime_ns])
     payload = json.dumps(
         {"fp": fp, "sem": _semantic_fingerprint(cfg), "files": files},
         sort_keys=True,

@@ -801,6 +801,12 @@ def _kg_search_impl(sf_dir: str, qterms: list, K: int):
 
 FTS_BUCKETS = 64
 FTS_POS_CAP = 64  # capped per-(term,doc) positions stored for phrase ops
+# Row-group size of the postings files: small groups + the (bkt, term,
+# url) build sort give term-clustered row groups whose min/max stats let
+# the read prune to ~only the query terms' posting lists — the GIN
+# "postings clustered by key" layout. 8k rows/group keeps per-group
+# metadata overhead negligible while bounding over-read per probed term.
+FTS_ROW_GROUP = 8192
 
 
 def fts_root(sf_dir: str) -> str:
@@ -815,6 +821,17 @@ def _fts_bucket(term: str) -> int:
 
 
 def _ensure_text_index(sf_dir: str) -> str:
+    return build_fts_postings(_ensure_run(sf_dir), fts_root(sf_dir))
+
+
+def build_fts_postings(run_dirs, root: str) -> str:
+    """Marker-guarded build of the postings layout from one (or several)
+    completed runs' extracted-text artifacts. Delta-friendly by design:
+    postings rows are per (term, doc) and the corpus stats are additive
+    sentinel rows, so an incremental index for base∪delta is simply the
+    base layout UNION a delta layout built from the delta run alone —
+    query semantics over the union of files are exactly those of a full
+    rebuild (kg_update_search proves this against the scan-path oracle)."""
     import json
     import shutil
 
@@ -822,11 +839,15 @@ def _ensure_text_index(sf_dir: str) -> str:
 
     from .scoring import _TOKEN_RE
 
-    out = _ensure_run(sf_dir)
-    root = fts_root(sf_dir)
+    from ..state.artifacts import source_fingerprint
+
     marker = os.path.join(root, "_DONE")
-    contract = {"v": 2, "layout": kg.LAYOUT_VERSION, "nb": FTS_BUCKETS,
-                "pos_cap": FTS_POS_CAP}
+    # src: sizes/mtimes of the runs' extracted-text files — a regenerated
+    # corpus (same sf, same cache root) rebuilds the index instead of
+    # serving stale postings (same guarantee as the ANN/BPE artifacts).
+    contract = {"v": 4, "layout": kg.LAYOUT_VERSION, "nb": FTS_BUCKETS,
+                "pos_cap": FTS_POS_CAP, "rg": FTS_ROW_GROUP,
+                "src": source_fingerprint(*kg._kind_files(run_dirs, "page"))}
     if os.path.exists(marker):
         try:
             with open(marker) as f:
@@ -875,11 +896,19 @@ def _ensure_text_index(sf_dir: str) -> str:
             }
         )
 
-    kg.text_dataset(out, columns=["url", "text"]).map_batches(
-        fts_rows, batch_format="pyarrow"
-    ).write_parquet(
-        os.path.join(tmp, "postings"), partition_cols=["bkt"],
-        compression="zstd",
+    # v4: ONE distributed range sort by (bkt, term, url) before the
+    # partitioned write — the only all-to-all in the build, the classic
+    # index-build trade: it clusters each term's postings into contiguous
+    # url-sorted row groups, so a query's read prunes by term min/max
+    # stats to ~the probed terms' posting lists instead of whole buckets.
+    (
+        kg.text_dataset(run_dirs, columns=["url", "text"])
+        .map_batches(fts_rows, batch_format="pyarrow")
+        .sort(["bkt", "term", "url"])
+        .write_parquet(
+            os.path.join(tmp, "postings"), partition_cols=["bkt"],
+            compression="zstd", row_group_size=FTS_ROW_GROUP,
+        )
     )
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         json.dump(contract, f)
@@ -902,19 +931,22 @@ def _ensure_text_index(sf_dir: str) -> str:
     return root
 
 
-def _fts_files(root: str, buckets: set[int]) -> list:
+def _fts_files(roots, buckets: set[int]) -> list:
+    """Posting files of the probed buckets across one or more index roots
+    (several roots = an incremental base∪delta index)."""
     import glob
 
     paths = []
-    for b in sorted(buckets):
-        d = os.path.join(root, "postings", f"bkt={b}")
-        if os.path.isdir(d):
-            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
-        elif not os.path.exists(os.path.join(root, "_DONE")):
-            raise FileNotFoundError(
-                f"full-text index {root} lost its _DONE marker while "
-                f"probing bkt={b} — index removed or rebuilt mid-query"
-            )
+    for root in [roots] if isinstance(roots, str) else list(roots):
+        for b in sorted(buckets):
+            d = os.path.join(root, "postings", f"bkt={b}")
+            if os.path.isdir(d):
+                paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+            elif not os.path.exists(os.path.join(root, "_DONE")):
+                raise FileNotFoundError(
+                    f"full-text index {root} lost its _DONE marker while "
+                    f"probing bkt={b} — index removed or rebuilt mid-query"
+                )
     return paths
 
 
@@ -948,18 +980,17 @@ def kg_phrase_indexed(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    import pyarrow.dataset as pads
+
     t1, t2 = KG_PHRASE
     _ = _ensure_run(sf_dir)
     root = _ensure_text_index(sf_dir)
-    want = pa.array(sorted({t1, t2}), pa.string())
+    # term filter pushed into the scanner: the v4 sorted layout prunes
+    # row groups to the two terms' posting lists (see _kg_search_indexed)
     posts = rd.read_parquet(
         _fts_files(root, {_fts_bucket(t) for t in (t1, t2)}),
         columns=["term", "url", "pos"],
-    ).map_batches(
-        lambda t: t.filter(
-            pc.is_valid(pc.index_in(t["term"], value_set=want))
-        ),
-        batch_format="pyarrow",
+        filter=pads.field("term").isin(sorted({t1, t2})),
     )
 
     def phrase_group(g: "pd.DataFrame") -> "pd.DataFrame":
@@ -1000,14 +1031,23 @@ def kg_phrase_indexed(sf_dir: str):
 
 
 def _kg_search_indexed_impl(sf_dir: str, qterms: list, K: int):
+    out = _ensure_run(sf_dir)
+    root = _ensure_text_index(sf_dir)
+    return _search_indexed_over(root, out, qterms, K)
+
+
+def _search_indexed_over(roots, run_dirs, qterms: list, K: int):
+    """BM25 AND search over one or several FTS index roots (several =
+    an incremental base∪delta index; see build_fts_postings). ``run_dirs``
+    feeds the KG-entity enrichment tail."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
 
-    out = _ensure_run(sf_dir)
-    root = _ensure_text_index(sf_dir)
+    root = roots
+    out = run_dirs
     nq = len(qterms)
 
     # corpus stats from the sentinel bucket (N docs, T tokens)
@@ -1017,16 +1057,18 @@ def _kg_search_indexed_impl(sf_dir: str, qterms: list, K: int):
     N = stats_ds.count()
     T = int(stats_ds.sum("dl") or 0)
 
-    # pruned read: ONLY the query terms' buckets, filtered to the terms
-    want = pa.array(sorted(set(qterms)), pa.string())
+    # pruned read: ONLY the query terms' buckets, with the term filter
+    # pushed into the parquet scanner — the v4 (bkt, term, url) sorted
+    # layout gives term-clustered row groups, so stats-based pruning
+    # skips every group outside the probed terms' posting lists (the GIN
+    # cost model made physical: bytes read ~ sum of probed posting lists)
+    import pyarrow.dataset as pads
+
+    want = sorted(set(qterms))
     posts = rd.read_parquet(
         _fts_files(root, {_fts_bucket(t) for t in qterms}),
         columns=["term", "url", "tf", "dl"],
-    ).map_batches(
-        lambda t: t.filter(
-            pc.is_valid(pc.index_in(t["term"], value_set=want))
-        ),
-        batch_format="pyarrow",
+        filter=pads.field("term").isin(want),
     ).materialize()  # bounded by the query terms' posting sizes
 
     # exact df per term from the pruned rows (block partials -> sum)
@@ -1079,16 +1121,15 @@ def _kg_search_indexed_impl(sf_dir: str, qterms: list, K: int):
             batch_format="pyarrow",
         ).iter_batches(batch_format="pyarrow", batch_size=None):
             rare_urls.update(b["url"].to_pylist())
-        rref = ray.put(rare_urls)
+        # sort + build the Arrow value_set ONCE on the driver; workers get
+        # the ready-made array from the object store (not a per-block
+        # O(df_min log df_min) rebuild)
+        rref = ray.put(pa.array(sorted(rare_urls), pa.string()))
 
         def semi(t: pa.Table, _r=rref) -> pa.Table:
             keep = ray.get(_r) if hasattr(_r, "hex") else _r
             return t.filter(
-                pc.is_valid(
-                    pc.index_in(
-                        t["url"], value_set=pa.array(sorted(keep), pa.string())
-                    )
-                )
+                pc.is_valid(pc.index_in(t["url"], value_set=keep))
             )
 
         posts = posts.map_batches(semi, batch_format="pyarrow")
@@ -1265,13 +1306,17 @@ def _ensure_merge_run(sf_dir: str) -> str:
     import glob
     import hashlib
 
+    from ..state.artifacts import source_fingerprint
+
     sf = sf_of(sf_dir)
     pages_dir = synth.ensure_pages(sf)
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
     root = f"/tmp/agkg_merge/sf{sf:g}"
     merged = os.path.join(root, "merged")
+    # fingerprint (not just basenames): a regenerated corpus at the same
+    # path invalidates the cached merge run (uniform artifact contract)
     tag = hashlib.sha1(
-        repr((kg.LAYOUT_VERSION, [os.path.basename(f) for f in files])).encode()
+        repr((kg.LAYOUT_VERSION, source_fingerprint(pages_dir))).encode()
     ).hexdigest()
     marker = os.path.join(merged, "_MERGE_OK")
     if os.path.exists(marker) and open(marker).read() == tag:
@@ -1321,6 +1366,33 @@ def kg_merge_edges(sf_dir: str):
     return rd.read_parquet(
         sorted(glob.glob(os.path.join(merged, "edges/**/*.parquet"), recursive=True))
     )
+
+
+def _merge_half_fts(sf_dir: str) -> tuple:
+    """One FTS index per half-run of the incremental-merge corpus — the
+    base index is NEVER rebuilt when the delta half arrives; the union of
+    the two layouts IS the merged index (build_fts_postings docstring)."""
+    merged = _ensure_merge_run(sf_dir)  # ensures out_a / out_b exist
+    root = os.path.dirname(merged)
+    runs, roots = [], []
+    for name in ("a", "b"):
+        out = os.path.join(root, f"out_{name}")
+        runs.append(out)
+        roots.append(
+            build_fts_postings(out, os.path.join(root, f"fts_{name}"))
+        )
+    return roots, runs
+
+
+def kg_update_search(sf_dir: str):
+    """Incremental-crawl search flagship (cli update's query face): BM25
+    AND search served from the UNION of the base half's persisted index
+    and the delta half's index — update cost was the delta build alone,
+    yet the result must equal the full-corpus scan-path SQL oracle
+    (the same oracle kg_search / kg_search_indexed run against)."""
+    roots, runs = _merge_half_fts(sf_dir)
+    return _search_indexed_over(roots, runs, list(KG_SEARCH_QUERY),
+                                KG_SEARCH_K)
 
 
 # ---------------------------------------------------------------------------

@@ -130,12 +130,27 @@ def _smb_layout(sf_dir: str) -> str:
     import os
     import shutil
 
+    from ..sources.tables import table_path
+    from ..state.artifacts import source_fingerprint
+
     root = smb_root(sf_dir)
     marker = os.path.join(root, "_DONE")
+    # src: sizes/mtimes of the two bucketed tables — a swapped corpus with
+    # a colliding basename rebuilds instead of serving a stale layout.
+    contract = {
+        "buckets": SMB_BUCKETS,
+        "key": "orderkey",
+        "src": source_fingerprint(
+            table_path(sf_dir, "orders"), table_path(sf_dir, "lineitem")
+        ),
+    }
     if os.path.exists(marker):
-        with open(marker) as f:
-            meta = json.load(f)
-        if meta.get("buckets") == SMB_BUCKETS and meta.get("key") == "orderkey":
+        try:
+            with open(marker) as f:
+                ok = json.load(f) == contract
+        except (OSError, ValueError):
+            ok = False
+        if ok:
             return root
         shutil.rmtree(root, ignore_errors=True)
 
@@ -177,7 +192,7 @@ def _smb_layout(sf_dir: str) -> str:
         os.path.join(tmp, "lineitem"), partition_cols=["bkt"]
     )
     with open(os.path.join(tmp, "_DONE"), "w") as f:
-        json.dump({"buckets": SMB_BUCKETS, "key": "orderkey"}, f)
+        json.dump(contract, f)
     # Promote WITHOUT deleting a valid concurrent winner: if a matching
     # layout appeared while we built (the other cold-cache builder won),
     # accept theirs — rmtree-then-replace here would briefly delete a
@@ -185,10 +200,10 @@ def _smb_layout(sf_dir: str) -> str:
     if os.path.exists(marker):
         try:
             with open(marker) as f:
-                meta = json.load(f)
+                ok = json.load(f) == contract
         except (OSError, ValueError):
-            meta = {}
-        if meta.get("buckets") == SMB_BUCKETS and meta.get("key") == "orderkey":
+            ok = False
+        if ok:
             shutil.rmtree(tmp, ignore_errors=True)
             return root
     shutil.rmtree(root, ignore_errors=True)

@@ -125,35 +125,58 @@ def links_root(sf_dir: str) -> str:
 
 def _ensure_link_tables(sf_dir: str) -> str:
     """Build (or reuse) the materialized link table for a corpus."""
+    import glob
+
+    pages_dir = synth.ensure_pages(sf_of(sf_dir))
+    return _ensure_link_tables_for(
+        sorted(glob.glob(os.path.join(pages_dir, "*.parquet"))),
+        links_root(sf_dir),
+    )
+
+
+def _ensure_link_tables_for(pages_files: list, root: str) -> str:
+    """Marker-guarded link-table build over an explicit pages file list.
+
+    The contract carries a source fingerprint (sizes/mtimes of the pages
+    shards, `state.artifacts.source_fingerprint`) so a regenerated or
+    swapped corpus whose cache root collides (same sf in the basename)
+    rebuilds instead of serving stale links — the same invalidation
+    guarantee the ANN/BPE artifacts already had."""
     import json
     import shutil
 
-    root = links_root(sf_dir)
+    from ..state.artifacts import source_fingerprint
+
+    contract = {"v": 2, "src": source_fingerprint(*pages_files)}
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
-        with open(marker) as f:
-            if json.load(f).get("v") == 1:
-                return root
+        try:
+            with open(marker) as f:
+                ok = json.load(f) == contract
+        except (OSError, ValueError):
+            ok = False
+        if ok:
+            return root
         shutil.rmtree(root, ignore_errors=True)
     tmp = root + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     (
-        pages_dataset(sf_dir)
+        rd.read_parquet(pages_files, columns=["url", "html"])
         .map_batches(_sentinel_pair_partials, batch_format="pyarrow")
         .groupby(["src_host", "dst_host"])
         .aggregate(Sum("n_p", alias_name="n_links"))
         .write_parquet(os.path.join(tmp, "links"), compression="zstd")
     )
     with open(os.path.join(tmp, "_DONE"), "w") as f:
-        json.dump({"v": 1}, f)
+        json.dump(contract, f)
     # Promote WITHOUT deleting a valid concurrent winner (same contract as
-    # training._smb_layout): if a v=1 layout appeared while we built,
+    # training._smb_layout): if a matching layout appeared while we built,
     # accept it rather than briefly rmtree-ing a layout live queries may
     # already have resolved.
     if os.path.exists(marker):
         try:
             with open(marker) as f:
-                ok = json.load(f).get("v") == 1
+                ok = json.load(f) == contract
         except (OSError, ValueError):
             ok = False
         if ok:
@@ -167,6 +190,43 @@ def _ensure_link_tables(sf_dir: str) -> str:
         if not os.path.exists(marker):
             raise
     return root
+
+
+def merge_link_tables(base_root: str, delta_pages_files: list,
+                      dest: str) -> str:
+    """cli update's link-table refresh: the base aggregate (read back, not
+    re-scanned) unioned with pair partials over ONLY the delta pages, one
+    host-pair groupby-sum, written as the merged link table. Sentinel
+    page-host rows ride along, so the output is row-identical to a full
+    _ensure_link_tables build over base∪delta pages. Cost = delta scan +
+    O(host-pairs); the base corpus is never touched."""
+    import json
+    import shutil
+
+    from ..state.artifacts import source_fingerprint
+
+    base = rd.read_parquet(os.path.join(base_root, "links"))
+    delta = (
+        rd.read_parquet(delta_pages_files, columns=["url", "html"])
+        .map_batches(_sentinel_pair_partials, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns(["src_host", "dst_host", "n_links"]),
+            batch_format="pyarrow",
+        )
+    )
+    shutil.rmtree(dest, ignore_errors=True)
+    (
+        base.union(delta)
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
+        .write_parquet(os.path.join(dest, "links"), compression="zstd")
+    )
+    with open(os.path.join(dest, "_DONE"), "w") as f:
+        json.dump(
+            {"v": 2, "src": source_fingerprint(*delta_pages_files),
+             "base": base_root}, f,
+        )
+    return dest
 
 
 def _links_dataset(sf_dir: str, with_sentinels: bool = False) -> rd.Dataset:
@@ -198,6 +258,39 @@ def wg_host_graph(sf_dir: str):
     First consumer of the materialized link table — the bench segment for
     this query times the one-per-corpus build."""
     return _links_dataset(sf_dir).sort(["src_host", "dst_host"])
+
+
+def wg_host_graph_incremental(sf_dir: str):
+    """cli update's link-table face: the base half's PERSISTED aggregate
+    (never re-scanned) + pair partials over ONLY the delta half's pages,
+    merged by one host-pair groupby-sum — update cost scales with the
+    delta scan + O(host-pairs), not the corpus, and the result must equal
+    wg_host_graph's full-corpus output (same SQL oracle)."""
+    import glob
+
+    pages_dir = synth.ensure_pages(sf_of(sf_dir))
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    mid = len(files) // 2
+    base_root = _ensure_link_tables_for(
+        files[:mid], links_root(sf_dir) + "_half_a"
+    )
+
+    base = rd.read_parquet(os.path.join(base_root, "links"))
+    delta = (
+        rd.read_parquet(files[mid:], columns=["url", "html"])
+        .map_batches(_sentinel_pair_partials, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns(["src_host", "dst_host", "n_links"]),
+            batch_format="pyarrow",
+        )
+    )
+    return (
+        base.union(delta)
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
+        .filter(expr=f"dst_host != {_SENTINEL!r}")
+        .sort(["src_host", "dst_host"])
+    )
 
 
 def _host_graph(sf_dir: str):
@@ -348,6 +441,7 @@ def wg_host_hits(sf_dir: str):
 QUERIES = {
     "wg_outlinks": wg_outlinks,
     "wg_host_graph": wg_host_graph,
+    "wg_host_graph_incremental": wg_host_graph_incremental,
     "wg_host_rank": wg_host_rank,
 }
 

@@ -251,8 +251,13 @@ def ensure_ann_index(sf_dir: str, table: str = "embeddings") -> str:
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         json.dump(contract, f)
 
-    # Promote without deleting a valid concurrent winner (the SMB/link-table
-    # contract): accept a matching layout that appeared while we built.
+    # Promote, accepting a matching layout that appeared while we built
+    # (the SMB/link-table contract). Best-effort, not atomic: a concurrent
+    # builder promoting between our marker re-check and the rmtree below
+    # can still lose its layout for a moment, and readers in that window
+    # may hit the documented RETRYABLE FileNotFoundError — the guarantee
+    # is "a valid layout always returns or a retryable error is raised",
+    # never a silently stale/partial read.
     if os.path.exists(marker):
         try:
             with open(marker) as f:
@@ -390,8 +395,6 @@ def ensure_ann_index_incremental(
     split at half the corpus count), then an increment pass coding the
     delta with the frozen base quantizers into ``coded_delta/``. Returns
     (root, split_id)."""
-    import pyarrow.compute as pc
-
     from ..sources.tables import read_table
     from .similarity import (
         _kmeans_lite,

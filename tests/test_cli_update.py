@@ -1,0 +1,125 @@
+"""cli update — the composed incremental-crawl flagship.
+
+One command takes a completed base run plus a delta pages dir and refreshes
+every artifact: delta extract -> merge_runs -> FTS delta index ->
+link-table delta merge. The proof standard: every merged artifact must be
+byte-identical to a COLD FULL REBUILD over base∪delta pages (the
+reference's ledger-driven resume, db_init.py:150-159 / database.ts:66-81,
+elevated to snapshot increments)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def update_env(tmp_path_factory, ray_session):
+    from agenticknowledgegraphconstructionsystem_ray import synth
+    from agenticknowledgegraphconstructionsystem_ray.cli import main as cli_main
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+
+    root = tmp_path_factory.mktemp("update")
+    pages = str(root / "pages_all")
+    synth.write_pages(pages, 240, n_files=6)
+    files = sorted(glob.glob(os.path.join(pages, "*.parquet")))
+
+    base_pages = str(root / "pages_base")
+    delta_pages = str(root / "pages_delta")
+    for d, part in ((base_pages, files[:4]), (delta_pages, files[4:])):
+        os.makedirs(d)
+        for f in part:
+            os.symlink(f, os.path.join(d, os.path.basename(f)))
+
+    base_out = str(root / "base_out")
+    kg.ensure_complete(kg.KGConfig(pages_dir=base_pages, out_dir=base_out,
+                                   chunk_files=2))
+
+    out = str(root / "merged")
+    rc = cli_main([
+        "update", "--base-pages", base_pages, "--base-out", base_out,
+        "--delta-pages", delta_pages, "--out", out, "--chunk-files", "2",
+    ])
+    assert rc == 0
+
+    full_out = str(root / "full_out")
+    kg.ensure_complete(kg.KGConfig(pages_dir=pages, out_dir=full_out,
+                                   chunk_files=2))
+    return {
+        "pages": pages, "files": files, "base_pages": base_pages,
+        "delta_pages": delta_pages, "base_out": base_out, "out": out,
+        "full_out": full_out,
+    }
+
+
+def _edges(out_dir: str):
+    return pq.read_table(sorted(
+        glob.glob(os.path.join(out_dir, "edges/**/*.parquet"),
+                  recursive=True)
+    ))
+
+
+def _nodes(out_dir: str):
+    return pq.read_table(sorted(
+        glob.glob(os.path.join(out_dir, "nodes", "*.parquet"))
+    ))
+
+
+def test_update_graph_matches_cold_rebuild(update_env):
+    e = update_env
+    assert _edges(e["out"]).equals(_edges(e["full_out"]))
+    assert _nodes(e["out"]).equals(_nodes(e["full_out"]))
+
+
+def test_update_fts_union_matches_full_index(update_env, tmp_path):
+    """BM25 search over fts_base ∪ fts_delta == search over one index
+    built cold from the full run — same top-K, same scores."""
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kgqueries
+
+    e = update_env
+    full_root = kgqueries.build_fts_postings(
+        e["full_out"], str(tmp_path / "fts_full"))
+    q = list(kgqueries.KG_SEARCH_QUERY)
+    K = kgqueries.KG_SEARCH_K
+
+    got = kgqueries._search_indexed_over(
+        [os.path.join(e["out"], "fts_base"),
+         os.path.join(e["out"], "fts_delta")],
+        [e["base_out"], os.path.join(e["out"], "delta_run")], q, K)
+    want = kgqueries._search_indexed_over(full_root, e["full_out"], q, K)
+    assert got.equals(want)
+    shutil.rmtree(full_root, ignore_errors=True)
+
+
+def test_update_links_match_cold_rebuild(update_env, tmp_path):
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import weblinks
+
+    e = update_env
+    merged = pq.read_table(sorted(glob.glob(
+        os.path.join(e["out"], "links", "links", "*.parquet"))))
+    full_root = weblinks._ensure_link_tables_for(
+        e["files"], str(tmp_path / "links_full"))
+    full = pq.read_table(sorted(glob.glob(
+        os.path.join(full_root, "links", "*.parquet"))))
+    key = lambda t: sorted(zip(t["src_host"].to_pylist(),
+                               t["dst_host"].to_pylist(),
+                               t["n_links"].to_pylist()))
+    assert key(merged) == key(full)
+    shutil.rmtree(full_root, ignore_errors=True)
+
+
+def test_update_cost_is_delta_bound(update_env):
+    """The delta run's extracted chunks cover ONLY the delta pages — the
+    base corpus was never re-extracted by the update."""
+    e = update_env
+    delta_pages = pq.read_table(sorted(
+        glob.glob(os.path.join(e["delta_pages"], "*.parquet"))),
+        columns=["url"]).num_rows
+    delta_extracted = pq.read_table(sorted(glob.glob(os.path.join(
+        e["out"], "delta_run",
+        "extracted/chunk=*/kind=page/*.parquet"))), columns=["url"]).num_rows
+    assert delta_extracted == delta_pages  # 2 of 6 files, not the corpus
