@@ -88,6 +88,66 @@ def _calibrate(ray) -> dict:
     }
 
 
+class _MemWatch:
+    """Samples object-store usage and total worker RSS every 0.5 s on a
+    daemon thread — the high-water marks go into the bench record so scale
+    decades (--mult runs) carry memory evidence, not just wall time."""
+
+    def __init__(self, ray):
+        import threading
+
+        self._ray = ray
+        self._stop = threading.Event()
+        self.peak_object_store_mb = 0.0
+        self.peak_workers_rss_mb = 0.0
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _workers_rss_mb(self) -> float:
+        total = 0
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/cmdline", "rb") as f:
+                    if not f.read(8).startswith(b"ray::"):
+                        continue
+                with open(f"/proc/{p}/statm") as f:
+                    total += int(f.read().split()[1]) * 4096
+            except OSError:
+                continue
+        return total / (1 << 20)
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                total = self._ray.cluster_resources().get(
+                    "object_store_memory", 0)
+                avail = self._ray.available_resources().get(
+                    "object_store_memory", total)
+                used_mb = (total - avail) / (1 << 20)
+                self.peak_object_store_mb = max(
+                    self.peak_object_store_mb, used_mb)
+                self.peak_workers_rss_mb = max(
+                    self.peak_workers_rss_mb, self._workers_rss_mb())
+            except Exception:
+                pass
+            self._stop.wait(0.5)
+
+    def stop(self) -> dict:
+        import resource
+
+        self._stop.set()
+        self._t.join(timeout=2)
+        return {
+            "peak_object_store_mb": round(self.peak_object_store_mb, 1),
+            "peak_workers_rss_mb": round(self.peak_workers_rss_mb, 1),
+            "peak_driver_rss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+            ),
+        }
+
+
 def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -148,6 +208,7 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         _pool_warmup, batch_format="pyarrow"
     ).count()
 
+    memwatch = _MemWatch(ray)
     t0 = time.perf_counter()
     res = kg.run_pipeline(kg.KGConfig(pages_dir=pages_dir, out_dir=out_dir))
     t_kg = time.perf_counter() - t0
@@ -280,6 +341,7 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         "n_pages": res["pages_processed"],
         "n_edges": res["n_edges"],
         "n_nodes": res["n_nodes"],
+        **memwatch.stop(),
         **_calibrate(ray),
     }
     # second spin sample: this host's per-task throughput swings minute to
@@ -663,8 +725,271 @@ def run_increment() -> dict:
     return out
 
 
+def _skewed_pages_dir(ray, synth, sf: float) -> str:
+    """Build (once, cached) the adversarial-skew variant of the sf corpus:
+    every even-index page moves to ONE hub host and gains one hot-entity
+    sentence — 50% of pages on one host, one entity at ~50% of mentions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agenticknowledgegraphconstructionsystem_ray.state.artifacts import (
+        source_fingerprint,
+    )
+
+    base = synth.ensure_pages(sf)
+    files = sorted(glob.glob(os.path.join(base, "*.parquet")))
+    out = f"/tmp/agkg_skew_pages/sf{sf:g}"
+    marker = os.path.join(out, "_SKEW_OK")
+    tag = "v1:" + source_fingerprint(*files)
+    if os.path.exists(marker) and open(marker).read() == tag:
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+
+    ents = synth.entity_universe()
+    hot_subj = ents[0]["aliases"][0]  # proper case — the deterministic
+    hot_obj = ents[1]["aliases"][0]   # NER only fires on capitalized runs
+    extra = "".join(
+        f"<p>{hot_subj} {p} {hot_obj}.</p>"
+        for p in ("extends", "cites", "uses", "builds on", "evaluates",
+                  "improves on", "outperforms", "introduces") * 2
+    ).encode()
+
+    @ray.remote(num_cpus=1)
+    def rewrite(src: str, dst: str) -> None:
+        t = pq.read_table(src)
+        urls, htmls = t["url"].to_pylist(), t["html"].to_pylist()
+        for j in range(len(urls)):
+            i = int(urls[j].rsplit("/", 1)[1])
+            if i % 2 == 0:
+                urls[j] = f"https://hub-0.example/page/{i}"
+                htmls[j] = htmls[j].replace(b"</body>", extra + b"</body>")
+        out_t = t.set_column(
+            t.schema.get_field_index("url"), "url", pa.array(urls)
+        ).set_column(
+            t.schema.get_field_index("html"), "html",
+            pa.array(htmls, pa.binary()),
+        )
+        pq.write_table(out_t, dst)
+
+    ray.get([
+        rewrite.remote(f, os.path.join(out, os.path.basename(f)))
+        for f in files
+    ])
+    with open(marker, "w") as f:
+        f.write(tag)
+    return out
+
+
+def run_skew() -> dict:
+    """Adversarial-skew suite (BENCH/BASELINE.md '--skew'): the hot-key
+    defenses measured at sf scale — hub-host link build, hot-entity KG
+    pipeline, hot-bucket MinHash — with the bound numbers in the record."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from agenticknowledgegraphconstructionsystem_ray import synth
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import (
+        kg,
+        kgqueries,
+        weblinks,
+    )
+    from agenticknowledgegraphconstructionsystem_ray.stages import dedup
+
+    sf = kgqueries.sf_of(sf_dir)
+    skew_pages = _skewed_pages_dir(ray, synth, sf)
+    files = sorted(glob.glob(os.path.join(skew_pages, "*.parquet")))
+    queries: dict[str, float] = {}
+    bounds: dict = {}
+    memwatch = _MemWatch(ray)
+
+    # 1. KG pipeline under the hot entity (fresh output, no resume credit)
+    out_dir = "/tmp/agkg_skew_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = kg.run_pipeline(kg.KGConfig(pages_dir=skew_pages,
+                                      out_dir=out_dir))
+    queries["kg_pipeline_skew"] = round(time.perf_counter() - t0, 3)
+    nodes = pq.read_table(
+        sorted(glob.glob(os.path.join(out_dir, "nodes", "*.parquet"))),
+        columns=["mention_count"],
+    )
+    counts = sorted(nodes["mention_count"].to_pylist(), reverse=True)
+    bounds["top_node_mention_share"] = round(counts[0] / sum(counts), 3)
+    bounds["n_edges"] = res["n_edges"]
+
+    # 2. link table under the 50% hub host
+    links_root = "/tmp/agkg_skew_links"
+    shutil.rmtree(links_root, ignore_errors=True)
+    t0 = time.perf_counter()
+    root = weblinks._ensure_link_tables_for(files, links_root)
+    queries["wg_link_tables_build_skew"] = round(time.perf_counter() - t0, 3)
+    lt = pq.read_table(sorted(glob.glob(os.path.join(root, "links",
+                                                     "*.parquet"))))
+    n_links_total = sum(lt["n_links"].to_pylist())
+    hub_links = sum(
+        n for s, n in zip(lt["src_host"].to_pylist(),
+                          lt["n_links"].to_pylist())
+        if s == "hub-0.example"
+    )
+    bounds["hub_src_link_share"] = round(hub_links / n_links_total, 3)
+    bounds["link_table_rows"] = lt.num_rows
+
+    # 3. MinHash with one text duplicated across 50% of documents
+    docs_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    n = docs_t.num_rows
+    m = n // 2
+    texts = docs_t["text"].to_pylist()
+    for i in range(m):
+        texts[i] = "the identical boilerplate frame " * 12
+    docs = rd.from_arrow(pa.table({
+        "doc_id": docs_t["doc_id"],
+        "text": pa.array(texts, pa.string()),
+    })).repartition(max(8, ncpu))
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_near_dups(docs, threshold=0.8)
+    queries["dd_minhash_hot_cluster"] = round(time.perf_counter() - t0, 3)
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    hot = set(int(x) for x in docs_t["doc_id"].to_numpy()[:m])
+    n_cluster = sum(
+        1 for x, y in zip(a, b) if int(x) in hot and int(y) in hot
+    )
+    bounds["hot_cluster_size"] = m
+    bounds["hot_cluster_pairs"] = n_cluster
+    bounds["hot_cluster_pair_cap"] = dedup._BANDS * (m - 1)
+    bounds["hot_cluster_quadratic_would_be"] = m * (m - 1) // 2
+    bounds["cap_held"] = bool(n_cluster <= dedup._BANDS * (m - 1))
+
+    out = {
+        "metric": "skew_suite",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "bounds": bounds,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "n_pages": res["pages_processed"],
+        **memwatch.stop(),
+        **_calibrate(ray),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_update() -> dict:
+    """Incremental-update economics: cold full rebuild over base∪delta vs
+    cli-update-shaped delta work (delta run + merge_runs + FTS delta +
+    link-table merge). The record's ratio shows update cost scaling with
+    the delta (1/8 of files), not the corpus."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from agenticknowledgegraphconstructionsystem_ray import synth
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import (
+        kg,
+        kgqueries,
+        weblinks,
+    )
+
+    sf = kgqueries.sf_of(sf_dir)
+    pages = synth.ensure_pages(sf)
+    files = sorted(glob.glob(os.path.join(pages, "*.parquet")))
+    cut = max(1, len(files) - max(1, len(files) // 8))  # delta = last ~1/8
+    work = "/tmp/agkg_update_bench"
+    shutil.rmtree(work, ignore_errors=True)
+    base_pages = os.path.join(work, "pages_base")
+    delta_pages = os.path.join(work, "pages_delta")
+    for d, part in ((base_pages, files[:cut]), (delta_pages, files[cut:])):
+        os.makedirs(d)
+        for f in part:
+            os.symlink(f, os.path.join(d, os.path.basename(f)))
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return r
+
+    # the amortized past: the base run + its artifacts exist before the
+    # increment arrives (untimed, like the persisted band/ANN indexes)
+    base_out = os.path.join(work, "base_out")
+    kg.ensure_complete(kg.KGConfig(pages_dir=base_pages, out_dir=base_out))
+    base_links = weblinks._ensure_link_tables_for(
+        files[:cut], os.path.join(work, "links_base"))
+    kgqueries.build_fts_postings(base_out, os.path.join(work, "fts_base"))
+
+    # the timed increment: everything cli update does
+    delta_out = os.path.join(work, "delta_run")
+    timed("delta_run", lambda: kg.ensure_complete(kg.KGConfig(
+        pages_dir=delta_pages, out_dir=delta_out)))
+    timed("merge_runs", lambda: kg.merge_runs(
+        [base_out, delta_out], os.path.join(work, "merged")))
+    timed("fts_delta", lambda: kgqueries.build_fts_postings(
+        delta_out, os.path.join(work, "fts_delta")))
+    timed("links_merge", lambda: weblinks.merge_link_tables(
+        base_links, files[cut:], os.path.join(work, "links_merged")))
+    update_total = round(sum(queries.values()), 3)
+
+    # the road not taken: cold full rebuild of the same final state
+    full_out = os.path.join(work, "full_out")
+    timed("full_rebuild_run", lambda: kg.run_pipeline(kg.KGConfig(
+        pages_dir=pages, out_dir=full_out)))
+    timed("full_rebuild_fts", lambda: kgqueries.build_fts_postings(
+        full_out, os.path.join(work, "fts_full")))
+    timed("full_rebuild_links", lambda: weblinks._ensure_link_tables_for(
+        files, os.path.join(work, "links_full")))
+    full_total = round(
+        queries["full_rebuild_run"] + queries["full_rebuild_fts"]
+        + queries["full_rebuild_links"], 3)
+
+    out = {
+        "metric": "incremental_update_suite",
+        "value": update_total,
+        "unit": "sec",
+        "queries": queries,
+        "update_total_s": update_total,
+        "full_rebuild_total_s": full_total,
+        "update_over_full": round(update_total / full_total, 3),
+        "delta_fraction_of_files": round((len(files) - cut) / len(files), 3),
+        "sf": sf,
+        "num_cpus": ncpu,
+        **_calibrate(ray),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
+    elif "--update" in sys.argv:
+        print(json.dumps(run_update()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--warm-model" in sys.argv:
         print(json.dumps(run_warm_model()))
