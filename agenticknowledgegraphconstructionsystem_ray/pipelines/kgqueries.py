@@ -790,13 +790,18 @@ def _kg_search_impl(sf_dir: str, qterms: list, K: int):
 # writes term-bucket-partitioned postings (bkt = md5(term) % FTS_BUCKETS;
 # rows (term, url, tf, dl), one per distinct (term, doc)) plus per-doc
 # sentinel rows in bucket FTS_BUCKETS carrying (url, dl) for the corpus
-# stats — no shuffle anywhere in the build. A query then reads ONLY its
-# terms' buckets (~nq/64 of the index), never the corpus text: df from the
-# pruned rows, AND-match + BM25 from a url-keyed groupby bounded by the
-# query terms' posting sizes — the GIN cost model, exact at ANY
-# selectivity with no cap heuristic (a stop-word term pays its own
-# posting-list size, like every FTS engine). Marker-guarded atomic layout,
-# same contract as the SMB/link-table/ANN artifacts.
+# stats. v4: the build ends in ONE distributed (bkt, term, url) range
+# sort — the only all-to-all, the classic index-build trade — giving
+# term-clustered, url-sorted row groups (FTS_ROW_GROUP rows each). A
+# query then pushes its term filter into the parquet scanner: row-group
+# min/max stats prune the read to ~the probed terms' posting lists (the
+# GIN cost model made physical — bytes read ~ sum of posting lists, never
+# whole buckets), never touching the corpus text: df from the pruned
+# rows, AND-match + BM25 from a url-keyed groupby bounded by the query
+# terms' posting sizes — exact at ANY selectivity with no cap heuristic
+# (a stop-word term pays its own posting-list size, like every FTS
+# engine). Marker-guarded atomic layout with a source fingerprint, same
+# contract as the SMB/link-table/ANN artifacts.
 # ---------------------------------------------------------------------------
 
 FTS_BUCKETS = 64

@@ -528,18 +528,21 @@ def _split_mask(t: pa.Table, want_delta: bool) -> pa.Table:
 
 
 def minhash_band_index(
-    docs_old: rd.Dataset, index_dir: str
+    docs_old: rd.Dataset, index_dir: str, src_tag: str = ""
 ) -> str:
     """Persist the old corpus's LSH band rows as a parquet index (idempotent
     — atomic marker-guarded rename, same recipe as goldens.ensure_kg_golden;
     concurrent builders race benignly on identical deterministic content).
     Index rows are exactly what _minhash_bands_batch emits, so reading them
-    back unions cleanly with live delta bands."""
+    back unions cleanly with live delta bands. ``src_tag`` carries the
+    caller's source fingerprint so a regenerated corpus at the same path
+    rebuilds instead of serving stale bands (the uniform artifact
+    contract; see state.artifacts.source_fingerprint)."""
     import os
     import shutil
 
     marker = os.path.join(index_dir, "_INDEX_OK")
-    tag = f"v{MH_INDEX_VERSION}:{_N_PERM}:{_BANDS}:{N_COARSE_TASKS}"
+    tag = f"v{MH_INDEX_VERSION}:{_N_PERM}:{_BANDS}:{N_COARSE_TASKS}:{src_tag}"
     if os.path.exists(marker) and open(marker).read() == tag:
         return index_dir
     tmp = index_dir + f".tmp.{os.getpid()}"
@@ -592,7 +595,13 @@ def minhash_near_dups_incremental(
     delta = docs.map_batches(
         lambda t: _split_mask(t, want_delta=True), batch_format="pyarrow"
     )
-    minhash_band_index(old, index_dir)
+    from ..state.artifacts import source_fingerprint
+    from ..sources.tables import table_path
+
+    minhash_band_index(
+        old, index_dir,
+        src_tag=source_fingerprint(table_path(sf_dir, table)),
+    )
     import glob
 
     # glob the data files: the marker file in the dir is not parquet

@@ -202,6 +202,37 @@ def test_dir_keyed_artifact_invalidates_on_source_change(case, tmp_path):
     shutil.rmtree(os.path.dirname(marker2), ignore_errors=True)
 
 
+def test_minhash_band_index_invalidates_on_source_change(tmp_path):
+    """The persisted LSH band index keys its dir on the corpus abspath;
+    the marker tag must carry the source fingerprint so rewriting
+    documents.parquet in place rebuilds the bands."""
+    import hashlib
+
+    from agenticknowledgegraphconstructionsystem_ray.stages import dedup
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    shutil.copy(os.path.join(SF, "documents.parquet"),
+                os.path.join(d, "documents.parquet"))
+    tag = hashlib.md5(
+        f"{os.path.abspath(d)}:documents:v{dedup.MH_INDEX_VERSION}".encode()
+    ).hexdigest()[:16]
+    index_dir = f"/tmp/agkg_mh_index/{tag}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    try:
+        dedup.minhash_near_dups_incremental(d)
+        marker = os.path.join(index_dir, "_INDEX_OK")
+        before, mt_before = open(marker).read(), os.stat(marker).st_mtime_ns
+
+        _halve(os.path.join(d, "documents.parquet"))
+        dedup.minhash_near_dups_incremental(d)
+        after, mt_after = open(marker).read(), os.stat(marker).st_mtime_ns
+        assert after != before
+        assert mt_after > mt_before
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def test_link_table_invalidates_on_regenerated_corpus(
     tmp_path, monkeypatch, clean_sf_roots
 ):
