@@ -997,6 +997,8 @@ def kg_phrase_indexed(sf_dir: str):
 
     import pyarrow.dataset as pads
 
+    import ray
+
     t1, t2 = KG_PHRASE
     _ = _ensure_run(sf_dir)
     root = _ensure_text_index(sf_dir)
@@ -1006,7 +1008,38 @@ def kg_phrase_indexed(sf_dir: str):
         _fts_files(root, {_fts_bucket(t) for t in (t1, t2)}),
         columns=["term", "url", "pos"],
         filter=pads.field("term").isin(sorted({t1, t2})),
-    )
+    ).materialize()  # bounded by the two terms' posting sizes
+
+    # rarest-term semi-join (same optimization as _search_indexed_over):
+    # a phrase hit needs BOTH terms, so broadcast the smaller df's url
+    # set and pre-filter the other term's rows — the groupby then
+    # carries <= 2*df_min positional rows instead of df1+df2
+    df_n = {t1: 0, t2: 0}
+    for b in posts.map_batches(
+        lambda t: t.select(["term"]), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for term in b["term"].to_pylist():
+            df_n[term] += 1
+    FTS_SEMI_CAP = 100_000
+    rare = min((t1, t2), key=lambda t: df_n[t])
+    if 0 < df_n[rare] <= FTS_SEMI_CAP:
+        rare_urls: set = set()
+        for b in posts.map_batches(
+            lambda t, _r=rare: t.filter(pc.equal(t["term"], _r)).select(
+                ["url"]
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            rare_urls.update(b["url"].to_pylist())
+        rref = ray.put(pa.array(sorted(rare_urls), pa.string()))
+
+        def semi(t: pa.Table, _r=rref) -> pa.Table:
+            keep = ray.get(_r) if hasattr(_r, "hex") else _r
+            return t.filter(
+                pc.is_valid(pc.index_in(t["url"], value_set=keep))
+            )
+
+        posts = posts.map_batches(semi, batch_format="pyarrow")
 
     def phrase_group(g: "pd.DataFrame") -> "pd.DataFrame":
         by = dict(zip(g["term"], g["pos"]))

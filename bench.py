@@ -327,6 +327,7 @@ def run_bench(kg_only: bool = False, pages_mult: int = 1) -> dict:
         shutil.rmtree(kgqueries.fts_root(sf_dir), ignore_errors=True)
         timed("fts_index_build", kgqueries._ensure_text_index)
         timed("kg_search_indexed", kgqueries.kg_search_indexed)
+        timed("kg_phrase_indexed", kgqueries.kg_phrase_indexed)
 
     total = round(sum(queries.values()), 3)
     out = {
