@@ -836,7 +836,12 @@ def build_fts_postings(run_dirs, root: str) -> str:
     sentinel rows, so an incremental index for base∪delta is simply the
     base layout UNION a delta layout built from the delta run alone —
     query semantics over the union of files are exactly those of a full
-    rebuild (kg_update_search proves this against the scan-path oracle)."""
+    rebuild (kg_update_search proves this against the scan-path oracle).
+    Assumption: base and delta hold DISJOINT urls (snapshot increments) —
+    a re-crawled url present in both layouts would double-count in the
+    corpus stats; re-crawls must rebuild the base index (the same
+    disjointness assumption kg.merge_runs makes without
+    global_edge_dedup)."""
     import json
     import shutil
 
