@@ -102,8 +102,10 @@ def main(argv: list[str] | None = None) -> int:
              "delta index -> link-table delta merge in one command; "
              "update cost scales with the delta, never the corpus",
     )
-    su.add_argument("--base-pages", required=True,
-                    help="pages dir of the already-processed base crawl")
+    su.add_argument("--base-pages", default=None,
+                    help="pages dir of the already-processed base crawl "
+                         "(needed only when --base-out is a plain run; a "
+                         "prior update dir carries its own link table)")
     su.add_argument("--base-out", required=True,
                     help="completed base run output dir")
     su.add_argument("--delta-pages", required=True,
@@ -208,6 +210,19 @@ def main(argv: list[str] | None = None) -> int:
             timings[name] = round(_time.perf_counter() - t0, 3)
             return r
 
+        # Chainable: a prior `cli update` out dir records its constituent
+        # run dirs (_RUNS) and FTS index roots (_FTS), so pointing
+        # --base-out at it composes — update #2 reuses update #1's
+        # artifacts untouched and its cost stays delta-bound. The listed
+        # run dirs must remain on disk (they hold the phase-A records the
+        # merge re-reduces over).
+        runs_manifest = _os.path.join(args.base_out, "_RUNS")
+        if _os.path.exists(runs_manifest):
+            with open(runs_manifest) as f:
+                base_runs = json.load(f)
+        else:
+            base_runs = [args.base_out]
+
         # 1. delta extract+reduce: phase A scans ONLY the delta pages
         delta_out = _os.path.join(args.out, "delta_run")
         timed("delta_run", lambda: kg.ensure_complete(kg.KGConfig(
@@ -218,29 +233,52 @@ def main(argv: list[str] | None = None) -> int:
         # 2. merged graph: re-reduce over the UNION of record artifacts —
         # the base pages are never re-read (kg.merge_runs contract)
         res = timed("merge_runs", lambda: kg.merge_runs(
-            [args.base_out, delta_out], args.out,
+            base_runs + [delta_out], args.out,
             global_edge_dedup=args.global_edge_dedup,
         ))
 
-        # 3. FTS: base index built once (reused on every later update),
-        # delta index from the delta run alone; queries read the union
-        # (kgqueries._search_indexed_over), equal to a full rebuild
-        timed("fts_base", lambda: kgqueries.build_fts_postings(
-            args.base_out, _os.path.join(args.out, "fts_base")))
-        timed("fts_delta", lambda: kgqueries.build_fts_postings(
+        # 3. FTS: base index roots reused verbatim when the base is a
+        # prior update (zero work); built once otherwise. The delta index
+        # comes from the delta run alone; queries read the union
+        # (kgqueries._search_indexed_over), equal to a full rebuild.
+        fts_manifest = _os.path.join(args.base_out, "_FTS")
+        if _os.path.exists(fts_manifest):
+            with open(fts_manifest) as f:
+                base_fts = json.load(f)
+            timings["fts_base"] = 0.0
+        else:
+            base_fts = [timed("fts_base", lambda: kgqueries.build_fts_postings(
+                args.base_out, _os.path.join(args.out, "fts_base")))]
+        fts_delta = timed("fts_delta", lambda: kgqueries.build_fts_postings(
             delta_out, _os.path.join(args.out, "fts_delta")))
 
-        # 4. link table: persisted base aggregate + delta-only scan,
+        # 4. link table: the base aggregate (a prior update's merged table
+        # when chaining, else built from --base-pages) + delta-only scan,
         # merged by one host-pair groupby-sum
-        base_files = sorted(
-            _glob.glob(_os.path.join(args.base_pages, "*.parquet")))
         delta_files = sorted(
             _glob.glob(_os.path.join(args.delta_pages, "*.parquet")))
-        base_links = timed("links_base", lambda: (
-            weblinks._ensure_link_tables_for(
-                base_files, _os.path.join(args.out, "links_base"))))
+        prior_links = _os.path.join(args.base_out, "links")
+        if _os.path.exists(_os.path.join(prior_links, "_DONE")):
+            base_links = prior_links
+            timings["links_base"] = 0.0
+        else:
+            if not args.base_pages:
+                p.error("--base-pages is required unless --base-out is a "
+                        "prior update dir (holds links/_DONE)")
+            base_files = sorted(
+                _glob.glob(_os.path.join(args.base_pages, "*.parquet")))
+            base_links = timed("links_base", lambda: (
+                weblinks._ensure_link_tables_for(
+                    base_files, _os.path.join(args.out, "links_base"))))
         timed("links_merge", lambda: weblinks.merge_link_tables(
             base_links, delta_files, _os.path.join(args.out, "links")))
+
+        # manifests that make THIS out dir usable as the next --base-out
+        with open(_os.path.join(args.out, "_RUNS"), "w") as f:
+            json.dump([_os.path.abspath(d) for d in base_runs]
+                      + [_os.path.abspath(delta_out)], f)
+        with open(_os.path.join(args.out, "_FTS"), "w") as f:
+            json.dump(list(base_fts) + [fts_delta], f)
 
         # 5. optional driver-table deltas (ANN coding, MinHash bands)
         if args.sf_dir:

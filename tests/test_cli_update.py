@@ -112,6 +112,81 @@ def test_update_links_match_cold_rebuild(update_env, tmp_path):
     shutil.rmtree(full_root, ignore_errors=True)
 
 
+def test_chained_updates_match_cold_rebuild(update_env, tmp_path):
+    """Daily increments compound: update(update(base, d1), d2) must equal
+    the cold rebuild — the _RUNS/_FTS manifests make a prior update dir a
+    valid --base-out, with its FTS roots and merged link table reused
+    verbatim (zero base work in update #2)."""
+    import json
+
+    from agenticknowledgegraphconstructionsystem_ray.cli import main as cli_main
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kgqueries
+
+    e = update_env
+    files = e["files"]
+    # re-split: base = 3 files, d1 = 2, d2 = 1 (disjoint from update_env's
+    # 4+2 split on purpose — fresh run dirs under tmp_path)
+    parts = {"b": files[:3], "d1": files[3:5], "d2": files[5:]}
+    dirs = {}
+    for name, part in parts.items():
+        d = str(tmp_path / f"pages_{name}")
+        os.makedirs(d)
+        for f in part:
+            os.symlink(f, os.path.join(d, os.path.basename(f)))
+        dirs[name] = d
+
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+
+    base_out = str(tmp_path / "base_out")
+    kg.ensure_complete(kg.KGConfig(pages_dir=dirs["b"], out_dir=base_out,
+                                   chunk_files=2))
+    out1 = str(tmp_path / "u1")
+    assert cli_main([
+        "update", "--base-pages", dirs["b"], "--base-out", base_out,
+        "--delta-pages", dirs["d1"], "--out", out1, "--chunk-files", "2",
+    ]) == 0
+    out2 = str(tmp_path / "u2")
+    # NOTE: no --base-pages — out1 carries its own link table + manifests
+    assert cli_main([
+        "update", "--base-out", out1,
+        "--delta-pages", dirs["d2"], "--out", out2, "--chunk-files", "2",
+    ]) == 0
+
+    # graph parity vs the cold full rebuild over all six files
+    assert _edges(out2).equals(_edges(e["full_out"]))
+    assert _nodes(out2).equals(_nodes(e["full_out"]))
+
+    # FTS chain: three index roots, union search == full-index search
+    with open(os.path.join(out2, "_FTS")) as f:
+        roots = json.load(f)
+    assert len(roots) == 3
+    with open(os.path.join(out2, "_RUNS")) as f:
+        runs = json.load(f)
+    assert len(runs) == 3
+    q, K = list(kgqueries.KG_SEARCH_QUERY), kgqueries.KG_SEARCH_K
+    full_root = kgqueries.build_fts_postings(
+        e["full_out"], str(tmp_path / "fts_full_chain"))
+    got = kgqueries._search_indexed_over(roots, runs, q, K)
+    want = kgqueries._search_indexed_over(full_root, e["full_out"], q, K)
+    assert got.equals(want)
+
+    # link-table parity vs a cold build over all six files
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import weblinks
+
+    merged = pq.read_table(sorted(glob.glob(
+        os.path.join(out2, "links", "links", "*.parquet"))))
+    full_links = weblinks._ensure_link_tables_for(
+        files, str(tmp_path / "links_full_chain"))
+    full = pq.read_table(sorted(glob.glob(
+        os.path.join(full_links, "links", "*.parquet"))))
+    key = lambda t: sorted(zip(t["src_host"].to_pylist(),
+                               t["dst_host"].to_pylist(),
+                               t["n_links"].to_pylist()))
+    assert key(merged) == key(full)
+    shutil.rmtree(full_root, ignore_errors=True)
+    shutil.rmtree(full_links, ignore_errors=True)
+
+
 def test_update_cost_is_delta_bound(update_env):
     """The delta run's extracted chunks cover ONLY the delta pages — the
     base corpus was never re-extracted by the update."""
