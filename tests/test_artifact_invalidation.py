@@ -202,6 +202,61 @@ def test_dir_keyed_artifact_invalidates_on_source_change(case, tmp_path):
     shutil.rmtree(os.path.dirname(marker2), ignore_errors=True)
 
 
+def test_single_shard_regen_invalidates_only_its_chunk(tmp_path):
+    """Chunk-granular invalidation: regenerating ONE pages shard must
+    re-extract only the chunk that shard feeds — the other chunks'
+    phase-A records are reused untouched (at 100 TB this is the
+    difference between re-running the corpus and re-running one chunk) —
+    while the final outputs equal a cold rebuild of the new corpus."""
+    import pyarrow as pa
+
+    from agenticknowledgegraphconstructionsystem_ray import synth
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+
+    pages = str(tmp_path / "pages")
+    synth.write_pages(pages, 240, n_files=6)
+    out = str(tmp_path / "out")
+    kg.ensure_complete(kg.KGConfig(pages_dir=pages, out_dir=out,
+                                   chunk_files=2))  # 3 chunks of 2 files
+
+    def chunk_mtimes():
+        m = {}
+        for f in glob.glob(os.path.join(
+                out, "extracted/chunk=*/kind=page/*.parquet")):
+            chunk = f.split("chunk=")[1].split("/")[0]
+            m.setdefault(chunk, []).append(os.stat(f).st_mtime_ns)
+        return {k: max(v) for k, v in m.items()}
+
+    before = chunk_mtimes()
+    assert len(before) == 3
+
+    # regenerate shard #0 in place (chunk 0's first file): same name,
+    # new content — swap two pages' html payloads
+    f0 = sorted(glob.glob(os.path.join(pages, "*.parquet")))[0]
+    t = pq.read_table(f0)
+    htmls = t["html"].to_pylist()
+    htmls[0], htmls[1] = htmls[1], htmls[0]
+    pq.write_table(
+        t.set_column(t.schema.get_field_index("html"), "html",
+                     pa.array(htmls, pa.binary())), f0)
+
+    kg.ensure_complete(kg.KGConfig(pages_dir=pages, out_dir=out,
+                                   chunk_files=2))
+    after = chunk_mtimes()
+    changed = {k for k in after if after[k] != before[k]}
+    assert len(changed) == 1, f"expected one chunk re-extracted: {changed}"
+
+    # and the merged result equals a cold rebuild of the mutated corpus
+    cold = str(tmp_path / "cold")
+    kg.ensure_complete(kg.KGConfig(pages_dir=pages, out_dir=cold,
+                                   chunk_files=2))
+    e1 = pq.read_table(sorted(glob.glob(
+        os.path.join(out, "edges/**/*.parquet"), recursive=True)))
+    e2 = pq.read_table(sorted(glob.glob(
+        os.path.join(cold, "edges/**/*.parquet"), recursive=True)))
+    assert e1.equals(e2)
+
+
 def test_minhash_band_index_invalidates_on_source_change(tmp_path):
     """The persisted LSH band index keys its dir on the corpus abspath;
     the marker tag must carry the source fingerprint so rewriting
