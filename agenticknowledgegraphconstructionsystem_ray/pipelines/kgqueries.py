@@ -951,6 +951,80 @@ def build_fts_postings(run_dirs, root: str) -> str:
     return root
 
 
+def compact_fts_postings(roots: list, dest: str) -> str:
+    """Rewrite the UNION of several FTS layouts (a chain of daily
+    increments) as ONE layout — reads only the posting files, never the
+    corpus text, so compaction cost is proportional to index size (the
+    ordinary LSM/segment-merge step every incremental index eventually
+    runs). Output is query-identical to reading the union of the input
+    layouts (pinned in tests/test_cli_update.py)."""
+    import glob as _glob
+    import json
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..state.artifacts import source_fingerprint
+
+    files = []
+    for r in roots:
+        files.extend(_glob.glob(
+            os.path.join(r, "postings", "**", "*.parquet"), recursive=True))
+    marker = os.path.join(dest, "_DONE")
+    contract = {"v": 4, "layout": kg.LAYOUT_VERSION, "nb": FTS_BUCKETS,
+                "pos_cap": FTS_POS_CAP, "rg": FTS_ROW_GROUP,
+                "compacted": True, "src": source_fingerprint(*files)}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                ok = json.load(f) == contract
+        except (OSError, ValueError):
+            ok = False
+        if ok:
+            return dest
+        shutil.rmtree(dest, ignore_errors=True)
+
+    tmp = dest + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def with_bkt(t: pa.Table) -> pa.Table:
+        # hive partitioning may hand bkt back as string/dictionary —
+        # normalize to the layout's int32 before re-partitioning
+        b = t["bkt"]
+        if pa.types.is_dictionary(b.type):
+            b = pc.cast(b, b.type.value_type)
+        return t.set_column(
+            t.schema.get_field_index("bkt"), "bkt", pc.cast(b, pa.int32())
+        )
+
+    def sort_bucket(t: pa.Table) -> pa.Table:
+        return t.sort_by([("term", "ascending"), ("url", "ascending")])
+
+    parts = [rd.read_parquet(os.path.join(r, "postings")) for r in roots]
+    unioned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    (
+        unioned
+        .map_batches(with_bkt, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(sort_bucket, batch_format="pyarrow")
+        .write_parquet(
+            os.path.join(tmp, "postings"), partition_cols=["bkt"],
+            compression="zstd", row_group_size=FTS_ROW_GROUP,
+        )
+    )
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        json.dump(contract, f)
+    shutil.rmtree(dest, ignore_errors=True)
+    try:
+        os.replace(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return dest
+
+
 def _fts_files(roots, buckets: set[int]) -> list:
     """Posting files of the probed buckets across one or more index roots
     (several roots = an incremental base∪delta index)."""
