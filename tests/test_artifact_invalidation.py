@@ -333,3 +333,32 @@ def test_fts_index_invalidates_on_regenerated_corpus(
     after, mt_after = _marker_state(os.path.join(root2, "_DONE"))
     assert after != before
     assert mt_after > mt_before
+
+
+def test_source_fingerprint_properties(tmp_path):
+    """The shared identity primitive: stable under re-read, order-free
+    over its inputs, sensitive to content/size/mtime change, and loud
+    (not empty-valued) on a missing source."""
+    from agenticknowledgegraphconstructionsystem_ray.state.artifacts import (
+        source_fingerprint,
+    )
+
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    a.write_bytes(b"xxxx")
+    b.write_bytes(b"yyyy")
+
+    f1 = source_fingerprint(str(a), str(b))
+    assert f1 == source_fingerprint(str(a), str(b))          # stable
+    assert f1 == source_fingerprint(str(b), str(a))          # order-free
+    assert f1 == source_fingerprint(str(tmp_path))           # dir == files
+
+    os.utime(a, ns=(1, 1))                                   # mtime only
+    f2 = source_fingerprint(str(a), str(b))
+    assert f2 != f1
+
+    a.write_bytes(b"xxxxz")                                  # size change
+    assert source_fingerprint(str(a), str(b)) != f2
+
+    with pytest.raises(FileNotFoundError):
+        source_fingerprint(str(tmp_path / "missing.parquet"))

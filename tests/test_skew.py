@@ -155,6 +155,34 @@ def test_kg_parity_under_hot_entity(ray_session, tmp_path):
     assert counts[0] > 0.25 * sum(counts)
 
 
+def test_openvocab_matches_closed_under_hot_entity(ray_session, tmp_path):
+    """The driver-free open-vocab path (distributed counts, hot-map id
+    application, salted lookup join) must stay byte-identical to the
+    closed path ON THE SKEWED CORPUS — the regime where one entity
+    dominates the mention mass is exactly what the hot-map/salting
+    defenses exist for."""
+    from agenticknowledgegraphconstructionsystem_ray.pipelines import kg
+
+    skewed = _skewed_pages(tmp_path, n=400, n_files=4)
+    outs = {}
+    for mode, ov in (("closed", False), ("open", True)):
+        out = str(tmp_path / f"kg_{mode}")
+        kg.run_pipeline(kg.KGConfig(pages_dir=skewed, out_dir=out,
+                                    chunk_files=2, open_vocab=ov))
+        outs[mode] = out
+
+    def edges(d):
+        return pq.read_table(sorted(glob.glob(
+            os.path.join(d, "edges/**/*.parquet"), recursive=True)))
+
+    def nodes(d):
+        return pq.read_table(sorted(glob.glob(
+            os.path.join(d, "nodes", "*.parquet"))))
+
+    assert edges(outs["open"]).equals(edges(outs["closed"]))
+    assert nodes(outs["open"]).equals(nodes(outs["closed"]))
+
+
 # ---------------------------------------------------------------------------
 # 3. duplicated text: MinHash hot bucket stays linear, cluster stays whole
 # ---------------------------------------------------------------------------
